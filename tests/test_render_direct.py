@@ -1,0 +1,84 @@
+"""End-to-end renderer tests against analytic oracles."""
+import jax.numpy as jnp
+import numpy as np
+
+import curvis_tpu as cv
+from curvis_tpu.camera.camera import pixel_rays_world
+from curvis_tpu.integrate.march import march
+from curvis_tpu.render.direct import (escape_world_directions,
+                                      spawn_pixel_photons)
+
+
+def _bg(rng, h=32, w=64):
+    return cv.make_spherical_image(rng.random((h, w, 3)), dtype=jnp.float64)
+
+
+def _camera(forward, res=(48, 27)):
+    return cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], forward, [0.0, 0.0, 1.0],
+                          15.0, 43.0, res[0], res[1], dtype=jnp.float64)
+
+
+def test_flat_space_escape_directions_equal_ray_directions():
+    """The analytic end-to-end oracle: in flat space (outward camera — inward
+    rays hit the r=0 coordinate singularity of the *flat* chart), escaped
+    photons travel exactly along their spawn directions."""
+    cam = _camera([1.0, 0.3, 0.2])
+    flat = cv.make_metric("flat")
+    x0, p0 = spawn_pixel_photons(flat, cam)
+    res = march(flat, x0, p0, dt=0.01, max_steps=100_000, escape_radius=100.0,
+                backend="while", stepper="rk4")
+    assert np.all(np.asarray(res.sign) == 1)
+    w = np.asarray(escape_world_directions(flat, res))
+    d = np.asarray(pixel_rays_world(cam))
+    dots = np.clip((w * d).sum(-1), -1, 1)
+    assert np.arccos(dots).max() < 1e-6
+
+
+def test_flat_space_image_reproduces_background(rng):
+    cam = _camera([1.0, 0.3, 0.2])
+    flat = cv.make_metric("flat")
+    bg_pos, bg_neg = _bg(rng), _bg(rng)
+    img = cv.render_direct(flat, cam, bg_pos, bg_neg, dt=0.01,
+                           max_steps=100_000, escape_radius=100.0,
+                           backend="while", stepper="rk4")
+    from curvis_tpu.env.spherical_image import sample_nearest
+    d = pixel_rays_world(cam)
+    want = np.asarray(sample_nearest(bg_pos, d)).reshape(
+        cam.resolution_x, cam.resolution_y, 3).transpose(1, 0, 2)
+    # identical up to texel-seam flips on ulp-level angular noise
+    mismatch = (np.abs(np.asarray(img) - want).max(-1) > 1e-9).mean()
+    assert mismatch < 0.01
+
+
+def test_ellis_render_shows_both_universes(rng):
+    """Phenomenology: camera facing the wormhole sees a central lensed disk of
+    the negative universe inside an Einstein ring; no black pixels."""
+    cam = _camera([-1.0, 0.0, 0.0], res=(64, 36))
+    ellis = cv.make_metric("ellis", rho=1.0)
+    h, w = 16, 32
+    bg_pos = cv.make_spherical_image(
+        np.broadcast_to([1.0, 0.0, 0.0], (h, w, 3)), dtype=jnp.float64)
+    bg_neg = cv.make_spherical_image(
+        np.broadcast_to([0.0, 0.0, 1.0], (h, w, 3)), dtype=jnp.float64)
+    img = np.asarray(cv.render_direct(ellis, cam, bg_pos, bg_neg, dt=0.05,
+                                      max_steps=40_000, escape_radius=100.0,
+                                      backend="while"))
+    frac_neg = (img[..., 2] > 0.5).mean()
+    frac_black = (img.sum(-1) == 0).mean()
+    assert 0.005 < frac_neg < 0.3
+    assert frac_black < 0.01
+    # the negative-universe disk is centered
+    H, W = img.shape[:2]
+    assert img[H // 2, W // 2, 2] > 0.5
+
+
+def test_render_rows_are_image_rows(rng):
+    """Pixel indexing parity: out[y, x] colors pixel (x, y) of the camera
+    (systems.rs:513-514 linearization)."""
+    cam = _camera([1.0, 0.0, 0.0], res=(8, 4))
+    flat = cv.make_metric("flat")
+    bg = _bg(rng)
+    img = np.asarray(cv.render_direct(flat, cam, bg, bg, dt=0.05,
+                                      max_steps=50_000, escape_radius=100.0,
+                                      backend="while"))
+    assert img.shape == (4, 8, 3)
