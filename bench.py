@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: Ellis-wormhole direct render throughput on one chip.
+
+Config (BASELINE.json "Mrays/s/chip (Ellis 1024^2)"): Ellis rho=1, camera at
+l=5 facing the wormhole, default CurVis optics (diag 43 / f 15), forward-Euler
+dt=0.05, escape radius 100, max 40k steps — the reference's default simulation
+settings (settings/defaults/simulation_settings.toml) at 1024x1024.
+
+Baseline: the reference cannot be compiled here (no Rust toolchain), so the
+measured stand-in is native/refbench.cc — a -O3 C++ port of the reference's
+exact inner loop (f64, single thread, same camera/metric/stepper), measured at
+2.0e4 rays/s on this machine (see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_PROXY_RAYS_PER_S = 2.0e4   # native/refbench.cc, 1024 res, this host
+RES = 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+
+    metric = cv.EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.0, 0.0],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, RES, RES,
+                         dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    bgp = cv.make_spherical_image(rng.random((512, 1024, 3), dtype=np.float32))
+    bgn = cv.make_spherical_image(rng.random((512, 1024, 3), dtype=np.float32))
+
+    @jax.jit
+    def render(metric, cam, bgp, bgn):
+        return cv.render_direct(metric, cam, bgp, bgn, dt=0.05,
+                                max_steps=40_000, escape_radius=100.0,
+                                method="planar", planar_tile=65536,
+                                filtering="bilinear")
+
+    @jax.jit
+    def render_checksum(metric, cam, bgp, bgn):
+        # scalar data dependency on every pixel: forces the full render while
+        # keeping the host transfer out of the timed region (the dev tunnel
+        # to this chip moves ~12MB images slowly and block_until_ready
+        # returns at enqueue time, so timing uses a scalar fetch instead)
+        return jnp.mean(render(metric, cam, bgp, bgn))
+
+    # warmup/compile + correctness gate on the full image
+    img = np.asarray(render(metric, cam, bgp, bgn))
+    assert (img.sum(-1) > 0).mean() > 0.9, "render produced mostly black"
+    float(render_checksum(metric, cam, bgp, bgn))
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        float(render_checksum(metric, cam, bgp, bgn))
+        times.append(time.time() - t0)
+    secs = min(times)
+    mrays = RES * RES / secs / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip (Ellis 1024^2, Euler dt=0.05, 40k steps)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays * 1e6 / REFERENCE_PROXY_RAYS_PER_S, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

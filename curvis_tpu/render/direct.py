@@ -100,16 +100,53 @@ def render_direct(metric, camera: Camera, bg_positive: SphericalImage,
                   bg_negative: SphericalImage, *, dt, max_steps, escape_radius,
                   stepper="euler", backend="auto", filtering="nearest",
                   center_pixels=False, frame_convention="frame",
-                  compat_ff22_bug=False, differentiable=False):
-    """Render an (H, W, 3) image. Jit-compatible end to end."""
-    x0, p0 = spawn_pixel_photons(metric, camera, center_pixels=center_pixels,
-                                 frame_convention=frame_convention)
-    res = march(metric, x0, p0, dt=dt, max_steps=max_steps,
-                escape_radius=escape_radius, stepper=stepper, backend=backend,
-                differentiable=differentiable)
-    w = escape_world_directions(metric, res, frame_convention=frame_convention,
-                                compat_ff22_bug=compat_ff22_bug)
-    colors = shade(bg_positive, bg_negative, w, res.sign, filtering=filtering)
+                  compat_ff22_bug=False, differentiable=False,
+                  method="planar", planar_tile=None):
+    """Render an (H, W, 3) image. Jit-compatible end to end.
+
+    ``method``:
+      - 'planar'  : per-ray orbital-plane reduction (the TPU hot path —
+                    3-state march, no trig; see physics/planar.py).
+      - 'frame3d' : full 4-position/4-momentum march with frame-field
+                    embedding (cross-validation path; supports the
+                    reference-parity ``frame_convention`` / ``compat_ff22_bug``
+                    variants).
+    """
+    if method == "planar":
+        from curvis_tpu.physics import planar as pl
+        d_world = pixel_rays_world(camera, center_pixels=center_pixels)
+        rays = pl.spawn_planar(metric, camera.position, d_world)
+        if differentiable:
+            res = pl.march_planar_scan(metric, rays, dt=dt,
+                                       max_steps=max_steps,
+                                       escape_radius=escape_radius,
+                                       stepper=stepper)
+        elif planar_tile:
+            res = pl.march_planar_tiled(metric, rays, dt=dt,
+                                        max_steps=max_steps,
+                                        escape_radius=escape_radius,
+                                        stepper=stepper, tile=planar_tile)
+        else:
+            res = pl.march_planar_while(metric, rays, dt=dt,
+                                        max_steps=max_steps,
+                                        escape_radius=escape_radius,
+                                        stepper=stepper)
+        w = normalize(pl.planar_world_directions(metric, rays, res))
+        sign = res.sign
+    elif method == "frame3d":
+        x0, p0 = spawn_pixel_photons(metric, camera,
+                                     center_pixels=center_pixels,
+                                     frame_convention=frame_convention)
+        res = march(metric, x0, p0, dt=dt, max_steps=max_steps,
+                    escape_radius=escape_radius, stepper=stepper,
+                    backend=backend, differentiable=differentiable)
+        w = escape_world_directions(metric, res,
+                                    frame_convention=frame_convention,
+                                    compat_ff22_bug=compat_ff22_bug)
+        sign = res.sign
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    colors = shade(bg_positive, bg_negative, w, sign, filtering=filtering)
     # Bundle is row-major over (x, y): index = x * H + y (systems.rs:513-514).
     W, H = camera.resolution_x, camera.resolution_y
     return colors.reshape(W, H, 3).transpose(1, 0, 2)

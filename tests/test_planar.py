@@ -1,0 +1,109 @@
+"""Planar-reduction march: equivalence with the full 3-D system."""
+import jax.numpy as jnp
+import numpy as np
+
+import curvis_tpu as cv
+from curvis_tpu.camera.camera import pixel_rays_world
+from curvis_tpu.integrate.march import march
+from curvis_tpu.metrics.base import EllisMetric
+from curvis_tpu.physics import planar as pl
+from curvis_tpu.render.direct import (escape_world_directions,
+                                      spawn_pixel_photons)
+
+
+def _camera(forward, res=(32, 18)):
+    return cv.make_camera([0.0, 5.0, 1.2, 0.7], forward, [0.0, 0.0, 1.0],
+                          15.0, 43.0, res[0], res[1], dtype=jnp.float64)
+
+
+def test_planar_equals_frame3d_escape_directions():
+    """The per-ray orbital-plane reduction must reproduce the full 3-D
+    frame-field pipeline (same physics, different chart) — including for an
+    off-equatorial camera where the 3-D chart's poles are nearby."""
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = _camera([-1.0, -0.8, 0.3])
+    d_world = pixel_rays_world(cam)
+
+    rays = pl.spawn_planar(metric, cam.position, d_world)
+    res2d = pl.march_planar_while(metric, rays, dt=0.01, max_steps=100_000,
+                                  escape_radius=100.0, stepper="rk4")
+    w2d = np.array(pl.planar_world_directions(metric, rays, res2d))
+    w2d /= np.linalg.norm(w2d, axis=-1, keepdims=True)
+
+    x0, p0 = spawn_pixel_photons(metric, cam)
+    res3d = march(metric, x0, p0, dt=0.01, max_steps=100_000,
+                  escape_radius=100.0, backend="while", stepper="rk4")
+    w3d = np.asarray(escape_world_directions(metric, res3d))
+
+    assert np.array_equal(np.asarray(res2d.sign), np.asarray(res3d.sign))
+    dots = np.clip((w2d * w3d).sum(-1), -1, 1)
+    assert np.arccos(dots).max() < 1e-5
+
+
+def test_planar_euler_bit_equivalent_to_equatorial_3d():
+    """On the equatorial plane, the planar Euler step is the reference
+    stepper: identical l/p_l sequences step for step."""
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    alpha = 1.1
+    l0 = 5.0
+    # 3-D equatorial photon
+    x = jnp.array([0.0, l0, np.pi / 2, 0.0])
+    from curvis_tpu.physics import geodesic
+    p = geodesic.new_photon(metric, x, jnp.array([np.cos(alpha), 0.0,
+                                                  np.sin(alpha)]))
+    # planar photon
+    l = jnp.asarray(l0)
+    psi = jnp.asarray(0.0)
+    p_l = jnp.asarray(np.cos(alpha))
+    b = jnp.asarray(np.sin(alpha)) * metric.r(l)
+    for _ in range(200):
+        x, p = geodesic.euler_step(metric, x, p, 0.05)
+        l, psi, p_l = pl.planar_euler_step(metric, l, psi, p_l, b, 0.05)
+    assert float(x[1]) == float(l)          # bit-identical
+    assert float(p[1]) == float(p_l)
+    np.testing.assert_allclose(float(x[3]), float(psi), rtol=1e-15)
+
+
+def test_planar_render_matches_frame3d_render(rng):
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.0, 0.0],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 48, 27,
+                         dtype=jnp.float64)
+    bg_p = cv.make_spherical_image(rng.random((32, 64, 3)), dtype=jnp.float64)
+    bg_n = cv.make_spherical_image(rng.random((32, 64, 3)), dtype=jnp.float64)
+    kw = dict(dt=0.02, max_steps=100_000, escape_radius=100.0, stepper="rk4",
+              filtering="bilinear")
+    img_p = np.asarray(cv.render_direct(metric, cam, bg_p, bg_n,
+                                        method="planar", **kw))
+    img_f = np.asarray(cv.render_direct(metric, cam, bg_p, bg_n,
+                                        method="frame3d", backend="while", **kw))
+    assert np.abs(img_p - img_f).max() < 1e-4
+
+
+def test_radial_rays_stay_radial():
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    x4 = jnp.array([0.0, 5.0, 1.0, 2.0])
+    r_hat = np.asarray(
+        cv.render_direct.__globals__["frame_matrix"](x4[2], x4[3]))[:, 0]
+    rays = pl.spawn_planar(metric, x4, jnp.asarray(r_hat)[None])
+    res = pl.march_planar_while(metric, rays, dt=0.05, max_steps=40_000,
+                                escape_radius=100.0)
+    assert int(res.sign[0]) == 1
+    w = np.asarray(pl.planar_world_directions(metric, rays, res))[0]
+    np.testing.assert_allclose(w / np.linalg.norm(w), r_hat, atol=1e-9)
+
+
+def test_tiled_march_equals_while_march(rng):
+    """Tiled (sorted, lax.map of while_loops) march is a pure reordering —
+    results must be identical to the global while march."""
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = _camera([-1.0, 0.2, 0.1], res=(40, 20))
+    d_world = pixel_rays_world(cam)
+    rays = pl.spawn_planar(metric, cam.position, d_world)
+    kw = dict(dt=0.05, max_steps=40_000, escape_radius=100.0)
+    a = pl.march_planar_while(metric, rays, **kw)
+    c = pl.march_planar_tiled(metric, rays, tile=128, **kw)
+    np.testing.assert_array_equal(np.asarray(a.sign), np.asarray(c.sign))
+    np.testing.assert_array_equal(np.asarray(a.steps), np.asarray(c.steps))
+    np.testing.assert_allclose(np.asarray(a.l), np.asarray(c.l), rtol=0)
+    np.testing.assert_allclose(np.asarray(a.psi), np.asarray(c.psi), rtol=0)
