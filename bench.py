@@ -36,12 +36,14 @@ def main():
     bgp = cv.make_spherical_image(rng.random((512, 1024, 3), dtype=np.float32))
     bgn = cv.make_spherical_image(rng.random((512, 1024, 3), dtype=np.float32))
 
+    from curvis_tpu.render.fast import render_planar_fast
+
     @jax.jit
     def render(metric, cam, bgp, bgn):
-        return cv.render_direct(metric, cam, bgp, bgn, dt=0.05,
-                                max_steps=40_000, escape_radius=100.0,
-                                method="planar", planar_tile=65536,
-                                filtering="bilinear")
+        # nearest filtering = the reference's lookup semantics (images.rs:115)
+        return render_planar_fast(metric, cam, bgp, bgn, dt=0.05,
+                                  max_steps=40_000, escape_radius=100.0,
+                                  filtering="nearest")
 
     @jax.jit
     def render_checksum(metric, cam, bgp, bgn):

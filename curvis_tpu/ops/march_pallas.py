@@ -1,8 +1,233 @@
-"""Pallas TPU ray-march kernel (placeholder — implemented in a later
-milestone; `march(backend='auto')` falls back to the XLA while-loop)."""
+"""Pallas TPU kernel for the planar ray march — the production hot loop.
+
+The whole render cost lives in the geodesic step loop (SURVEY.md section 3.1:
+the innermost hot loop is `update_relativistic_object`, metrics.rs:283-297).
+This kernel runs the reduced planar system (physics/planar.py)
+
+    dl = p_l;  dpsi = b / r^2;  dp_l = b^2 r'(l) / r^3
+
+entirely in VMEM/vector registers: a 1-D grid of ray tiles, each program
+looping with a `lax.while_loop` that exits as soon as *its* tile has fully
+escaped.  Ray state never touches HBM between steps (vs the XLA while-loop
+path, which streams the carry), and escape-check semantics are exactly the
+reference's (masked per-step, post-step strict |l| > R test,
+systems.rs:126-135), so results are bit-comparable with the scan/while
+backends for the Euler stepper.
+
+Runtime parameters (dt, escape radius, metric params) are passed through SMEM
+so retuning them does not recompile; tile geometry / max_steps / unroll are
+compile-time.
+"""
 from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from curvis_tpu.metrics.base import (EllisMetric, FlatSphericalMetric,
+                                     InterstellarMetric, Metric)
+from curvis_tpu.physics.planar import PlanarRays, PlanarResult
+
+LANES = 128
+
+
+def _shape_fns(kind: str):
+    """Inlined (r2, r_deriv_over_r3) for each metric family.
+
+    Returns f(params, l) -> (r2, dr_over_r3) where dr_over_r3 = r'(l)/r(l)^3,
+    the only combination the planar RHS needs.  params is a (1, 8) SMEM row.
+    """
+    if kind == "ellis":
+        def fns(pr, l):
+            rho = pr[0, 2]
+            r2 = rho * rho + l * l
+            inv = 1.0 / r2
+            # r' / r^3 = (l / r) / r^3 = l / r2^2
+            return inv, l * inv * inv
+        return fns
+    if kind == "flat":
+        def fns(pr, l):
+            r2 = l * l
+            inv = 1.0 / r2
+            r = jnp.sqrt(r2)
+            return inv, inv / r                 # r' = 1 -> r'/r^3 = 1/r^3
+        return fns
+    if kind == "interstellar":
+        def fns(pr, l):
+            m, a, rho = pr[0, 2], pr[0, 3], pr[0, 4]
+            al = jnp.abs(l)
+            x = 2.0 * (al - a) / (jnp.pi * m)
+            atx = jnp.arctan(x)
+            r_out = rho + m * (x * atx - 0.5 * jnp.log1p(x * x))
+            outside = al > a
+            r = jnp.where(outside, r_out, rho)
+            dr = jnp.where(outside, (2.0 / jnp.pi) * jnp.sign(l) * atx, 0.0)
+            r2 = r * r
+            inv = 1.0 / r2
+            return inv, dr * inv / r
+        return fns
+    raise NotImplementedError(f"pallas march: unsupported metric kind {kind!r}")
+
+
+def _metric_kind_and_params(metric: Metric, dt, escape_radius, dtype):
+    """(kind, (1,8) SMEM param row): [dt, R, metric params..., 0 pad].
+    Built with jnp so traced metric parameters stay traced (no recompiles
+    when retuning dt / R / rho under jit)."""
+    def row(vals):
+        vals = [jnp.asarray(v, dtype=dtype) for v in vals]
+        vals += [jnp.zeros((), dtype=dtype)] * (8 - len(vals))
+        return jnp.stack(vals).reshape(1, 8)
+    if isinstance(metric, EllisMetric):
+        return "ellis", row([dt, escape_radius, metric.rho])
+    if isinstance(metric, InterstellarMetric):
+        return "interstellar", row([dt, escape_radius, metric.m, metric.a,
+                                    metric.rho])
+    if isinstance(metric, FlatSphericalMetric):
+        return "flat", row([dt, escape_radius])
+    raise NotImplementedError(
+        f"pallas march: unsupported metric {type(metric).__name__}")
+
+
+def _march_kernel(kind: str, max_steps: int, unroll: int,
+                  params_ref, l_ref, psi_ref, pl_ref, b_ref,
+                  ol_ref, opsi_ref, opl_ref, osign_ref, osteps_ref):
+    """Lean masked Euler march.
+
+    Frozen rays are masked *arithmetically* (per-ray effective dt of 0) —
+    x += 0 * dx is exact for finite values, so frozen state is untouched
+    without select chains.  The escape sign is accumulated as a float
+    (sign += alive * ((l > R) - (l < -R))), which latches at +-1 on the first
+    crossing and zeroes `alive` from the next sub-step on.  ~13 VPU ops per
+    ray-step vs ~25 for the select-based formulation.  ``max_steps`` must be
+    a multiple of ``unroll`` (enforced by the wrapper) so the iteration cap
+    is exact.
+    """
+    shape = _shape_fns(kind)
+    dt = params_ref[0, 0]
+    R = params_ref[0, 1]
+
+    l = l_ref[:]
+    psi = psi_ref[:]
+    p_l = pl_ref[:]
+    b = b_ref[:]
+    b2 = b * b
+    one = jnp.ones_like(l)
+    zero = jnp.zeros_like(l)
+    sign = jnp.zeros_like(l)
+    steps = jnp.zeros_like(l)
+
+    def cond(c):
+        _, _, _, sign, _, it = c
+        return (it < max_steps) & jnp.any(sign == 0.0)
+
+    def body(c):
+        l, psi, p_l, sign, steps, it = c
+        for _ in range(unroll):
+            alive = jnp.where(sign == 0.0, one, zero)
+            dte = dt * alive
+            inv, dr_r3 = shape(params_ref, l)
+            l = l + dte * p_l
+            psi = psi + dte * (b * inv)
+            p_l = p_l + dte * (b2 * dr_r3)
+            sign = sign + alive * (jnp.where(l > R, one, zero)
+                                   - jnp.where(l < -R, one, zero))
+            steps = steps + alive
+        return l, psi, p_l, sign, steps, it + unroll
+
+    l, psi, p_l, sign, steps, _ = lax.while_loop(
+        cond, body, (l, psi, p_l, sign, steps, jnp.int32(0)))
+
+    ol_ref[:] = l
+    opsi_ref[:] = psi
+    opl_ref[:] = p_l
+    osign_ref[:] = sign.astype(jnp.int32)
+    osteps_ref[:] = steps.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "max_steps", "tile_rows",
+                                             "unroll", "interpret"))
+def _march_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, tile_rows,
+                       unroll, interpret=False):
+    """l/psi/p_l/b are (n_rows, 128); grid tiles rows by ``tile_rows``."""
+    n_rows = l.shape[0]
+    grid = (n_rows // tile_rows,)
+    dtype = l.dtype
+
+    def row_spec():
+        return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_march_kernel, kind, max_steps, unroll)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows, LANES), dtype),       # l
+        jax.ShapeDtypeStruct((n_rows, LANES), dtype),       # psi
+        jax.ShapeDtypeStruct((n_rows, LANES), dtype),       # p_l
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),   # sign
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),   # steps
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            row_spec(), row_spec(), row_spec(), row_spec(),
+        ],
+        out_specs=[row_spec()] * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, l, psi, p_l, b)
+
+
+def march_planar_pallas(metric: Metric, rays: PlanarRays, *, dt, max_steps,
+                        escape_radius, stepper="euler", tile_rows=64,
+                        unroll=8, sort=True, interpret=False) -> PlanarResult:
+    """Pallas planar march with the same contract as march_planar_tiled."""
+    if stepper != "euler":
+        raise NotImplementedError("pallas march currently implements the "
+                                  "(reference-parity) Euler stepper")
+    if max_steps % unroll:
+        max_steps = max_steps + (unroll - max_steps % unroll)  # exact cap
+    kind, params = _metric_kind_and_params(metric, dt, escape_radius,
+                                           rays.l.dtype)
+
+    n = rays.l.reshape(-1).shape[0]
+    block = tile_rows * LANES
+    n_pad = -(-n // block) * block
+
+    def pad(a):
+        a = a.reshape(-1)
+        return jnp.concatenate([a, jnp.full((n_pad - n,), a[0], a.dtype)])
+
+    l, psi, p_l, b = (pad(rays.l), pad(rays.psi), pad(rays.p_l), pad(rays.b))
+    if sort:
+        key = jnp.where(p_l < 0, 100.0 + b, b)
+        order = jnp.argsort(key)
+        inv_order = jnp.argsort(order)
+        l, psi, p_l, b = (a[order] for a in (l, psi, p_l, b))
+
+    shape2 = (n_pad // LANES, LANES)
+    outs = _march_flat_arrays(kind, params,
+                              l.reshape(shape2), psi.reshape(shape2),
+                              p_l.reshape(shape2), b.reshape(shape2),
+                              max_steps=max_steps, tile_rows=tile_rows,
+                              unroll=unroll, interpret=interpret)
+    l, psi, p_l, sign, steps = (a.reshape(-1) for a in outs)
+    if sort:
+        l, psi, p_l, sign, steps = (a[inv_order]
+                                    for a in (l, psi, p_l, sign, steps))
+    out_shape = rays.l.shape
+    return PlanarResult(l[:n].reshape(out_shape), psi[:n].reshape(out_shape),
+                        p_l[:n].reshape(out_shape),
+                        sign[:n].reshape(out_shape),
+                        steps[:n].reshape(out_shape))
 
 
 def march_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
                  stepper="euler"):
-    raise NotImplementedError("pallas march kernel not yet implemented")
+    """4-state API shim — the pallas path is planar-only; callers use
+    march_planar_pallas via render_direct(method='planar')."""
+    raise NotImplementedError("use march_planar_pallas (planar reduction)")

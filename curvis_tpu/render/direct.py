@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from curvis_tpu.camera.camera import Camera, pixel_rays_world
 from curvis_tpu.env.spherical_image import SphericalImage, sample
 from curvis_tpu.geometry.rotations import frame_matrix, normalize, rotation_between
-from curvis_tpu.integrate.march import march
+from curvis_tpu.integrate.march import _on_tpu, march
 from curvis_tpu.physics import geodesic
 from curvis_tpu.physics.geodesic import TH, PH
 
@@ -116,21 +116,21 @@ def render_direct(metric, camera: Camera, bg_positive: SphericalImage,
         from curvis_tpu.physics import planar as pl
         d_world = pixel_rays_world(camera, center_pixels=center_pixels)
         rays = pl.spawn_planar(metric, camera.position, d_world)
-        if differentiable:
-            res = pl.march_planar_scan(metric, rays, dt=dt,
-                                       max_steps=max_steps,
-                                       escape_radius=escape_radius,
-                                       stepper=stepper)
-        elif planar_tile:
-            res = pl.march_planar_tiled(metric, rays, dt=dt,
-                                        max_steps=max_steps,
-                                        escape_radius=escape_radius,
-                                        stepper=stepper, tile=planar_tile)
+        kw = dict(dt=dt, max_steps=max_steps, escape_radius=escape_radius,
+                  stepper=stepper)
+        if differentiable or backend == "scan":
+            res = pl.march_planar_scan(metric, rays, **kw)
+        elif backend == "pallas" or (backend == "auto" and _on_tpu()
+                                     and stepper == "euler"):
+            from curvis_tpu.ops.march_pallas import march_planar_pallas
+            # camera pixel order is already cost-coherent per tile; skip the
+            # argsort (it costs more than the waste it removes — measured)
+            res = march_planar_pallas(metric, rays, sort=False, **kw)
+        elif backend == "tiled" or planar_tile:
+            res = pl.march_planar_tiled(metric, rays,
+                                        tile=planar_tile or 65536, **kw)
         else:
-            res = pl.march_planar_while(metric, rays, dt=dt,
-                                        max_steps=max_steps,
-                                        escape_radius=escape_radius,
-                                        stepper=stepper)
+            res = pl.march_planar_while(metric, rays, **kw)
         w = normalize(pl.planar_world_directions(metric, rays, res))
         sign = res.sign
     elif method == "frame3d":

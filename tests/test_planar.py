@@ -107,3 +107,57 @@ def test_tiled_march_equals_while_march(rng):
     np.testing.assert_array_equal(np.asarray(a.steps), np.asarray(c.steps))
     np.testing.assert_allclose(np.asarray(a.l), np.asarray(c.l), rtol=0)
     np.testing.assert_allclose(np.asarray(a.psi), np.asarray(c.psi), rtol=0)
+
+
+def test_fast_soa_renderer_matches_direct(rng):
+    """The SoA fast path must equal the readable path in f64 (on CPU there is
+    no f32 chaos amplification; nearest-texel results are identical away from
+    exact texel boundaries)."""
+    from curvis_tpu.render.fast import render_planar_fast
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.2, 0.1],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 48, 27,
+                         dtype=jnp.float64)
+    bg_p = cv.make_spherical_image(rng.random((32, 64, 3)), dtype=jnp.float64)
+    bg_n = cv.make_spherical_image(rng.random((32, 64, 3)), dtype=jnp.float64)
+    kw = dict(dt=0.05, max_steps=40_000, escape_radius=100.0)
+    a = np.asarray(cv.render_direct(metric, cam, bg_p, bg_n, method="planar",
+                                    filtering="bilinear", **kw))
+    b = np.asarray(render_planar_fast(metric, cam, bg_p, bg_n,
+                                      backend="tiled", filtering="bilinear",
+                                      **kw))
+    assert np.abs(a - b).max() < 1e-9
+
+
+def test_fast_soa_renderer_different_bg_shapes(rng):
+    """Fallback path when the two backgrounds differ in resolution."""
+    from curvis_tpu.render.fast import render_planar_fast
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.0, 0.0],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 32, 18,
+                         dtype=jnp.float64)
+    bg_p = cv.make_spherical_image(rng.random((32, 64, 3)), dtype=jnp.float64)
+    bg_n = cv.make_spherical_image(rng.random((16, 32, 3)), dtype=jnp.float64)
+    kw = dict(dt=0.05, max_steps=40_000, escape_radius=100.0)
+    a = np.asarray(cv.render_direct(metric, cam, bg_p, bg_n, method="planar",
+                                    filtering="nearest", **kw))
+    b = np.asarray(render_planar_fast(metric, cam, bg_p, bg_n,
+                                      backend="tiled", filtering="nearest",
+                                      **kw))
+    assert (np.abs(a - b).max(-1) > 1e-9).mean() < 0.01
+
+
+def test_pallas_kernel_interpret_mode_matches_while():
+    """The Pallas kernel semantics, validated on CPU via interpret mode."""
+    from curvis_tpu.ops.march_pallas import march_planar_pallas
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = _camera([-1.0, 0.0, 0.0], res=(16, 8))
+    rays = pl.spawn_planar(metric, cam.position, pixel_rays_world(cam))
+    rays = pl.PlanarRays(*(a.astype(jnp.float32) if a.dtype == jnp.float64
+                           else a for a in rays))
+    kw = dict(dt=0.05, max_steps=4000, escape_radius=30.0)
+    a = pl.march_planar_while(metric, rays, **kw)
+    b = march_planar_pallas(metric, rays, interpret=True, sort=False,
+                            tile_rows=8, **kw)
+    np.testing.assert_array_equal(np.asarray(a.sign), np.asarray(b.sign))
+    assert np.abs(np.asarray(a.psi) - np.asarray(b.psi)).max() < 1e-5
