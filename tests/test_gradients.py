@@ -1,0 +1,132 @@
+"""Differentiable rendering: gradients vs finite differences + inverse
+rendering (the axis the Rust reference does not have — BASELINE config #3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import curvis_tpu as cv
+from curvis_tpu.metrics.base import EllisMetric
+
+
+KW = dict(dt=0.05, max_steps=2000, escape_radius=20.0)
+
+
+def _scene(rng, res=(24, 16)):
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.35, 0.2],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, res[0], res[1],
+                         dtype=jnp.float64)
+    h, w = 32, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5,
+                       yy / h, 0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+    bg_p = cv.make_spherical_image(smooth, dtype=jnp.float64)
+    bg_n = cv.make_spherical_image(smooth[::-1].copy(), dtype=jnp.float64)
+    return cam, bg_p, bg_n
+
+
+def _loss_fn(cam, bg_p, bg_n):
+    def loss(rho, position):
+        metric = EllisMetric(rho=rho)
+        camera = jax.tree_util.tree_map(lambda x: x, cam)
+        camera = cv.Camera(position=position, forward=cam.forward, up=cam.up,
+                           focal_length=cam.focal_length,
+                           sensor_diagonal=cam.sensor_diagonal,
+                           resolution_x=cam.resolution_x,
+                           resolution_y=cam.resolution_y)
+        img = cv.render_direct(metric, camera, bg_p, bg_n, method="planar",
+                               filtering="bilinear", differentiable=True,
+                               **KW)
+        # weighted mean keeps the loss sensitive to geometry, not just color
+        w = jnp.linspace(0.5, 1.5, img.shape[0])[:, None, None]
+        return jnp.mean(img * w)
+    return loss
+
+
+def test_grad_rho_matches_finite_differences(rng):
+    cam, bg_p, bg_n = _scene(rng)
+    loss = _loss_fn(cam, bg_p, bg_n)
+    pos = cam.position
+    rho0 = jnp.asarray(1.0)
+    g = jax.grad(loss, argnums=0)(rho0, pos)
+    eps = 1e-5
+    fd = (loss(rho0 + eps, pos) - loss(rho0 - eps, pos)) / (2 * eps)
+    assert np.isfinite(float(g))
+    assert abs(float(g)) > 1e-7          # genuinely nonzero
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-3)
+
+
+def test_grad_camera_position_matches_finite_differences(rng):
+    cam, bg_p, bg_n = _scene(rng)
+    loss = _loss_fn(cam, bg_p, bg_n)
+    rho0 = jnp.asarray(1.0)
+    g = jax.grad(loss, argnums=1)(rho0, cam.position)
+    # radial coordinate l (index 1) and phi (index 3)
+    for idx in (1, 3):
+        eps = 1e-5
+        dp = jnp.zeros(4).at[idx].set(eps)
+        fd = (loss(rho0, cam.position + dp)
+              - loss(rho0, cam.position - dp)) / (2 * eps)
+        assert np.isfinite(float(g[idx]))
+        # FD picks up O(dt) jumps when a ray's discrete escape step flips
+        # under the perturbation; AD differentiates the piecewise branch.
+        # ~2% agreement is the expected envelope at dt=0.05.
+        np.testing.assert_allclose(float(g[idx]), float(fd), rtol=3e-2,
+                                   atol=1e-9)
+
+
+def test_inverse_rendering_recovers_rho(rng):
+    """Flagship differentiability demo: recover the throat radius from a
+    target image by gradient descent.
+
+    Uses a weak-deflection viewpoint (camera looking away from the throat):
+    rays that cross the throat make the loss landscape fractally rough (the
+    deflection map is chaotic there), trapping descent in micro-minima even
+    though the AD gradient is exact — outward rays bend smoothly with rho.
+    """
+    _, bg_p, bg_n = _scene(rng)
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [1.0, 0.6, 0.3],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 32, 20,
+                         dtype=jnp.float64)
+
+    def render(rho):
+        return cv.render_direct(EllisMetric(rho=rho), cam, bg_p, bg_n,
+                                method="planar", filtering="bilinear",
+                                differentiable=True, **KW)
+
+    rho_true = jnp.asarray(1.6)
+    target = render(rho_true)
+    value_and_grad = jax.jit(jax.value_and_grad(
+        lambda r: jnp.mean((render(r) - target) ** 2)))
+
+    rho = jnp.asarray(1.0)
+    loss0 = None
+    for i in range(60):
+        loss, g = value_and_grad(rho)
+        if loss0 is None:
+            loss0 = float(loss)
+        # normalized step with cap: robust to the tiny loss scale
+        rho = rho - jnp.clip(2e4 * g, -0.05, 0.05)
+    assert abs(float(rho) - 1.6) < 0.05, float(rho)
+    assert float(value_and_grad(rho)[0]) < 0.05 * loss0
+
+
+def test_grad_through_dneg_params(rng):
+    cam, bg_p, bg_n = _scene(rng)
+
+    def loss(m, a, rho):
+        metric = cv.make_metric("interstellar", m=1.0, a=1.0, rho=1.0)
+        metric = type(metric)(m=m, a=a, rho=rho)
+        img = cv.render_direct(metric, cam, bg_p, bg_n, method="planar",
+                               filtering="bilinear", differentiable=True,
+                               **KW)
+        return jnp.mean(img)
+
+    g = jax.grad(loss, argnums=(0, 2))(jnp.asarray(0.5), jnp.asarray(0.01),
+                                       jnp.asarray(1.0))
+    assert all(np.isfinite(float(x)) for x in g)
+    eps = 1e-5
+    fd = (loss(jnp.asarray(0.5 + eps), jnp.asarray(0.01), jnp.asarray(1.0))
+          - loss(jnp.asarray(0.5 - eps), jnp.asarray(0.01),
+                 jnp.asarray(1.0))) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-2, atol=1e-10)

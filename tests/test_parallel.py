@@ -1,0 +1,83 @@
+"""Multi-device sharding on the 8-virtual-CPU mesh (SURVEY.md section 4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import curvis_tpu as cv
+from curvis_tpu.metrics.base import EllisMetric
+from curvis_tpu.parallel.mesh import make_mesh
+from curvis_tpu.parallel.sharded import (make_train_step,
+                                         render_direct_sharded)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+KW = dict(dt=0.05, max_steps=2000, escape_radius=20.0)
+
+
+def _scene(rng, res=(40, 22)):
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.3, 0.1],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, res[0], res[1],
+                         dtype=jnp.float64)
+    bg_p = cv.make_spherical_image(rng.random((16, 32, 3)), dtype=jnp.float64)
+    bg_n = cv.make_spherical_image(rng.random((16, 32, 3)), dtype=jnp.float64)
+    return metric, cam, bg_p, bg_n
+
+
+def test_sharded_render_equals_single_device(rng):
+    metric, cam, bg_p, bg_n = _scene(rng)
+    mesh = make_mesh(8)
+    img_sharded = np.asarray(jax.jit(
+        lambda m, c, bp, bn: render_direct_sharded(m, c, bp, bn, mesh, **KW)
+    )(metric, cam, bg_p, bg_n))
+    img_single = np.asarray(cv.render_direct(metric, cam, bg_p, bg_n,
+                                             method="planar",
+                                             filtering="nearest", **KW))
+    np.testing.assert_allclose(img_sharded, img_single, atol=1e-12)
+
+
+def test_sharded_render_odd_ray_count(rng):
+    """Ray counts not divisible by the mesh size are padded correctly."""
+    metric, cam, bg_p, bg_n = _scene(rng, res=(37, 19))   # 703 rays, 703 % 8 != 0
+    mesh = make_mesh(8)
+    img = np.asarray(jax.jit(
+        lambda m, c, bp, bn: render_direct_sharded(m, c, bp, bn, mesh, **KW)
+    )(metric, cam, bg_p, bg_n))
+    assert img.shape == (19, 37, 3)
+    img_single = np.asarray(cv.render_direct(metric, cam, bg_p, bg_n,
+                                             method="planar",
+                                             filtering="nearest", **KW))
+    np.testing.assert_allclose(img, img_single, atol=1e-12)
+
+
+def test_train_step_grads_match_unsharded(rng):
+    """The sharded training step's psum'd gradients equal single-device
+    gradients."""
+    metric, cam, bg_p, bg_n = _scene(rng, res=(24, 16))
+    target = jnp.zeros((16, 24, 3), dtype=jnp.float64)
+    mesh8 = make_mesh(8)
+    mesh1 = make_mesh(1)
+    lr = 1e-2
+    step8 = jax.jit(make_train_step(mesh8, lr=lr, **KW))
+    step1 = jax.jit(make_train_step(mesh1, lr=lr, **KW))
+    m8, c8, l8 = step8(metric, cam, bg_p, bg_n, target)
+    m1, c1, l1 = step1(metric, cam, bg_p, bg_n, target)
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-12)
+    np.testing.assert_allclose(float(m8.rho), float(m1.rho), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(c8.position),
+                               np.asarray(c1.position), rtol=1e-10)
+    # parameters actually moved
+    assert float(m8.rho) != 1.0
+
+
+def test_mesh_utilities():
+    from curvis_tpu.parallel.mesh import pad_to_multiple
+    a = jnp.arange(10)
+    padded, n = pad_to_multiple(a, 8)
+    assert padded.shape[0] == 16 and n == 10
+    padded, n = pad_to_multiple(a, 5)
+    assert padded.shape[0] == 10 and n == 10
+    with pytest.raises(ValueError):
+        make_mesh(999)
