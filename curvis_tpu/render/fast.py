@@ -136,6 +136,8 @@ def render_planar_fast(metric: Metric, camera: Camera,
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() and stepper == "euler") else "tiled"
+    if stepper == "rk45":
+        backend = "rk45"
     dx, dy, dz = _pixel_dirs_soa(camera, center_pixels)
     (l, psi, p_l, b), (rx, ry, rz), (e2x, e2y, e2z) = _spawn_planar_soa(
         metric, camera, dx, dy, dz)
@@ -147,6 +149,10 @@ def render_planar_fast(metric: Metric, camera: Camera,
         res = march_planar_pallas(metric, rays, dt=dt, max_steps=max_steps,
                                   escape_radius=escape_radius, sort=False,
                                   stepper=stepper)
+    elif backend == "rk45":
+        from curvis_tpu.integrate.rk45 import march_planar_rk45
+        res = march_planar_rk45(metric, rays, escape_radius=escape_radius,
+                                dt0=dt, max_steps=max_steps)
     else:
         res = pl.march_planar_tiled(metric, rays, dt=dt, max_steps=max_steps,
                                     escape_radius=escape_radius,
