@@ -162,6 +162,39 @@ def rotation_from_theta_phi(theta, phi):
     return rz @ ry
 
 
+class Orientation:
+    """Forward/up orientation with cached rotation + inverse
+    (algebra.rs:8-56).  A thin convenience wrapper over
+    rotation_from_forward_up for the scripting API; hot paths use the
+    functions directly."""
+
+    def __init__(self, forward, up):
+        import jax.numpy as _jnp
+        forward = _jnp.asarray(forward)
+        up = _jnp.asarray(up)
+        if float(_norm(_jnp.cross(forward, up), keepdims=False)) == 0.0:
+            raise ValueError("Forward and up vectors must not be parallel")
+        self._forward = forward
+        self._up = orthogonal_up(forward, up)
+        self._rotation = rotation_from_forward_up(forward, up)
+
+    @property
+    def forward(self):
+        return self._forward
+
+    @property
+    def up(self):
+        return self._up
+
+    @property
+    def rotation_matrix(self):
+        return self._rotation
+
+    @property
+    def inverse_rotation_matrix(self):
+        return self._rotation.T
+
+
 def frame_matrix(theta, phi):
     """Orthonormal coordinate frame [r_hat, theta_hat, phi_hat] as columns.
 

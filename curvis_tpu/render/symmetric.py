@@ -125,9 +125,11 @@ def sample_deflection_function(metric: Metric, l0, *, dt, max_steps,
         return (np.concatenate(es).astype(np.float64),
                 np.concatenate(ss).astype(np.float64))
 
-    return doubly_sample_function(ALPHA_MIN, ALPHA_MAX, alpha_nums,
-                                  max_iterations_sampling, threshold_1,
-                                  threshold_2, batch)
+    from curvis_tpu import native
+    sampler = (native.doubly_sample_native if native.available()
+               else doubly_sample_function)
+    return sampler(ALPHA_MIN, ALPHA_MAX, alpha_nums,
+                   max_iterations_sampling, threshold_1, threshold_2, batch)
 
 
 def render_symmetric(metric: Metric, camera: Camera,
