@@ -121,6 +121,47 @@ def _shade_soa(img: SphericalImage, wx, wy, wz, filtering):
     return _filter_lookup(rows, zero, u, v, img.width, img.height, filtering)
 
 
+def render_frames_batched(metric: Metric, cameras, bg_positive: SphericalImage,
+                          bg_negative: SphericalImage, *, dt, max_steps,
+                          escape_radius, filtering="nearest", backend="auto",
+                          center_pixels=False, stepper="euler"):
+    """Render several camera poses in ONE device call -> (F, H, W, 3).
+
+    The frame axis is the natural second batch axis of this workload
+    (SURVEY.md section 2): all frames' rays concatenate into a single march
+    bundle, amortizing dispatch/compile and letting cheap frames subsidize
+    expensive ones inside the same kernel tiles.  All cameras must share a
+    resolution.
+    """
+    cams = list(cameras)
+    W, H = cams[0].resolution_x, cams[0].resolution_y
+    if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
+        raise ValueError("all cameras in a batch must share a resolution")
+    per = []
+    for cam in cams:
+        dx, dy, dz = _pixel_dirs_soa(cam, center_pixels)
+        state, r_hat, e2 = _spawn_planar_soa(metric, cam, dx, dy, dz)
+        per.append((state, r_hat, e2))
+    n = W * H
+    l = jnp.concatenate([p[0][0] for p in per])
+    psi = jnp.concatenate([p[0][1] for p in per])
+    p_l = jnp.concatenate([p[0][2] for p in per])
+    b = jnp.concatenate([p[0][3] for p in per])
+    # per-frame scalar bases broadcast to their ray ranges
+    def chain(idx, comp):
+        return jnp.concatenate([
+            jnp.broadcast_to(p[idx][comp], (n,)) for p in per])
+    rx, ry, rz = chain(1, 0), chain(1, 1), chain(1, 2)
+    e2x, e2y, e2z = chain(2, 0), chain(2, 1), chain(2, 2)
+    img = _finish_render(metric, cams[0], bg_positive, bg_negative,
+                         (l, psi, p_l, b), (rx, ry, rz), (e2x, e2y, e2z),
+                         dt=dt, max_steps=max_steps,
+                         escape_radius=escape_radius, filtering=filtering,
+                         backend=backend, stepper=stepper,
+                         n_frames=len(cams))
+    return img
+
+
 def render_planar_fast(metric: Metric, camera: Camera,
                        bg_positive: SphericalImage,
                        bg_negative: SphericalImage, *, dt, max_steps,
@@ -136,11 +177,27 @@ def render_planar_fast(metric: Metric, camera: Camera,
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() and stepper == "euler") else "tiled"
+    dx, dy, dz = _pixel_dirs_soa(camera, center_pixels)
+    state, r_hat, e2 = _spawn_planar_soa(metric, camera, dx, dy, dz)
+    return _finish_render(metric, camera, bg_positive, bg_negative, state,
+                          r_hat, e2, dt=dt, max_steps=max_steps,
+                          escape_radius=escape_radius, filtering=filtering,
+                          backend=backend, stepper=stepper, n_frames=1)
+
+
+def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
+                   e2, *, dt, max_steps, escape_radius, filtering, backend,
+                   stepper, n_frames):
+    """March + readout + shade + image assembly.  ``r_hat``/``e2`` components
+    may be scalars (single frame) or (N,) arrays (frame batches)."""
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if (_on_tpu() and stepper == "euler") else "tiled"
     if stepper == "rk45":
         backend = "rk45"
-    dx, dy, dz = _pixel_dirs_soa(camera, center_pixels)
-    (l, psi, p_l, b), (rx, ry, rz), (e2x, e2y, e2z) = _spawn_planar_soa(
-        metric, camera, dx, dy, dz)
+    l, psi, p_l, b = state
+    rx, ry, rz = r_hat
+    e2x, e2y, e2z = e2
     rays = pl.PlanarRays(l=l, psi=psi, p_l=p_l, b=b,
                          r_hat=jnp.zeros((1, 3), l.dtype),
                          e2=jnp.zeros((1, 3), l.dtype))
@@ -184,4 +241,6 @@ def render_planar_fast(metric: Metric, camera: Camera,
         colors = jnp.where(s > 0, pos_rgb, neg_rgb)
     colors = jnp.where((sign != 0)[:, None], colors, jnp.zeros_like(colors))
     W, H = camera.resolution_x, camera.resolution_y
-    return colors.reshape(W, H, 3).transpose(1, 0, 2)
+    if n_frames == 1:
+        return colors.reshape(W, H, 3).transpose(1, 0, 2)
+    return colors.reshape(n_frames, W, H, 3).transpose(0, 2, 1, 3)

@@ -47,7 +47,8 @@ def render_video_frames(metric: Metric, path: CameraPath,
                         sampling_convergence_threshold_1=1e-5,
                         sampling_convergence_threshold_2=1e-5,
                         seam="exact", resume=True, clean=False,
-                        dtype=jnp.float32, progress=True):
+                        dtype=jnp.float32, progress=True,
+                        frames_per_batch=1):
     """Render every frame of the camera path into <output_folder>/tmp/.
 
     Returns the list of frame file paths.  ``resume=True`` skips frames whose
@@ -74,6 +75,12 @@ def render_video_frames(metric: Metric, path: CameraPath,
 
     log.info("rendering %d frames at %s fps -> %s", len(times), frame_rate,
              tmp)
+    if renderer == "direct" and frames_per_batch > 1:
+        return _render_frames_device_batched(
+            metric, path, bg_positive, bg_negative, times, tmp, manifest,
+            manifest_path, frames_per_batch, resolution, focal_length,
+            sensor_diagonal, dt, max_steps, escape_radius, filtering, resume,
+            dtype, progress)
     for i, t in enumerate(times):
         frame_path = tmp / f"frame_{i}.png"
         frames.append(frame_path)
@@ -108,4 +115,47 @@ def render_video_frames(metric: Metric, path: CameraPath,
         if progress:
             log.info("frame %d/%d (t=%.3f) in %.2fs", i + 1, len(times),
                      t, time.time() - t0)
+    return frames
+
+
+def _render_frames_device_batched(metric, path, bg_positive, bg_negative,
+                                  times, tmp, manifest, manifest_path,
+                                  frames_per_batch, resolution, focal_length,
+                                  sensor_diagonal, dt, max_steps,
+                                  escape_radius, filtering, resume, dtype,
+                                  progress):
+    """Direct renderer, ``frames_per_batch`` poses per device call — the
+    frame axis batched into one march bundle (render/fast.py)."""
+    import jax
+    from curvis_tpu.render.fast import render_frames_batched
+
+    frames = [tmp / f"frame_{i}.png" for i in range(len(times))]
+    jit_batch = jax.jit(lambda m, cams, bp, bn: render_frames_batched(
+        m, cams, bp, bn, dt=dt, max_steps=max_steps,
+        escape_radius=escape_radius, filtering=filtering))
+    for start in range(0, len(times), frames_per_batch):
+        idxs = [i for i in range(start, min(start + frames_per_batch,
+                                            len(times)))
+                if not (resume and frames[i].exists())]
+        if not idxs:
+            continue
+        # pad the final partial batch with repeats to keep one compiled shape
+        padded = idxs + [idxs[-1]] * (frames_per_batch - len(idxs))
+        cams = []
+        for i in padded:
+            pos, fwd, up = path.interpolate(float(times[i]))
+            cams.append(cv.make_camera(pos, fwd, up, focal_length,
+                                       sensor_diagonal, resolution[0],
+                                       resolution[1], dtype=dtype))
+        t0 = time.time()
+        imgs = np.asarray(jit_batch(metric, cams, bg_positive, bg_negative))
+        secs = time.time() - t0
+        for k, i in enumerate(idxs):
+            save_image(imgs[k], frames[i])
+            manifest["frames"][str(i)] = {
+                "t": float(times[i]),
+                "secs": round(secs / len(idxs), 3)}
+        manifest_path.write_text(json.dumps(manifest, indent=1))
+        if progress:
+            log.info("frames %s in %.2fs (batched)", idxs, secs)
     return frames

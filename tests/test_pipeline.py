@@ -135,3 +135,30 @@ def test_video_frames_resume(tmp_path, rng):
         progress=False)
     assert frames[2].exists()
     assert frames[0].stat().st_mtime_ns == mtime
+
+
+def test_video_frames_device_batched(tmp_path, rng):
+    """Direct renderer with frames_per_batch>1 produces the same frames as
+    one-by-one rendering."""
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.render.video import render_video_frames
+    metric = cv.make_metric("ellis", rho=1.0)
+    bg = cv.make_spherical_image(rng.random((16, 32, 3)), dtype=jnp.float64)
+    path = generate_orbit_path(l=3.0, period=0.2, n=10)
+    kw = dict(frame_rate=30.0, resolution=(24, 14), dt=0.05,
+              max_steps=20_000, escape_radius=50.0, renderer="direct",
+              dtype=jnp.float64, progress=False)
+    a = render_video_frames(metric, path, bg, bg, tmp_path / "a", **kw)
+    b = render_video_frames(metric, path, bg, bg, tmp_path / "b",
+                            frames_per_batch=4, **kw)
+    assert len(a) == len(b) == 6
+    from PIL import Image
+    for fa, fb in zip(a, b):
+        ia = np.asarray(Image.open(fa)).astype(int)
+        ib = np.asarray(Image.open(fb)).astype(int)
+        assert ia.shape == ib.shape == (14, 24, 3)
+        # the batched path runs jitted (fused) math; ulp differences flip
+        # nearest texels for the chaotic throat-crossing pixels only
+        mismatch = (np.abs(ia - ib).max(-1) > 0).mean()
+        assert mismatch < 0.05, mismatch
