@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from curvis_tpu.camera.camera import Camera, camera_rotation, sensor_size
+from curvis_tpu.camera.camera import Camera, camera_rotation
 from curvis_tpu.env.spherical_image import SphericalImage
 from curvis_tpu.metrics.base import Metric
 from curvis_tpu.physics import planar as pl
@@ -26,11 +26,17 @@ def _pixel_dirs_soa(camera: Camera, center_pixels=False):
     (x, y) like the reference (systems.rs:405-423)."""
     dtype = camera.position.dtype
     W, H = camera.resolution_x, camera.resolution_y
+    # row-band cameras (parallel/distributed.py) expose an offset into the
+    # full pixel grid; optics always use the full-image geometry
+    H_full = getattr(camera, "full_resolution_y", H)
+    row_off = getattr(camera, "row_offset", 0)
     xs = jnp.arange(W, dtype=dtype) + (0.5 if center_pixels else 0.0)
-    ys = jnp.arange(H, dtype=dtype) + (0.5 if center_pixels else 0.0)
+    ys = jnp.arange(H, dtype=dtype) + row_off + (0.5 if center_pixels else 0.0)
     wfrac = xs / W - 0.5
-    hfrac = 0.5 - ys / H
-    sw, sh = sensor_size(camera)
+    hfrac = 0.5 - ys / H_full
+    aspect = W / H_full
+    sh = jnp.sqrt(camera.sensor_diagonal ** 2 / (aspect * aspect + 1.0))
+    sw = aspect * sh
     vx = jnp.broadcast_to(camera.focal_length, (W, H))
     vy = jnp.broadcast_to((-sw * wfrac)[:, None], (W, H))
     vz = jnp.broadcast_to((sh * hfrac)[None, :], (W, H))
