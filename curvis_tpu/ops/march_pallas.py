@@ -35,6 +35,25 @@ from curvis_tpu.physics.planar import PlanarRays, PlanarResult
 LANES = 128
 
 
+def _atan_poly(x):
+    """Branchless arctan for the Mosaic kernel (no atan lowering on TPU
+    Pallas): Cephes atanf range reduction + degree-4 polynomial in x^2,
+    ~1-2 ulp in f32.  All branches computed, selected with where (finite
+    everywhere thanks to the guarded reciprocal)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t3 = ax > 2.414213562373095        # tan(3*pi/8)
+    t1 = ax > 0.4142135623730950       # tan(pi/8)
+    safe_ax = jnp.maximum(ax, 1e-30)
+    xr = jnp.where(t3, -1.0 / safe_ax,
+                   jnp.where(t1, (ax - 1.0) / (ax + 1.0), ax))
+    base = jnp.where(t3, jnp.pi / 2, jnp.where(t1, jnp.pi / 4, 0.0))
+    z = xr * xr
+    poly = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+             + 1.99777106478e-1) * z - 3.33329491539e-1) * z * xr + xr
+    return sign * (base + poly)
+
+
 def _shape_fns(kind: str):
     """Inlined (r2, r_deriv_over_r3) for each metric family.
 
@@ -61,8 +80,8 @@ def _shape_fns(kind: str):
             m, a, rho = pr[0, 2], pr[0, 3], pr[0, 4]
             al = jnp.abs(l)
             x = 2.0 * (al - a) / (jnp.pi * m)
-            atx = jnp.arctan(x)
-            r_out = rho + m * (x * atx - 0.5 * jnp.log1p(x * x))
+            atx = _atan_poly(x)
+            r_out = rho + m * (x * atx - 0.5 * jnp.log(1.0 + x * x))
             outside = al > a
             r = jnp.where(outside, r_out, rho)
             dr = jnp.where(outside, (2.0 / jnp.pi) * jnp.sign(l) * atx, 0.0)

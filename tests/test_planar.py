@@ -161,3 +161,30 @@ def test_pallas_kernel_interpret_mode_matches_while():
                             tile_rows=8, **kw)
     np.testing.assert_array_equal(np.asarray(a.sign), np.asarray(b.sign))
     assert np.abs(np.asarray(a.psi) - np.asarray(b.psi)).max() < 1e-5
+
+
+def test_pallas_kernel_dneg_interpret_matches_while():
+    """DNEG shape functions in the kernel (polynomial atan) vs the XLA
+    march, CPU interpret mode."""
+    from curvis_tpu.ops.march_pallas import march_planar_pallas
+    from curvis_tpu.metrics.base import InterstellarMetric
+    metric = InterstellarMetric(m=jnp.asarray(0.1), a=jnp.asarray(1e-4),
+                                rho=jnp.asarray(1.0))
+    cam = _camera([-1.0, 0.0, 0.0], res=(16, 8))
+    rays = pl.spawn_planar(metric, cam.position, pixel_rays_world(cam))
+    rays = pl.PlanarRays(*(a.astype(jnp.float32) for a in rays))
+    kw = dict(dt=0.05, max_steps=8000, escape_radius=50.0)
+    a = pl.march_planar_while(metric, rays, **kw)
+    b = march_planar_pallas(metric, rays, interpret=True, sort=False,
+                            tile_rows=8, **kw)
+    np.testing.assert_array_equal(np.asarray(a.sign), np.asarray(b.sign))
+    # poly atan vs libm atan: ~1 ulp f32 per step
+    assert np.abs(np.asarray(a.psi) - np.asarray(b.psi)).max() < 1e-4
+
+
+def test_atan_poly_accuracy():
+    from curvis_tpu.ops.march_pallas import _atan_poly
+    x = jnp.asarray(np.concatenate([np.linspace(-50, 50, 2001),
+                                    np.linspace(-0.5, 0.5, 1001)]))
+    err = np.abs(np.asarray(_atan_poly(x)) - np.arctan(np.asarray(x)))
+    assert err.max() < 1e-7
