@@ -24,11 +24,13 @@ from curvis_tpu.env.spherical_image import (
 )
 from curvis_tpu.integrate.march import MarchResult, march, compute_trajectory
 from curvis_tpu.render.direct import render_direct
+from curvis_tpu.render.scene import Scene
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Camera",
+    "Scene",
     "EllisMetric",
     "FlatSphericalMetric",
     "InterstellarMetric",

@@ -82,3 +82,28 @@ def test_render_rows_are_image_rows(rng):
                                       max_steps=50_000, escape_radius=100.0,
                                       backend="while"))
     assert img.shape == (4, 8, 3)
+
+
+def test_scene_api(rng):
+    """Scene (the RelativisticSystem equivalent) exposes the reference's
+    entry points."""
+    from curvis_tpu.render.scene import Scene
+    metric = cv.make_metric("ellis", rho=1.0)
+    cam = _camera([-1.0, 0.0, 0.0], res=(24, 14))
+    scene = Scene(metric, _bg(rng), _bg(rng), cam)
+    img = np.asarray(scene.render_image(dt=0.05, max_steps=30_000,
+                                        escape_radius=50.0))
+    assert img.shape == (14, 24, 3)
+    img2 = np.asarray(scene.render_image_efficient(
+        dt=0.05, max_steps=30_000, escape_radius=50.0, alpha_nums=40,
+        max_iterations_sampling=3))
+    assert img2.shape == (14, 24, 3)
+    a, s = scene.compute_escape_angle([0.0, np.pi])
+    assert float(s[0]) == 1.0 and float(s[1]) == -1.0
+    xs, ps = scene.compute_photon_trajectory([1.0, 0.0, 0.0], n_steps=10)
+    assert xs.shape == (10, 4)
+    # the scene is a pytree: jit over it whole
+    import jax
+    out = jax.jit(lambda sc: sc.render_image(dt=0.05, max_steps=5000,
+                                             escape_radius=30.0))(scene)
+    assert out.shape == (14, 24, 3)
