@@ -118,7 +118,12 @@ def render_direct(metric, camera: Camera, bg_positive: SphericalImage,
         rays = pl.spawn_planar(metric, camera.position, d_world)
         kw = dict(dt=dt, max_steps=max_steps, escape_radius=escape_radius,
                   stepper=stepper)
-        if differentiable or backend == "scan":
+        if differentiable == "adjoint":
+            from curvis_tpu.integrate.adjoint import march_planar_adjoint_rays
+            res = march_planar_adjoint_rays(
+                metric, rays, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius)
+        elif differentiable or backend == "scan":
             res = pl.march_planar_scan(metric, rays, **kw)
         elif backend == "pallas" or (backend == "auto" and _on_tpu()
                                      and stepper == "euler"):

@@ -130,3 +130,49 @@ def test_grad_through_dneg_params(rng):
           - loss(jnp.asarray(0.5 - eps), jnp.asarray(0.01),
                  jnp.asarray(1.0))) / (2 * eps)
     np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-2, atol=1e-10)
+
+
+def test_adjoint_gradients_match_scan(rng):
+    """O(1)-memory adjoint VJP vs the exact checkpointed-scan gradients."""
+    from curvis_tpu.camera.camera import pixel_rays_world
+    from curvis_tpu.integrate.adjoint import march_planar_adjoint_rays
+    from curvis_tpu.physics import planar as pl
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.35, 0.2],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 16, 10,
+                         dtype=jnp.float64)
+
+    def mkloss(marcher):
+        def loss(rho, l_shift):
+            metric = EllisMetric(rho=rho)
+            rays = pl.spawn_planar(metric, cam.position,
+                                   pixel_rays_world(cam))
+            rays = rays._replace(l=rays.l + l_shift)
+            res = marcher(metric, rays, **KW)
+            beta = res.psi + jnp.arctan2(rays.b / metric.r(res.l), res.p_l)
+            return jnp.mean(jnp.where(res.sign != 0, jnp.sin(beta), 0.0))
+        return loss
+
+    args = (jnp.asarray(1.0), jnp.asarray(0.0))
+    v1, g1 = jax.value_and_grad(mkloss(pl.march_planar_scan),
+                                argnums=(0, 1))(*args)
+    v2, g2 = jax.value_and_grad(mkloss(march_planar_adjoint_rays),
+                                argnums=(0, 1))(*args)
+    assert float(v1) == float(v2)           # identical forward
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-4)
+
+
+def test_adjoint_render_gradient(rng):
+    """differentiable='adjoint' through the full renderer."""
+    cam, bg_p, bg_n = _scene(rng, res=(16, 10))
+
+    def loss(rho, mode):
+        metric = EllisMetric(rho=rho)
+        img = cv.render_direct(metric, cam, bg_p, bg_n, method="planar",
+                               filtering="bilinear", differentiable=mode,
+                               **KW)
+        return jnp.mean(img)
+
+    g_scan = jax.grad(lambda r: loss(r, True))(jnp.asarray(1.0))
+    g_adj = jax.grad(lambda r: loss(r, "adjoint"))(jnp.asarray(1.0))
+    np.testing.assert_allclose(float(g_adj), float(g_scan), rtol=1e-3)
