@@ -245,6 +245,194 @@ def march_planar_pallas(metric: Metric, rays: PlanarRays, *, dt, max_steps,
                         steps[:n].reshape(out_shape))
 
 
+# ---------------------------------------------------------------------------
+# Adaptive RK45 kernel (quality mode): Dormand-Prince 5(4), per-ray dt,
+# accept/reject, escape interpolation to |l| = R (integrate/rk45.py semantics,
+# VMEM-resident).
+# ---------------------------------------------------------------------------
+
+_DP_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_DP_B5 = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0]
+_DP_B4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40]
+
+
+def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
+                 params_ref, l_ref, psi_ref, pl_ref, b_ref,
+                 ol_ref, opsi_ref, opl_ref, osign_ref, osteps_ref):
+    shape = _shape_fns(kind)
+    R = params_ref[0, 1]
+    dt0 = params_ref[0, 0]
+    rtol = params_ref[0, 5]
+    atol = params_ref[0, 6]
+    dt_max = params_ref[0, 7]
+
+    l = l_ref[:]
+    psi = psi_ref[:]
+    p_l = pl_ref[:]
+    b = b_ref[:]
+    b2 = b * b
+    one = jnp.ones_like(l)
+    zero = jnp.zeros_like(l)
+    dt = jnp.full_like(l, 1.0) * dt0
+    sign = jnp.zeros_like(l)
+    steps = jnp.zeros_like(l)
+
+    def rhs(li, pli):
+        inv, dr_r3 = shape(params_ref, li)
+        return pli, b * inv, b2 * dr_r3
+
+    def cond(c):
+        _, _, _, _, sign, _, it = c
+        return (it < max_iters) & jnp.any(sign == 0.0)
+
+    def body(c):
+        l, psi, p_l, dt, sign, steps, it = c
+        alive = jnp.where((sign == 0.0) & (steps < max_steps), one, zero)
+        ks = []
+        for i in range(7):
+            li = l
+            pli = p_l
+            for j, a in enumerate(_DP_A[i]):
+                li = li + dt * a * ks[j][0]
+                pli = pli + dt * a * ks[j][2]
+            ks.append(rhs(li, pli))
+
+        def comb(w, comp):
+            acc = zero
+            for wi, k in zip(w, ks):
+                if wi != 0.0:
+                    acc = acc + wi * k[comp]
+            return acc
+
+        d5l, d5p, d5pl = comb(_DP_B5, 0), comb(_DP_B5, 1), comb(_DP_B5, 2)
+        e_l = d5l - comb(_DP_B4, 0)
+        e_p = d5p - comb(_DP_B4, 1)
+        e_pl = d5pl - comb(_DP_B4, 2)
+        l5 = l + dt * d5l
+        psi5 = psi + dt * d5p
+        pl5 = p_l + dt * d5pl
+
+        def ec(e, y0, y1):
+            return jnp.abs(dt * e) / (atol + rtol * jnp.maximum(
+                jnp.abs(y0), jnp.abs(y1)))
+
+        err = jnp.maximum(ec(e_l, l, l5),
+                          jnp.maximum(ec(e_p, psi, psi5),
+                                      ec(e_pl, p_l, pl5)))
+        accept = alive * jnp.where(err <= 1.0, one, zero)
+
+        esc_pos = accept * jnp.where(l5 > R, one, zero)
+        esc_neg = accept * jnp.where(l5 < -R, one, zero)
+        esc = esc_pos + esc_neg
+        target = jnp.where(esc_pos > 0, R, -R)
+        denom = l5 - l
+        denom = jnp.where(jnp.abs(denom) < 1e-30, one, denom)
+        frac = jnp.clip((target - l) / denom, 0.0, 1.0)
+        frac = jnp.where(esc > 0, frac, one)
+
+        l = l + accept * frac * (l5 - l)
+        psi = psi + accept * frac * (psi5 - psi)
+        p_l = p_l + accept * frac * (pl5 - p_l)
+        sign = sign + esc_pos - esc_neg
+        steps = steps + accept
+
+        err_s = jnp.maximum(err, 1e-10)
+        # clip(0.9 * err^-0.2, 0.2, 5.0) without pow: err^-0.2 via
+        # exp(-0.2 ln err)
+        factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(err_s)), 0.2, 5.0)
+        newdt = jnp.clip(dt * factor, 1e-6, dt_max)
+        dt = jnp.where((alive > 0) & (esc == 0.0), newdt, dt)
+        # rays that hit the step cap freeze with a sentinel
+        capped = (sign == 0.0) & (steps >= max_steps)
+        sign = jnp.where(capped, -128.0, sign)
+        return l, psi, p_l, dt, sign, steps, it + 1
+
+    l, psi, p_l, dt, sign, steps, _ = lax.while_loop(
+        cond, body, (l, psi, p_l, dt, sign, steps, jnp.int32(0)))
+    sign = jnp.where(sign == -128.0, zero, sign)
+    ol_ref[:] = l
+    opsi_ref[:] = psi
+    opl_ref[:] = p_l
+    osign_ref[:] = sign.astype(jnp.int32)
+    osteps_ref[:] = steps.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "max_steps", "max_iters",
+                                             "tile_rows", "interpret"))
+def _rk45_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, max_iters,
+                      tile_rows, interpret=False):
+    n_rows = l.shape[0]
+    grid = (n_rows // tile_rows,)
+    dtype = l.dtype
+
+    def row_spec():
+        return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_rk45_kernel, kind, max_steps, max_iters)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_rows, LANES), dtype),
+        jax.ShapeDtypeStruct((n_rows, LANES), dtype),
+        jax.ShapeDtypeStruct((n_rows, LANES), dtype),
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            row_spec(), row_spec(), row_spec(), row_spec(),
+        ],
+        out_specs=[row_spec()] * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, l, psi, p_l, b)
+
+
+def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
+                             escape_radius, max_steps=10_000, rtol=1e-5,
+                             atol=1e-7, dt0=0.05, dt_max=10.0, tile_rows=64,
+                             interpret=False) -> PlanarResult:
+    """Pallas adaptive RK45 march (integrate/rk45.py semantics on-device)."""
+    kind, params = _metric_kind_and_params(metric, dt0, escape_radius,
+                                           rays.l.dtype)
+    params = jnp.concatenate(
+        [params[:, :5],
+         jnp.asarray([[rtol, atol, dt_max]], params.dtype)], axis=1)
+
+    n = rays.l.reshape(-1).shape[0]
+    block = tile_rows * LANES
+    n_pad = -(-n // block) * block
+
+    def pad(a):
+        a = a.reshape(-1)
+        return jnp.concatenate([a, jnp.full((n_pad - n,), a[0], a.dtype)])
+
+    l, psi, p_l, b = (pad(rays.l), pad(rays.psi), pad(rays.p_l), pad(rays.b))
+    shape2 = (n_pad // LANES, LANES)
+    outs = _rk45_flat_arrays(kind, params, l.reshape(shape2),
+                             psi.reshape(shape2), p_l.reshape(shape2),
+                             b.reshape(shape2), max_steps=max_steps,
+                             max_iters=4 * max_steps, tile_rows=tile_rows,
+                             interpret=interpret)
+    l, psi, p_l, sign, steps = (a.reshape(-1) for a in outs)
+    out_shape = rays.l.shape
+    return PlanarResult(l[:n].reshape(out_shape), psi[:n].reshape(out_shape),
+                        p_l[:n].reshape(out_shape),
+                        sign[:n].reshape(out_shape),
+                        steps[:n].reshape(out_shape))
+
+
 def march_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
                  stepper="euler"):
     """4-state API shim — the pallas path is planar-only; callers use

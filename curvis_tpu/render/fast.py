@@ -213,9 +213,17 @@ def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
                                   escape_radius=escape_radius, sort=False,
                                   stepper=stepper)
     elif backend == "rk45":
-        from curvis_tpu.integrate.rk45 import march_planar_rk45
-        res = march_planar_rk45(metric, rays, escape_radius=escape_radius,
-                                dt0=dt, max_steps=max_steps)
+        from curvis_tpu.integrate.march import _on_tpu
+        if _on_tpu():
+            from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+            res = march_planar_rk45_pallas(metric, rays,
+                                           escape_radius=escape_radius,
+                                           dt0=dt, max_steps=max_steps)
+        else:
+            from curvis_tpu.integrate.rk45 import march_planar_rk45
+            res = march_planar_rk45(metric, rays,
+                                    escape_radius=escape_radius,
+                                    dt0=dt, max_steps=max_steps)
     else:
         res = pl.march_planar_tiled(metric, rays, dt=dt, max_steps=max_steps,
                                     escape_radius=escape_radius,

@@ -94,3 +94,22 @@ def test_rk45_renderer_matches_euler_renderer(rng):
     # Euler's own error dominates; differences stay in the chaotic band
     assert (d > 0.05).mean() < 0.05
     assert np.median(d) < 5e-3
+
+
+def test_pallas_rk45_interpret_matches_xla():
+    """The Pallas RK45 kernel vs the XLA implementation (CPU interpret)."""
+    from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.0],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 16, 8,
+                         dtype=jnp.float64)
+    rays = pl.spawn_planar(metric, cam.position, pixel_rays_world(cam))
+    rays = pl.PlanarRays(*(a.astype(jnp.float32) for a in rays))
+    kw = dict(escape_radius=50.0, rtol=1e-5, atol=1e-7)
+    a = march_planar_rk45(metric, rays, **kw)
+    b = march_planar_rk45_pallas(metric, rays, interpret=True, tile_rows=8,
+                                 **kw)
+    np.testing.assert_array_equal(np.asarray(a.sign), np.asarray(b.sign))
+    assert np.abs(np.asarray(a.psi) - np.asarray(b.psi)).max() < 1e-3
+    # step counts agree closely (identical control flow, f32 rounding only)
+    assert np.abs(np.asarray(a.steps) - np.asarray(b.steps)).max() <= 2
