@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seam", choices=["exact", "nearest_side"],
                         default="exact",
                         help="exact = reference black seam parity")
+        sp.add_argument("--stepper", choices=["euler", "rk4", "rk45"],
+                        default="euler",
+                        help="euler = reference parity; rk45 = adaptive "
+                             "quality mode (direct renderer)")
         sp.add_argument("--f64", action="store_true",
                         help="double precision (CPU)")
 
@@ -113,7 +117,8 @@ def image_main(args) -> int:
             seam=args.seam, **kw)
     else:
         from curvis_tpu.render.fast import render_planar_fast
-        img = render_planar_fast(metric, camera, bgp, bgn, **kw)
+        img = render_planar_fast(metric, camera, bgp, bgn,
+                                 stepper=args.stepper, **kw)
     out = args.output_folder / f"{img_s.image_name}.png"
     cvt.save_image(np.asarray(img), out)
     print(f"saved {out}")

@@ -21,7 +21,6 @@ sign 0 ("not escaped", rendered black).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple
 
 import jax

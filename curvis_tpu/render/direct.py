@@ -17,7 +17,6 @@ analytic end-to-end oracle used by the test suite).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -168,12 +168,31 @@ def render_frames_batched(metric: Metric, cameras, bg_positive: SphericalImage,
     return img
 
 
+def _render_planar_fast_impl(metric, camera, bg_positive, bg_negative, dt,
+                             escape_radius, *, max_steps, filtering, backend,
+                             center_pixels, stepper):
+    dx, dy, dz = _pixel_dirs_soa(camera, center_pixels)
+    state, r_hat, e2 = _spawn_planar_soa(metric, camera, dx, dy, dz)
+    return _finish_render(metric, camera, bg_positive, bg_negative, state,
+                          r_hat, e2, dt=dt, max_steps=max_steps,
+                          escape_radius=escape_radius, filtering=filtering,
+                          backend=backend, stepper=stepper, n_frames=1)
+
+
+_render_planar_fast_jit = jax.jit(
+    _render_planar_fast_impl,
+    static_argnames=("max_steps", "filtering", "backend", "center_pixels",
+                     "stepper"))
+
+
 def render_planar_fast(metric: Metric, camera: Camera,
                        bg_positive: SphericalImage,
                        bg_negative: SphericalImage, *, dt, max_steps,
                        escape_radius, filtering="nearest", backend="auto",
                        center_pixels=False, stepper="euler"):
-    """(H, W, 3) image; jit-compatible; SoA throughout.
+    """(H, W, 3) image; SoA throughout.  Self-jitting: eager calls reuse a
+    cached compiled bundle (eager op-by-op dispatch costs seconds over the
+    remote-TPU tunnel); calls from inside jit simply inline.
 
     f32 caveat: rays traversing the throat amplify ulp-level rounding
     differences exponentially (the deflection map is chaotic there), so f32
@@ -183,12 +202,11 @@ def render_planar_fast(metric: Metric, camera: Camera,
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() and stepper == "euler") else "tiled"
-    dx, dy, dz = _pixel_dirs_soa(camera, center_pixels)
-    state, r_hat, e2 = _spawn_planar_soa(metric, camera, dx, dy, dz)
-    return _finish_render(metric, camera, bg_positive, bg_negative, state,
-                          r_hat, e2, dt=dt, max_steps=max_steps,
-                          escape_radius=escape_radius, filtering=filtering,
-                          backend=backend, stepper=stepper, n_frames=1)
+    return _render_planar_fast_jit(metric, camera, bg_positive, bg_negative,
+                                   dt, escape_radius, max_steps=max_steps,
+                                   filtering=filtering, backend=backend,
+                                   center_pixels=center_pixels,
+                                   stepper=stepper)
 
 
 def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,

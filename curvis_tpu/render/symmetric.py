@@ -153,11 +153,28 @@ def render_symmetric(metric: Metric, camera: Camera,
         threshold_2=sampling_convergence_threshold_2,
         exact_escape_angle=exact_escape_angle, dtype=dtype)
 
-    return _reconstruct_image(
+    # Bucket-pad the sampled function to a power-of-two length so the jitted
+    # reconstruction compiles once per bucket (sample counts vary per frame).
+    n = len(alphas_s)
+    m = max(256, 1 << (n - 1).bit_length())
+    if m > n:
+        # strictly-increasing epsilon tail beyond the last sample keeps
+        # jnp.interp well-defined and never matches a query (clamped range)
+        tail = alphas_s[-1] + np.arange(1, m - n + 1) * 1e-6
+        alphas_s = np.concatenate([alphas_s, tail])
+        angles_s = np.concatenate([angles_s, np.full(m - n, angles_s[-1])])
+        spaces_s = np.concatenate([spaces_s, np.full(m - n, spaces_s[-1])])
+
+    return _reconstruct_jit(
         metric, camera, bg_positive, bg_negative,
         jnp.asarray(alphas_s, dtype), jnp.asarray(angles_s, dtype),
         jnp.asarray(spaces_s, dtype), filtering=filtering, seam=seam,
         center_pixels=center_pixels)
+
+
+_reconstruct_jit = jax.jit(
+    lambda *a, **k: _reconstruct_image(*a, **k),
+    static_argnames=("filtering", "seam", "center_pixels"))
 
 
 def _reconstruct_image(metric, camera, bg_positive, bg_negative, alphas_s,
