@@ -137,8 +137,33 @@ def _march_kernel(kind: str, max_steps: int, unroll: int,
     one = jnp.ones_like(l)
     zero = jnp.zeros_like(l)
     sign = jnp.zeros_like(l)
-    steps = jnp.zeros_like(l)
 
+    # Phase 1 — maskless sprint.  Null normalization gives |p_l| <= 1
+    # exactly (p_l^2 = 1 - b^2/r^2), so |l| moves at most dt per step: no
+    # ray can escape before (R - max|l|)/dt steps.  Run that prefix with the
+    # bare 6-op step (no masking, no escape checks); semantics identical
+    # since dt*1.0 masking is exact for active rays.
+    # 5% margin: Euler drift lets |p_l| exceed 1 by O(1e-3); the sprint must
+    # provably end before any ray can cross R.
+    m0 = jnp.max(jnp.abs(l))
+    k_free = jnp.floor((R - m0) / (dt * 1.05) - 2.0).astype(jnp.int32)
+    k_free = jnp.clip(k_free, 0, max_steps)
+    k_free = (k_free // unroll) * unroll
+
+    def sprint(i, c):
+        l, psi, p_l = c
+        for _ in range(unroll):
+            inv, dr_r3 = shape(params_ref, l)
+            l = l + dt * p_l
+            psi = psi + dt * (b * inv)
+            p_l = p_l + dt * (b2 * dr_r3)
+        return l, psi, p_l
+
+    l, psi, p_l = lax.fori_loop(0, k_free // unroll, sprint, (l, psi, p_l))
+    steps = jnp.zeros_like(l) + k_free.astype(l.dtype)
+
+    # Phase 2 — masked stepping with per-step escape checks (exact
+    # reference semantics) until the tile fully escapes.
     def cond(c):
         _, _, _, sign, _, it = c
         return (it < max_steps) & jnp.any(sign == 0.0)
@@ -158,7 +183,7 @@ def _march_kernel(kind: str, max_steps: int, unroll: int,
         return l, psi, p_l, sign, steps, it + unroll
 
     l, psi, p_l, sign, steps, _ = lax.while_loop(
-        cond, body, (l, psi, p_l, sign, steps, jnp.int32(0)))
+        cond, body, (l, psi, p_l, sign, steps, k_free))
 
     ol_ref[:] = l
     opsi_ref[:] = psi
