@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Full benchmark suite — every BASELINE.json config on the local chip.
+
+    python benchmarks/run_benchmarks.py [--out benchmarks/report.json]
+
+Writes a JSON report with per-config wall-clock / Mrays/s. Run time ~10 min
+(dominated by remote compiles on the dev tunnel).
+"""
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=Path,
+                    default=Path(__file__).parent / "report.json")
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller resolutions (CI/smoke)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.render.fast import render_planar_fast, render_frames_batched
+    from curvis_tpu.render.symmetric import render_symmetric
+    from curvis_tpu.utils.prof import time_fn
+
+    res = 512 if args.quick else 1024
+    res4k = (1024, 576) if args.quick else (3840, 2160)
+    rng = np.random.default_rng(0)
+    bgp = cv.make_spherical_image(rng.random((512, 1024, 3),
+                                             dtype=np.float32))
+    bgn = cv.make_spherical_image(rng.random((512, 1024, 3),
+                                             dtype=np.float32))
+
+    def cam(w, h, k=0):
+        return cv.make_camera([0.0, 5.0, np.pi / 2, 0.001 * k],
+                              [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0], 15.0, 43.0,
+                              w, h, dtype=jnp.float32)
+
+    ellis = cv.EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
+    dneg = cv.InterstellarMetric(m=jnp.asarray(0.1, jnp.float32),
+                                 a=jnp.asarray(1e-4, jnp.float32),
+                                 rho=jnp.asarray(1.0, jnp.float32))
+    PARITY = dict(dt=0.05, max_steps=40_000, escape_radius=100.0,
+                  filtering="nearest")
+    report = {"device": str(jax.devices()[0]), "configs": {}}
+
+    def record(name, n_rays, fn, *fargs):
+        t = time_fn(jax.jit(fn), *fargs)
+        report["configs"][name] = {
+            "secs": round(t, 4), "Mrays_per_s": round(n_rays / t / 1e6, 2)}
+        print(f"{name}: {t*1e3:.0f} ms -> {n_rays/t/1e6:.1f} Mrays/s",
+              flush=True)
+
+    # 1. Ellis parity config (Euler, nearest) — single frame
+    record(f"ellis_{res}_euler_parity", res * res,
+           lambda m, c, bp, bn: render_planar_fast(m, c, bp, bn,
+                                                   **PARITY).mean(),
+           ellis, cam(res, res), bgp, bgn)
+
+    # 1b. sustained (4-frame batch)
+    cams = [cam(res, res, k) for k in range(4)]
+    record(f"ellis_{res}_euler_parity_sustained", 4 * res * res,
+           lambda m, cs, bp, bn: render_frames_batched(m, cs, bp, bn,
+                                                       **PARITY).mean(),
+           ellis, cams, bgp, bgn)
+
+    # 2. adaptive RK45 quality mode
+    record(f"ellis_{res}_rk45", res * res,
+           lambda m, c, bp, bn: render_planar_fast(
+               m, c, bp, bn, dt=0.05, max_steps=10_000, escape_radius=100.0,
+               stepper="rk45", filtering="bilinear").mean(),
+           ellis, cam(res, res), bgp, bgn)
+
+    # 3. DNEG / Interstellar
+    record(f"dneg_{res}_euler_parity", res * res,
+           lambda m, c, bp, bn: render_planar_fast(m, c, bp, bn,
+                                                   **PARITY).mean(),
+           dneg, cam(res, res), bgp, bgn)
+
+    # 4. 4K render
+    record(f"ellis_{res4k[0]}x{res4k[1]}_euler", res4k[0] * res4k[1],
+           lambda m, c, bp, bn: render_planar_fast(m, c, bp, bn,
+                                                   **PARITY).mean(),
+           ellis, cam(*res4k), bgp, bgn)
+
+    # 5. symmetric renderer (the reference's production path) — HD frame,
+    #    host-driven sampling + jitted reconstruction
+    t0 = time.time()
+    img = np.asarray(render_symmetric(
+        ellis, cam(960, 540), bgp, bgn, dt=0.05, max_steps=40_000,
+        escape_radius=100.0, alpha_nums=100, max_iterations_sampling=50))
+    warm = time.time() - t0
+    t0 = time.time()
+    img = np.asarray(render_symmetric(
+        ellis, cam(960, 540), bgp, bgn, dt=0.05, max_steps=40_000,
+        escape_radius=100.0, alpha_nums=100, max_iterations_sampling=50))
+    t = time.time() - t0
+    report["configs"]["ellis_960x540_symmetric_hd_frame"] = {
+        "secs": round(t, 3), "first_secs": round(warm, 3),
+        "note": "reference renders this config in 'seconds' single-thread"}
+    print(f"symmetric HD frame: {t:.2f} s (first {warm:.1f} s)", flush=True)
+
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    args.out.write_text(json.dumps(report, indent=1))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
