@@ -46,6 +46,95 @@ def render_direct_sharded(metric, camera: Camera, bg_positive: SphericalImage,
     return colors.reshape(W, H, 3).transpose(1, 0, 2)
 
 
+def render_direct_shardmap(metric, camera: Camera,
+                           bg_positive: SphericalImage,
+                           bg_negative: SphericalImage, mesh: Mesh, *, dt,
+                           max_steps, escape_radius, filtering="nearest",
+                           stepper="euler", use_pallas="auto",
+                           interpret=False):
+    """Explicit-collectives variant: `shard_map` over the ray axis with the
+    *Pallas kernel running per shard* — the production pod path (GSPMD
+    cannot partition a pallas_call; shard_map gives each device its own
+    kernel launch over its ray shard).  ``interpret=True`` runs the kernel
+    in interpreter mode (CPU virtual-mesh testing).
+    """
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.sharding import PartitionSpec as P
+    from curvis_tpu.integrate.march import _on_tpu
+    from curvis_tpu.render.fast import _finish_render, _pixel_dirs_soa, \
+        _spawn_planar_soa
+
+    if use_pallas == "auto":
+        use_pallas = _on_tpu() or interpret
+    n_dev = mesh.devices.size
+    dx, dy, dz = _pixel_dirs_soa(camera)
+    (l, psi, p_l, b), r_hat, e2 = _spawn_planar_soa(metric, camera, dx, dy,
+                                                    dz)
+    n = l.shape[0]
+    l, _ = pad_to_multiple(l, n_dev)
+    psi, _ = pad_to_multiple(psi, n_dev)
+    p_l, _ = pad_to_multiple(p_l, n_dev)
+    b, _ = pad_to_multiple(b, n_dev)
+
+    def _march_shard(metric, l, psi, p_l, b):
+        rays = pl.PlanarRays(l, psi, p_l, b, jnp.zeros((1, 3), l.dtype),
+                             jnp.zeros((1, 3), l.dtype))
+        if use_pallas and stepper == "euler":
+            from curvis_tpu.ops.march_pallas import march_planar_pallas
+            res = march_planar_pallas(metric, rays, dt=dt,
+                                      max_steps=max_steps,
+                                      escape_radius=escape_radius,
+                                      sort=False, tile_rows=8,
+                                      interpret=interpret)
+        else:
+            res = pl.march_planar_while(metric, rays, dt=dt,
+                                        max_steps=max_steps,
+                                        escape_radius=escape_radius,
+                                        stepper=stepper)
+        return res.l, res.psi, res.p_l, res.sign, res.steps
+
+    marched = _shard_map(
+        _march_shard, mesh=mesh,
+        in_specs=(P(), P("rays"), P("rays"), P("rays"), P("rays")),
+        out_specs=(P("rays"),) * 5,
+        check_vma=False)
+    lo, psio, plo, sign, steps = marched(metric, l, psi, p_l, b)
+    lo, psio, plo, sign = (a[:n] for a in (lo, psio, plo, sign))
+    res = pl.PlanarResult(lo, psio, plo, sign, steps[:n])
+    # readout + shade on the (replicated) tail of the pipeline
+    return _finish_from_result(metric, camera, bg_positive, bg_negative,
+                               res, b[:n], r_hat, e2, filtering)
+
+
+def _finish_from_result(metric, camera, bg_positive, bg_negative, res, b,
+                        r_hat, e2, filtering):
+    from curvis_tpu.render.fast import _filter_lookup, _texture_uv
+    rx, ry, rz = r_hat
+    e2x, e2y, e2z = e2
+    beta = res.psi + jnp.arctan2(b / metric.r(res.l), res.p_l)
+    cb, sb = jnp.cos(beta), jnp.sin(beta)
+    wx = cb * rx + sb * e2x
+    wy = cb * ry + sb * e2y
+    wz = cb * rz + sb * e2z
+    sign = res.sign
+    up, vp = _texture_uv(bg_positive, wx, wy, wz)
+    un, vn = _texture_uv(bg_negative, wx, wy, wz)
+    neg = sign < 0
+    u = jnp.where(neg, un, up)
+    v = jnp.where(neg, vn, vp)
+    H, W = bg_positive.height, bg_positive.width
+    rows = jnp.concatenate([bg_positive.texture.reshape(-1, 3),
+                            bg_negative.texture.reshape(-1, 3)])
+    base = jnp.where(neg, H * W, 0)
+    colors = _filter_lookup(rows, base, u, v, W, H, filtering)
+    colors = jnp.where((sign != 0)[:, None], colors, jnp.zeros_like(colors))
+    W, H = camera.resolution_x, camera.resolution_y
+    return colors.reshape(W, H, 3).transpose(1, 0, 2)
+
+
 def make_train_step(mesh: Mesh, *, dt, max_steps, escape_radius,
                     stepper="euler", filtering="bilinear", lr=1e-3):
     """Full differentiable training step: render -> L2 loss vs target image ->
