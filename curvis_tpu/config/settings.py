@@ -174,18 +174,22 @@ class MetricSettings:
     a: float = 1e-4
 
     def validate(self):
-        if self.kind not in ("ellis", "interstellar"):
+        if self.kind not in ("ellis", "interstellar", "schwarzschild"):
             raise SettingsError(f"unknown metric kind {self.kind!r}")
-        if self.rho <= 0:
+        if self.kind != "schwarzschild" and self.rho <= 0:
             raise SettingsError("rho must be positive")
         if self.kind == "interstellar" and (self.m <= 0 or self.a <= 0):
             raise SettingsError("m and a must be positive")
+        if self.kind == "schwarzschild" and self.m <= 0:
+            raise SettingsError("m must be positive")
         return self
 
     def make(self):
         from curvis_tpu.metrics.base import make_metric
         if self.kind == "ellis":
             return make_metric("ellis", rho=self.rho)
+        if self.kind == "schwarzschild":
+            return make_metric("schwarzschild", m=self.m)
         return make_metric("interstellar", m=self.m, a=self.a, rho=self.rho)
 
     @classmethod

@@ -49,6 +49,9 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
     if max_iters is None:
         max_iters = 4 * max_steps
 
+    from curvis_tpu.physics.planar import _capture_radius
+    r_cap = _capture_radius(metric)
+
     def rhs(l, psi, p_l):
         return planar_rhs(metric, l, psi, p_l, rays.b)
 
@@ -106,6 +109,8 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
         psi = jnp.where(am, psi_new, psi)
         p_l = jnp.where(am, pl_new, p_l)
         sign = jnp.where(esc_pos, 1, jnp.where(esc_neg, -1, sign))
+        if r_cap is not None:
+            sign = jnp.where(am & (l < r_cap) & (sign == 0), 2, sign)
         steps = steps + am.astype(jnp.int32)
         over = steps >= max_steps
         sign = jnp.where(active & over & (sign == 0), 0, sign)

@@ -117,11 +117,56 @@ class FlatSphericalMetric:
         return jnp.ones_like(l)
 
 
+@_register
+@dataclasses.dataclass(frozen=True)
+class SchwarzschildMetric:
+    """Schwarzschild black hole — the reference README's #1 wishlist item
+    ("Black holes!"), out of reach of its fixed diag(-1, 1, r^2, ...) metric
+    family (README.md:113, metrics.rs:49-68).
+
+    Line element (areal radius coordinate l = r, exterior chart):
+        ds^2 = -A dt^2 + dl^2/A + l^2 dOmega^2,    A(l) = 1 - 2M/l
+    i.e. lapse A != 1 and B = 1/A; the general planar null-geodesic system
+    (physics/planar.py) handles this via the `unit_lapse = False` branch.
+
+    Photons whose trajectory sinks below ``capture_radius`` (placed between
+    the horizon 2M and the photon sphere 3M, where infall is irreversible)
+    terminate as *captured* (sign +2) and render black — the shadow.  The
+    critical impact parameter is b_c = 3*sqrt(3) M.
+    """
+
+    m: jax.Array
+    unit_lapse = False
+
+    def r(self, l):
+        return l
+
+    def r_squared(self, l):
+        return l * l
+
+    def r_derivative(self, l):
+        return jnp.ones_like(l)
+
+    def lapse(self, l):
+        return 1.0 - 2.0 * self.m / l
+
+    def lapse_deriv(self, l):
+        return 2.0 * self.m / (l * l)
+
+    def radial_B(self, l):
+        return 1.0 / self.lapse(l)
+
+    @property
+    def capture_radius(self):
+        return 2.5 * self.m        # in (2M, 3M): capture set exact there
+
+
 _REGISTRY = {
     "ellis": EllisMetric,
     "interstellar": InterstellarMetric,
     "dneg": InterstellarMetric,
     "flat": FlatSphericalMetric,
+    "schwarzschild": SchwarzschildMetric,
 }
 
 
@@ -149,4 +194,9 @@ def make_metric(kind: str, **params) -> Metric:
                 raise ValueError(f"Interstellar metric requires {name} > 0.")
         return InterstellarMetric(m=jnp.asarray(m), a=jnp.asarray(a),
                                   rho=jnp.asarray(rho))
+    if cls is SchwarzschildMetric:
+        m = float(params.get("m", 1.0))
+        if m <= 0:
+            raise ValueError("Schwarzschild metric requires m > 0.")
+        return SchwarzschildMetric(m=jnp.asarray(m))
     return FlatSphericalMetric()

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from curvis_tpu.metrics.base import (EllisMetric, FlatSphericalMetric,
-                                     InterstellarMetric, Metric)
+                                     InterstellarMetric, Metric,
+                                     SchwarzschildMetric)
 from curvis_tpu.physics.planar import PlanarRays, PlanarResult
 
 LANES = 128
@@ -92,14 +93,47 @@ def _shape_fns(kind: str):
     raise NotImplementedError(f"pallas march: unsupported metric kind {kind!r}")
 
 
+def _deriv_fns(kind: str):
+    """Full planar derivative triple f(pr, l, p_l, b, b2) -> (dl, dpsi, dpl).
+
+    Unit-lapse metrics (the reference family) use the shape-function form;
+    'schwarzschild' inlines the general static system with A = 1 - 2M/l:
+        dl = A p_l;  dpsi = b/l^2;  dpl = -A'/2 (1/A^2 + p_l^2) + b^2/l^3
+    """
+    if kind == "schwarzschild":
+        def fns(pr, l, p_l, b, b2):
+            M = pr[0, 2]
+            invl = 1.0 / l
+            invl2 = invl * invl
+            A = 1.0 - 2.0 * M * invl
+            invA = 1.0 / A
+            dl = A * p_l
+            dpsi = b * invl2
+            dpl = (-M * invl2) * (invA * invA + p_l * p_l) + b2 * invl2 * invl
+            return dl, dpsi, dpl
+        return fns
+    shape = _shape_fns(kind)
+
+    def fns(pr, l, p_l, b, b2):
+        inv, dr_r3 = shape(pr, l)
+        return p_l, b * inv, b2 * dr_r3
+    return fns
+
+
+_NO_CAPTURE = -1e30      # sentinel capture radius (never reached)
+
+
 def _metric_kind_and_params(metric: Metric, dt, escape_radius, dtype):
-    """(kind, (1,8) SMEM param row): [dt, R, metric params..., 0 pad].
+    """(kind, (1, 10) SMEM param row):
+    [dt, R, p0, p1, p2, capture_radius, rtol, atol, dt_max, 0].
     Built with jnp so traced metric parameters stay traced (no recompiles
-    when retuning dt / R / rho under jit)."""
-    def row(vals):
+    when retuning dt / R / params under jit)."""
+    def row(vals, capture=_NO_CAPTURE):
+        vals = list(vals) + [0.0] * (5 - len(vals))
+        vals = vals + [capture]
         vals = [jnp.asarray(v, dtype=dtype) for v in vals]
-        vals += [jnp.zeros((), dtype=dtype)] * (8 - len(vals))
-        return jnp.stack(vals).reshape(1, 8)
+        vals += [jnp.zeros((), dtype=dtype)] * (10 - len(vals))
+        return jnp.stack(vals).reshape(1, 10)
     if isinstance(metric, EllisMetric):
         return "ellis", row([dt, escape_radius, metric.rho])
     if isinstance(metric, InterstellarMetric):
@@ -107,6 +141,9 @@ def _metric_kind_and_params(metric: Metric, dt, escape_radius, dtype):
                                     metric.rho])
     if isinstance(metric, FlatSphericalMetric):
         return "flat", row([dt, escape_radius])
+    if isinstance(metric, SchwarzschildMetric):
+        return "schwarzschild", row([dt, escape_radius, metric.m],
+                                    capture=metric.capture_radius)
     raise NotImplementedError(
         f"pallas march: unsupported metric {type(metric).__name__}")
 
@@ -125,9 +162,10 @@ def _march_kernel(kind: str, max_steps: int, unroll: int,
     a multiple of ``unroll`` (enforced by the wrapper) so the iteration cap
     is exact.
     """
-    shape = _shape_fns(kind)
+    deriv = _deriv_fns(kind)
     dt = params_ref[0, 0]
     R = params_ref[0, 1]
+    r_cap = params_ref[0, 5]
 
     l = l_ref[:]
     psi = psi_ref[:]
@@ -138,32 +176,34 @@ def _march_kernel(kind: str, max_steps: int, unroll: int,
     zero = jnp.zeros_like(l)
     sign = jnp.zeros_like(l)
 
-    # Phase 1 — maskless sprint.  Null normalization gives |p_l| <= 1
-    # exactly (p_l^2 = 1 - b^2/r^2), so |l| moves at most dt per step: no
-    # ray can escape before (R - max|l|)/dt steps.  Run that prefix with the
-    # bare 6-op step (no masking, no escape checks); semantics identical
+    # Phase 1 — maskless sprint.  Null normalization bounds the coordinate
+    # speed: |dl/dlambda| = sqrt(1 - A b^2/r^2) <= 1 (unit-lapse metrics
+    # have A = 1), so |l| moves at most dt per step: no ray can escape or
+    # be captured before min(R - max|l|, min l - r_cap)/dt steps.  Run that
+    # prefix with the bare step (no masking, no checks); semantics identical
     # since dt*1.0 masking is exact for active rays.
-    # 5% margin: Euler drift lets |p_l| exceed 1 by O(1e-3); the sprint must
-    # provably end before any ray can cross R.
+    # 5% margin: Euler drift lets the speed exceed 1 by O(1e-3); the sprint
+    # must provably end before any ray can terminate.
     m0 = jnp.max(jnp.abs(l))
-    k_free = jnp.floor((R - m0) / (dt * 1.05) - 2.0).astype(jnp.int32)
+    d_free = jnp.minimum(R - m0, jnp.min(l) - r_cap)
+    k_free = jnp.floor(d_free / (dt * 1.05) - 2.0).astype(jnp.int32)
     k_free = jnp.clip(k_free, 0, max_steps)
     k_free = (k_free // unroll) * unroll
 
     def sprint(i, c):
         l, psi, p_l = c
         for _ in range(unroll):
-            inv, dr_r3 = shape(params_ref, l)
-            l = l + dt * p_l
-            psi = psi + dt * (b * inv)
-            p_l = p_l + dt * (b2 * dr_r3)
+            dl, dpsi, dpl = deriv(params_ref, l, p_l, b, b2)
+            l = l + dt * dl
+            psi = psi + dt * dpsi
+            p_l = p_l + dt * dpl
         return l, psi, p_l
 
     l, psi, p_l = lax.fori_loop(0, k_free // unroll, sprint, (l, psi, p_l))
     steps = jnp.zeros_like(l) + k_free.astype(l.dtype)
 
-    # Phase 2 — masked stepping with per-step escape checks (exact
-    # reference semantics) until the tile fully escapes.
+    # Phase 2 — masked stepping with per-step termination checks (exact
+    # reference escape semantics + capture) until the tile fully terminates.
     def cond(c):
         _, _, _, sign, _, it = c
         return (it < max_steps) & jnp.any(sign == 0.0)
@@ -173,12 +213,13 @@ def _march_kernel(kind: str, max_steps: int, unroll: int,
         for _ in range(unroll):
             alive = jnp.where(sign == 0.0, one, zero)
             dte = dt * alive
-            inv, dr_r3 = shape(params_ref, l)
-            l = l + dte * p_l
-            psi = psi + dte * (b * inv)
-            p_l = p_l + dte * (b2 * dr_r3)
+            dl, dpsi, dpl = deriv(params_ref, l, p_l, b, b2)
+            l = l + dte * dl
+            psi = psi + dte * dpsi
+            p_l = p_l + dte * dpl
             sign = sign + alive * (jnp.where(l > R, one, zero)
-                                   - jnp.where(l < -R, one, zero))
+                                   - jnp.where(l < -R, one, zero)
+                                   + 2.0 * jnp.where(l < r_cap, one, zero))
             steps = steps + alive
         return l, psi, p_l, sign, steps, it + unroll
 
@@ -217,7 +258,7 @@ def _march_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, tile_rows,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
             row_spec(), row_spec(), row_spec(), row_spec(),
         ],
         out_specs=[row_spec()] * 5,
@@ -293,12 +334,13 @@ _DP_B4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
 def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
                  params_ref, l_ref, psi_ref, pl_ref, b_ref,
                  ol_ref, opsi_ref, opl_ref, osign_ref, osteps_ref):
-    shape = _shape_fns(kind)
+    deriv = _deriv_fns(kind)
     R = params_ref[0, 1]
     dt0 = params_ref[0, 0]
-    rtol = params_ref[0, 5]
-    atol = params_ref[0, 6]
-    dt_max = params_ref[0, 7]
+    r_cap = params_ref[0, 5]
+    rtol = params_ref[0, 6]
+    atol = params_ref[0, 7]
+    dt_max = params_ref[0, 8]
 
     l = l_ref[:]
     psi = psi_ref[:]
@@ -312,8 +354,7 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
     steps = jnp.zeros_like(l)
 
     def rhs(li, pli):
-        inv, dr_r3 = shape(params_ref, li)
-        return pli, b * inv, b2 * dr_r3
+        return deriv(params_ref, li, pli, b, b2)
 
     def cond(c):
         _, _, _, _, sign, _, it = c
@@ -367,7 +408,8 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
         l = l + accept * frac * (l5 - l)
         psi = psi + accept * frac * (psi5 - psi)
         p_l = p_l + accept * frac * (pl5 - p_l)
-        sign = sign + esc_pos - esc_neg
+        capd = accept * jnp.where((l < r_cap) & (sign == 0.0), one, zero)
+        sign = sign + esc_pos - esc_neg + 2.0 * capd
         steps = steps + accept
 
         err_s = jnp.maximum(err, 1e-10)
@@ -415,7 +457,7 @@ def _rk45_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, max_iters,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
             row_spec(), row_spec(), row_spec(), row_spec(),
         ],
         out_specs=[row_spec()] * 5,
@@ -432,8 +474,8 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
     kind, params = _metric_kind_and_params(metric, dt0, escape_radius,
                                            rays.l.dtype)
     params = jnp.concatenate(
-        [params[:, :5],
-         jnp.asarray([[rtol, atol, dt_max]], params.dtype)], axis=1)
+        [params[:, :6],
+         jnp.asarray([[rtol, atol, dt_max, 0.0]], params.dtype)], axis=1)
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES

@@ -54,6 +54,22 @@ class PlanarResult(NamedTuple):
     steps: jax.Array    # int32
 
 
+def _unit_lapse(metric) -> bool:
+    """True for the reference's metric family (g00 = -1, g11 = 1;
+    metrics.rs:49-57). General static metrics (e.g. Schwarzschild) define
+    ``unit_lapse = False`` plus lapse/lapse_deriv/radial_B methods."""
+    return getattr(metric, "unit_lapse", True)
+
+
+def _capture_radius(metric):
+    """Coordinate radius below which a photon is irreversibly captured
+    (black-hole shadows); None for metrics without capture."""
+    return getattr(metric, "capture_radius", None)
+
+
+CAPTURED = 2      # PlanarResult.sign value for captured (shadow) rays
+
+
 def spawn_planar(metric: Metric, camera_position, directions_world) -> PlanarRays:
     """Decompose world ray directions into per-ray orbital planes.
 
@@ -78,11 +94,20 @@ def spawn_planar(metric: Metric, camera_position, directions_world) -> PlanarRay
     e2 = jnp.cross(n_hat, r_hat)
     r0 = metric.r(l0)
     shape = d.shape[:-1]
+    p_l = cos_a
+    b = sin_a * r0
+    if not _unit_lapse(metric):
+        # Static-observer tetrad spawn with the E = p_t = 1 affine
+        # normalization: p_l = d_l sqrt(B/A), b = d_psi r / sqrt(A).
+        A0 = metric.lapse(l0)
+        B0 = metric.radial_B(l0)
+        p_l = cos_a * jnp.sqrt(B0 / A0)
+        b = b / jnp.sqrt(A0)
     return PlanarRays(
         l=jnp.broadcast_to(l0, shape),
         psi=jnp.zeros(shape, dtype=d.dtype),
-        p_l=cos_a,
-        b=sin_a * r0,
+        p_l=p_l,
+        b=b,
         r_hat=r_hat,
         e2=e2,
     )
@@ -91,9 +116,22 @@ def spawn_planar(metric: Metric, camera_position, directions_world) -> PlanarRay
 def planar_rhs(metric: Metric, l, psi, p_l, b):
     r2 = metric.r_squared(l)
     r = metric.r(l)
-    dl = p_l
+    if _unit_lapse(metric):
+        dl = p_l
+        dpsi = b / r2
+        dp_l = (b * b) * metric.r_derivative(l) / (r2 * r)
+        return dl, dpsi, dp_l
+    # General static spherically symmetric metric with B = 1/A
+    #   ds^2 = -A dt^2 + dl^2/A + r^2 dOmega^2,  E = p_t = 1:
+    #   H = (-1/A + A p_l^2 + b^2/r^2)/2 = 0
+    #   dl     =  dH/dp_l = A p_l
+    #   dp_l   = -dH/dl   = -A'/2 (1/A^2 + p_l^2) + b^2 r'/r^3
+    A = metric.lapse(l)
+    Ap = metric.lapse_deriv(l)
+    dl = A * p_l
     dpsi = b / r2
-    dp_l = (b * b) * metric.r_derivative(l) / (r2 * r)
+    dp_l = (-0.5 * Ap * (1.0 / (A * A) + p_l * p_l)
+            + (b * b) * metric.r_derivative(l) / (r2 * r))
     return dl, dpsi, dp_l
 
 
@@ -137,9 +175,12 @@ def march_planar_while(metric: Metric, rays: PlanarRays, *, dt, max_steps,
         p_l = jnp.where(active, pl1, p_l)
         sign = jnp.where(active & (l > escape_radius), 1,
                          jnp.where(active & (l < -escape_radius), -1, sign))
+        if r_cap is not None:
+            sign = jnp.where(active & (l < r_cap), CAPTURED, sign)
         steps = steps + active.astype(jnp.int32)
         return l, psi, p_l, sign, steps, it + 1
 
+    r_cap = _capture_radius(metric)
     l, psi, p_l, sign, steps, _ = lax.while_loop(
         cond, body, (rays.l, rays.psi, rays.p_l, sign0, steps0, jnp.int32(0)))
     return PlanarResult(l, psi, p_l, sign, steps)
@@ -157,6 +198,8 @@ def march_planar_scan(metric: Metric, rays: PlanarRays, *, dt, max_steps,
     sign0 = jnp.zeros(rays.l.shape, dtype=jnp.int32)
     steps0 = jnp.zeros(rays.l.shape, dtype=jnp.int32)
 
+    r_cap = _capture_radius(metric)
+
     def one(c, _):
         l, psi, p_l, sign, steps = c
         active = sign == 0
@@ -166,6 +209,8 @@ def march_planar_scan(metric: Metric, rays: PlanarRays, *, dt, max_steps,
         p_l = jnp.where(active, pl1, p_l)
         sign = jnp.where(active & (l > escape_radius), 1,
                          jnp.where(active & (l < -escape_radius), -1, sign))
+        if r_cap is not None:
+            sign = jnp.where(active & (l < r_cap), CAPTURED, sign)
         steps = steps + active.astype(jnp.int32)
         return (l, psi, p_l, sign, steps), None
 
@@ -216,6 +261,8 @@ def march_planar_tiled(metric: Metric, rays: PlanarRays, *, dt, max_steps,
     shape2 = (n_pad // tile, tile)
     l, psi, p_l, b = (a.reshape(shape2) for a in (l, psi, p_l, b))
 
+    r_cap = _capture_radius(metric)
+
     def tile_fn(args):
         l, psi, p_l, b = args
         sign0 = jnp.zeros_like(l, dtype=jnp.int32)
@@ -240,6 +287,8 @@ def march_planar_tiled(metric: Metric, rays: PlanarRays, *, dt, max_steps,
                 sign = jnp.where(active & (l > escape_radius), 1,
                                  jnp.where(active & (l < -escape_radius), -1,
                                            sign))
+                if r_cap is not None:
+                    sign = jnp.where(active & (l < r_cap), CAPTURED, sign)
                 steps = steps + active.astype(jnp.int32)
             return l, psi, p_l, sign, steps, it + unroll
 
@@ -259,9 +308,13 @@ def march_planar_tiled(metric: Metric, rays: PlanarRays, *, dt, max_steps,
 
 def escape_angle_beta(metric: Metric, res: PlanarResult, b):
     """Exact in-plane escape direction angle beta (from the launch radius):
-    beta = psi + atan2(u_psi, u_l) with u_l = p_l, u_psi = b / r(l)."""
+    beta = psi + atan2(u_psi, u_l) with local components u_psi = b / r,
+    u_l = p_l / sqrt(B) (= p_l sqrt(A) for the B = 1/A metrics)."""
     u_psi = b / metric.r(res.l)
-    return res.psi + jnp.arctan2(u_psi, res.p_l)
+    u_l = res.p_l
+    if not _unit_lapse(metric):
+        u_l = u_l * jnp.sqrt(metric.lapse(res.l))
+    return res.psi + jnp.arctan2(u_psi, u_l)
 
 
 def planar_world_directions(metric: Metric, rays: PlanarRays, res: PlanarResult):

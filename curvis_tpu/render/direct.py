@@ -92,7 +92,8 @@ def shade(bg_positive: SphericalImage, bg_negative: SphericalImage,
     pos = sample(bg_positive, directions, filtering=filtering)
     neg = sample(bg_negative, directions, filtering=filtering)
     s = sign[..., None]
-    return jnp.where(s > 0, pos, jnp.where(s < 0, neg, jnp.zeros_like(pos)))
+    return jnp.where(s == 1, pos,
+                     jnp.where(s == -1, neg, jnp.zeros_like(pos)))
 
 
 def render_direct(metric, camera: Camera, bg_positive: SphericalImage,

@@ -74,9 +74,16 @@ def _spawn_planar_soa(metric: Metric, camera: Camera, dx, dy, dz):
     e2y = nz * rx - nx * rz
     e2z = nx * ry - ny * rx
     b = sin_a * metric.r(l0)
+    p_l0 = cos_a
+    from curvis_tpu.physics.planar import _unit_lapse
+    if not _unit_lapse(metric):
+        A0 = metric.lapse(l0)
+        B0 = metric.radial_B(l0)
+        p_l0 = cos_a * jnp.sqrt(B0 / A0)
+        b = b / jnp.sqrt(A0)
     l = jnp.full_like(cos_a, 1.0) * l0
     psi = jnp.zeros_like(cos_a)
-    return (l, psi, cos_a, b), (rx, ry, rz), (e2x, e2y, e2z)
+    return (l, psi, p_l0, b), (rx, ry, rz), (e2x, e2y, e2z)
 
 
 def _texture_uv(img: SphericalImage, wx, wy, wz):
@@ -247,7 +254,11 @@ def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
                                     escape_radius=escape_radius,
                                     stepper=stepper)
     # readout: w = cos(beta) r_hat + sin(beta) e2, componentwise
-    beta = res.psi + jnp.arctan2(b / metric.r(res.l), res.p_l)
+    from curvis_tpu.physics.planar import _unit_lapse
+    u_l = res.p_l
+    if not _unit_lapse(metric):
+        u_l = u_l * jnp.sqrt(metric.lapse(res.l))
+    beta = res.psi + jnp.arctan2(b / metric.r(res.l), u_l)
     cb, sb = jnp.cos(beta), jnp.sin(beta)
     wx = cb * rx + sb * e2x
     wy = cb * ry + sb * e2y
@@ -258,7 +269,7 @@ def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
         # once from the concatenated [positive; negative] texture rows.
         up, vp = _texture_uv(bg_positive, wx, wy, wz)
         un, vn = _texture_uv(bg_negative, wx, wy, wz)
-        neg = sign < 0
+        neg = sign == -1
         u = jnp.where(neg, un, up)
         v = jnp.where(neg, vn, vp)
         H, W = bg_positive.height, bg_positive.width
@@ -270,8 +281,10 @@ def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
         pos_rgb = _shade_soa(bg_positive, wx, wy, wz, filtering)
         neg_rgb = _shade_soa(bg_negative, wx, wy, wz, filtering)
         s = sign[:, None]
-        colors = jnp.where(s > 0, pos_rgb, neg_rgb)
-    colors = jnp.where((sign != 0)[:, None], colors, jnp.zeros_like(colors))
+        colors = jnp.where(s == 1, pos_rgb, neg_rgb)
+    # not-escaped (0) and captured (2, black-hole shadow) rays render black
+    lit = (sign == 1) | (sign == -1)
+    colors = jnp.where(lit[:, None], colors, jnp.zeros_like(colors))
     W, H = camera.resolution_x, camera.resolution_y
     if n_frames == 1:
         return colors.reshape(W, H, 3).transpose(1, 0, 2)

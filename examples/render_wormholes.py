@@ -74,12 +74,15 @@ def main(argv=None):
                             [0.0, 0.0, 1.0], 15.0, 43.0, W, H, dtype=dtype)
 
     scenes = [
-        ("ellis", cv.make_metric("ellis", rho=1.0)),
+        ("ellis", cv.make_metric("ellis", rho=1.0), camera),
         ("interstellar", cv.make_metric("interstellar", m=0.5, a=0.5,
-                                        rho=1.0)),
+                                        rho=1.0), camera),
+        ("schwarzschild", cv.make_metric("schwarzschild", m=1.0),
+         cv.make_camera([0.0, 25.0, np.pi / 2, 0.0], [-1.0, 0.0, 0.0],
+                        [0.0, 0.0, 1.0], 15.0, 43.0, W, H, dtype=dtype)),
     ]
-    for name, metric in scenes:
-        img = render_planar_fast(metric, camera, bg_pos, bg_neg, dt=0.05,
+    for name, metric, camx in scenes:
+        img = render_planar_fast(metric, camx, bg_pos, bg_neg, dt=0.05,
                                  max_steps=20_000, escape_radius=100.0,
                                  stepper="rk45", filtering="bilinear")
         out = args.outdir / f"{name}.png"
