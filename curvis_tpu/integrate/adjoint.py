@@ -52,6 +52,8 @@ def march_planar_adjoint(metric, state, b, dt, max_steps, escape_radius):
 
 
 def _forward(metric, state, b, dt, max_steps, escape_radius):
+    from curvis_tpu.physics.planar import _capture_radius
+    r_cap = _capture_radius(metric)
     l, psi, p_l = state
     sign0 = jnp.zeros_like(l, dtype=jnp.int32)
     steps0 = jnp.zeros_like(l, dtype=jnp.int32)
@@ -68,6 +70,8 @@ def _forward(metric, state, b, dt, max_steps, escape_radius):
         ln = y[0]
         sign = jnp.where(active & (ln > escape_radius), 1,
                          jnp.where(active & (ln < -escape_radius), -1, sign))
+        if r_cap is not None:
+            sign = jnp.where(active & (ln < r_cap), 2, sign)
         steps = steps + active.astype(jnp.int32)
         return y, sign, steps, it + 1
 

@@ -139,6 +139,11 @@ def render_direct(metric, camera: Camera, bg_positive: SphericalImage,
         w = normalize(pl.planar_world_directions(metric, rays, res))
         sign = res.sign
     elif method == "frame3d":
+        from curvis_tpu.physics.planar import _unit_lapse
+        if not _unit_lapse(metric):
+            raise NotImplementedError(
+                "method='frame3d' marches the reference's g00=-1 system; "
+                "general static metrics (Schwarzschild) use method='planar'")
         x0, p0 = spawn_pixel_photons(metric, camera,
                                      center_pixels=center_pixels,
                                      frame_convention=frame_convention)

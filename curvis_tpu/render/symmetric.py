@@ -56,6 +56,11 @@ def compute_escape_angles(metric: Metric, l0, alphas, *, dt, max_steps,
     l0 = jnp.asarray(l0, dtype)
     p_l = jnp.cos(alphas)
     b = jnp.sin(alphas) * metric.r(l0)
+    from curvis_tpu.physics.planar import _unit_lapse
+    if not _unit_lapse(metric):
+        A0 = metric.lapse(l0)
+        p_l = p_l * jnp.sqrt(metric.radial_B(l0) / A0)
+        b = b / jnp.sqrt(A0)
     rays = pl.PlanarRays(
         l=jnp.full_like(alphas, 1.0) * l0,
         psi=jnp.zeros_like(alphas),
@@ -75,6 +80,8 @@ def compute_escape_angles(metric: Metric, l0, alphas, *, dt, max_steps,
     # tangent direction at escape: (u_l, u_psi) in the photon's plane; the
     # plane here IS the equatorial plane with psi = phi.
     u_l = res.p_l
+    if not _unit_lapse(metric):
+        u_l = u_l * jnp.sqrt(metric.lapse(res.l))
     u_psi = b / metric.r(res.l)
     if exact_escape_angle:
         angle = jnp.mod(res.psi + jnp.arctan2(u_psi, u_l), 2.0 * jnp.pi)
