@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                         default="euler",
                         help="euler = reference parity; rk45 = adaptive "
                              "quality mode (direct renderer)")
+        sp.add_argument("--supersample", type=int, default=1,
+                        help="k x k rays per pixel, box-filtered (direct "
+                             "renderer anti-aliasing)")
         sp.add_argument("--f64", action="store_true",
                         help="double precision (CPU)")
 
@@ -118,7 +121,8 @@ def image_main(args) -> int:
     else:
         from curvis_tpu.render.fast import render_planar_fast
         img = render_planar_fast(metric, camera, bgp, bgn,
-                                 stepper=args.stepper, **kw)
+                                 stepper=args.stepper,
+                                 supersample=args.supersample, **kw)
     out = args.output_folder / f"{img_s.image_name}.png"
     cvt.save_image(np.asarray(img), out)
     print(f"saved {out}")

@@ -196,10 +196,14 @@ def render_planar_fast(metric: Metric, camera: Camera,
                        bg_positive: SphericalImage,
                        bg_negative: SphericalImage, *, dt, max_steps,
                        escape_radius, filtering="nearest", backend="auto",
-                       center_pixels=False, stepper="euler"):
+                       center_pixels=False, stepper="euler", supersample=1):
     """(H, W, 3) image; SoA throughout.  Self-jitting: eager calls reuse a
     cached compiled bundle (eager op-by-op dispatch costs seconds over the
     remote-TPU tunnel); calls from inside jit simply inline.
+
+    ``supersample=k`` renders k x k rays per pixel (centered) and box-filters
+    — the anti-aliasing fix for the reference's documented boundary artifacts
+    (README.md:108); cost scales with k^2.
 
     f32 caveat: rays traversing the throat amplify ulp-level rounding
     differences exponentially (the deflection map is chaotic there), so f32
@@ -209,6 +213,18 @@ def render_planar_fast(metric: Metric, camera: Camera,
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() and stepper == "euler") else "tiled"
+    if supersample > 1:
+        import dataclasses
+        k = int(supersample)
+        big = dataclasses.replace(camera,
+                                  resolution_x=camera.resolution_x * k,
+                                  resolution_y=camera.resolution_y * k)
+        img = _render_planar_fast_jit(metric, big, bg_positive, bg_negative,
+                                      dt, escape_radius, max_steps=max_steps,
+                                      filtering=filtering, backend=backend,
+                                      center_pixels=True, stepper=stepper)
+        H, W = camera.resolution_y, camera.resolution_x
+        return img.reshape(H, k, W, k, 3).mean(axis=(1, 3))
     return _render_planar_fast_jit(metric, camera, bg_positive, bg_negative,
                                    dt, escape_radius, max_steps=max_steps,
                                    filtering=filtering, backend=backend,

@@ -107,3 +107,19 @@ def test_scene_api(rng):
     out = jax.jit(lambda sc: sc.render_image(dt=0.05, max_steps=5000,
                                              escape_radius=30.0))(scene)
     assert out.shape == (14, 24, 3)
+
+
+def test_supersampling(rng):
+    """supersample=2 box-filters a 2x-res render; mean brightness within a
+    hair of the base render and shapes unchanged."""
+    from curvis_tpu.render.fast import render_planar_fast
+    metric = cv.make_metric("ellis", rho=1.0)
+    cam = _camera([-1.0, 0.0, 0.0], res=(24, 14))
+    bg = _bg(rng)
+    kw = dict(dt=0.05, max_steps=30_000, escape_radius=50.0,
+              backend="tiled", filtering="bilinear")
+    a = np.asarray(render_planar_fast(metric, cam, bg, bg, **kw))
+    b = np.asarray(render_planar_fast(metric, cam, bg, bg, supersample=2,
+                                      **kw))
+    assert b.shape == a.shape == (14, 24, 3)
+    assert abs(a.mean() - b.mean()) < 0.05
