@@ -1,0 +1,167 @@
+"""Accretion-disk rendering — the signature black-hole visual.
+
+A thin, luminous disk in the world equatorial plane (z = 0) between inner
+and outer radii.  During the planar march each ray tracks its world
+z-coordinate z = r(l) (c1 cos psi + c2 sin psi) with (cos psi, sin psi)
+advanced incrementally (2 fused ops/step, no per-step trig); a sign change
+of z between steps is a disk-plane crossing, and the crossing radius is
+linearly interpolated within the step.  The first two hits inside
+[r_inner, r_outer] are recorded — the second is the far side of the disk
+seen lensed above/below the hole, which is what produces the iconic
+"Interstellar" look.
+
+Shading: emissivity ~ (r_in / r)^q with smooth edge fades, optional
+gravitational redshift factor A(r)^{1/2} (photons from deeper in the well
+arrive dimmer/redder), alpha-composited over the lensed background.
+
+This goes beyond the reference (no disks, no black holes) and beyond its
+wishlist.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from curvis_tpu.camera.camera import Camera
+from curvis_tpu.env.spherical_image import SphericalImage
+from curvis_tpu.metrics.base import Metric
+from curvis_tpu.physics import planar as pl
+from curvis_tpu.render.fast import (_finish_render, _pixel_dirs_soa,
+                                    _spawn_planar_soa)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiskParams:
+    r_inner: float = 6.0          # ~ISCO for M=1
+    r_outer: float = 14.0
+    emissivity_index: float = 2.0
+    brightness: float = 1.0
+    tint: tuple = (1.0, 0.71, 0.42)     # hot thermal white-orange
+    opacity: float = 0.85               # per crossing
+    redshift: bool = True
+
+
+def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
+                      max_steps, escape_radius, r_inner, r_outer):
+    """While-loop planar march that also records the first two disk-plane
+    crossings with radius inside [r_inner, r_outer].
+
+    ``c1``, ``c2``: per-ray z-components of the orbital-plane basis
+    (e1_z, e2_z) so that z = r(l) (c1 cos psi + c2 sin psi).
+    Returns (PlanarResult, hit1_r, hit2_r) with 0.0 marking "no hit".
+    """
+    dtype = rays.l.dtype
+    dt = jnp.asarray(dt, dtype)
+    r_cap = pl._capture_radius(metric)
+    step = pl._PLANAR_STEPPERS["euler"]
+
+    l0 = rays.l
+    u0 = jnp.cos(rays.psi)
+    v0 = jnp.sin(rays.psi)
+    z0 = metric.r(l0) * (c1 * u0 + c2 * v0)
+    state0 = (rays.l, rays.psi, rays.p_l, u0, v0, z0,
+              jnp.zeros_like(l0), jnp.zeros_like(l0),
+              jnp.zeros(l0.shape, jnp.int32), jnp.zeros(l0.shape, jnp.int32),
+              jnp.int32(0))
+
+    def cond(c):
+        sign = c[8]
+        it = c[10]
+        return (it < max_steps) & jnp.any(sign == 0)
+
+    def body(c):
+        l, psi, p_l, u, v, z, h1, h2, sign, steps, it = c
+        active = sign == 0
+        # geodesic step + incremental rotation of (cos psi, sin psi)
+        dl, dpsi, dpl = pl.planar_rhs(metric, l, psi, p_l, rays.b)
+        l1 = l + dt * dl
+        psi1 = psi + dt * dpsi
+        pl1 = p_l + dt * dpl
+        du = dt * dpsi
+        u1 = u - v * du
+        v1 = v + u * du
+        z1 = metric.r(l1) * (c1 * u1 + c2 * v1)
+        # disk crossing: z changes sign within the step
+        crossed = active & (z * z1 < 0.0)
+        frac = jnp.abs(z) / jnp.maximum(jnp.abs(z) + jnp.abs(z1), 1e-30)
+        r_hit = jnp.abs(l + frac * (l1 - l))          # coordinate radius
+        in_disk = crossed & (r_hit >= r_inner) & (r_hit <= r_outer)
+        new_h1 = in_disk & (h1 == 0.0)
+        new_h2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
+        h1 = jnp.where(new_h1, r_hit, h1)
+        h2 = jnp.where(new_h2, r_hit, h2)
+
+        l = jnp.where(active, l1, l)
+        psi = jnp.where(active, psi1, psi)
+        p_l = jnp.where(active, pl1, p_l)
+        u = jnp.where(active, u1, u)
+        v = jnp.where(active, v1, v)
+        z = jnp.where(active, z1, z)
+        sign = jnp.where(active & (l > escape_radius), 1,
+                         jnp.where(active & (l < -escape_radius), -1, sign))
+        if r_cap is not None:
+            sign = jnp.where(active & (l < r_cap), pl.CAPTURED, sign)
+        steps = steps + active.astype(jnp.int32)
+        return l, psi, p_l, u, v, z, h1, h2, sign, steps, it + 1
+
+    out = lax.while_loop(cond, body, state0)
+    l, psi, p_l, _, _, _, h1, h2, sign, steps, _ = out
+    return pl.PlanarResult(l, psi, p_l, sign, steps), h1, h2
+
+
+def _disk_rgb(metric, r_hit, params: DiskParams, dtype):
+    """Emission color+alpha of a disk crossing at radius r_hit (0 = none)."""
+    hit = r_hit > 0.0
+    rr = jnp.maximum(r_hit, params.r_inner)
+    emis = (params.r_inner / rr) ** params.emissivity_index
+    # smooth fade at both edges
+    w = params.r_outer - params.r_inner
+    edge_in = jnp.clip((r_hit - params.r_inner) / (0.1 * w), 0.0, 1.0)
+    edge_out = jnp.clip((params.r_outer - r_hit) / (0.3 * w), 0.0, 1.0)
+    glow = params.brightness * emis * edge_in * edge_out
+    if params.redshift and not pl._unit_lapse(metric):
+        glow = glow * jnp.sqrt(jnp.clip(metric.lapse(rr), 0.0, 1.0))
+    tint = jnp.asarray(params.tint, dtype)
+    rgb = glow[:, None] * tint[None, :]
+    alpha = jnp.where(hit, params.opacity * jnp.clip(glow, 0.25, 1.0), 0.0)
+    return rgb, alpha
+
+
+def render_blackhole_disk(metric: Metric, camera: Camera,
+                          bg: SphericalImage, *, dt=0.02, max_steps=100_000,
+                          escape_radius=100.0, disk: DiskParams = None,
+                          filtering="bilinear"):
+    """(H, W, 3): lensed background + shadow + two-crossing accretion disk."""
+    disk = disk or DiskParams()
+    dx, dy, dz = _pixel_dirs_soa(camera, False)
+    (l, psi, p_l, b), r_hat, e2 = _spawn_planar_soa(metric, camera, dx, dy,
+                                                    dz)
+    # world z-components of each ray's in-plane basis: e1 = r_hat (scalar
+    # camera direction), e2 per-ray
+    c1 = jnp.broadcast_to(r_hat[2], l.shape)
+    c2 = e2[2]
+    rays = pl.PlanarRays(l, psi, p_l, b, jnp.zeros((1, 3), l.dtype),
+                         jnp.zeros((1, 3), l.dtype))
+    res, h1, h2 = march_planar_disk(
+        metric, rays, c1, c2, dt=dt, max_steps=max_steps,
+        escape_radius=escape_radius, r_inner=disk.r_inner,
+        r_outer=disk.r_outer)
+    # background color via the standard readout/shade tail
+    img_bg = _finish_render(metric, camera, bg, bg, (res.l, res.psi, res.p_l,
+                                                     b), r_hat, e2,
+                            dt=dt, max_steps=max_steps,
+                            escape_radius=escape_radius, filtering=filtering,
+                            backend="precomputed", stepper="euler",
+                            n_frames=1, precomputed=res)
+    H, W = camera.resolution_y, camera.resolution_x
+    bg_colors = img_bg.transpose(1, 0, 2).reshape(-1, 3)
+    rgb1, a1 = _disk_rgb(metric, h1, disk, l.dtype)
+    rgb2, a2 = _disk_rgb(metric, h2, disk, l.dtype)
+    # composite: hit1 over hit2 over background
+    behind = rgb2 * a2[:, None] + bg_colors * (1.0 - a2[:, None])
+    out = rgb1 * a1[:, None] + behind * (1.0 - a1[:, None])
+    out = jnp.clip(out, 0.0, 1.0)
+    return out.reshape(W, H, 3).transpose(1, 0, 2)

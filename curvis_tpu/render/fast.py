@@ -234,13 +234,15 @@ def render_planar_fast(metric: Metric, camera: Camera,
 
 def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
                    e2, *, dt, max_steps, escape_radius, filtering, backend,
-                   stepper, n_frames):
+                   stepper, n_frames, precomputed=None):
     """March + readout + shade + image assembly.  ``r_hat``/``e2`` components
-    may be scalars (single frame) or (N,) arrays (frame batches)."""
+    may be scalars (single frame) or (N,) arrays (frame batches).
+    ``backend='precomputed'`` skips the march and shades an existing
+    PlanarResult (``precomputed``)."""
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() and stepper == "euler") else "tiled"
-    if stepper == "rk45":
+    if stepper == "rk45" and backend != "precomputed":
         backend = "rk45"
     l, psi, p_l, b = state
     rx, ry, rz = r_hat
@@ -248,7 +250,9 @@ def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
     rays = pl.PlanarRays(l=l, psi=psi, p_l=p_l, b=b,
                          r_hat=jnp.zeros((1, 3), l.dtype),
                          e2=jnp.zeros((1, 3), l.dtype))
-    if backend == "pallas":
+    if backend == "precomputed":
+        res = precomputed
+    elif backend == "pallas":
         from curvis_tpu.ops.march_pallas import march_planar_pallas
         res = march_planar_pallas(metric, rays, dt=dt, max_steps=max_steps,
                                   escape_radius=escape_radius, sort=False,

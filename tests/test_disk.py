@@ -1,0 +1,66 @@
+"""Accretion-disk rendering: crossing detection oracle + image structure."""
+import jax.numpy as jnp
+import numpy as np
+
+import curvis_tpu as cv
+from curvis_tpu.metrics.base import SchwarzschildMetric
+from curvis_tpu.physics import planar as pl
+from curvis_tpu.render.disk import (DiskParams, march_planar_disk,
+                                    render_blackhole_disk)
+
+
+def test_flat_space_disk_crossing_radius():
+    """Analytic oracle: a straight ray in flat space from (l0, z-plane tilt)
+    crosses z=0 at a computable radius."""
+    metric = cv.make_metric("flat")
+    # ray in a plane tilted so e1=(x toward origin-ish), launch geometry:
+    # start at l0 on +x axis (e1 = x_hat), plane with e2 = (0, s, c) so the
+    # z-component of e2 is c; ray direction alpha from e1.
+    l0 = 20.0
+    alpha = 2.6           # mostly inward, some transverse
+    c1, c2 = -0.3, 0.8    # z-components of (e1, e2); start above the plane,
+    #                        heading down through it
+    rays = pl.PlanarRays(l=jnp.asarray([l0]), psi=jnp.asarray([0.0]),
+                         p_l=jnp.asarray([np.cos(alpha)]),
+                         b=jnp.asarray([np.sin(alpha) * l0]),
+                         r_hat=jnp.zeros((1, 3)), e2=jnp.zeros((1, 3)))
+    res, h1, h2 = march_planar_disk(
+        metric, rays, jnp.asarray([c1]), jnp.asarray([c2]), dt=0.002,
+        max_steps=100_000, escape_radius=60.0, r_inner=0.1, r_outer=60.0)
+    # analytic: straight line P(t) = l0 e1 + t d, d = cos(a) e1 + sin(a) e2
+    # z(t) = (l0 + t cos a) c1 + t sin a c2 = 0
+    t_cross = -l0 * c1 / (np.cos(alpha) * c1 + np.sin(alpha) * c2)
+    x1 = l0 + t_cross * np.cos(alpha)
+    x2 = t_cross * np.sin(alpha)
+    r_expected = np.hypot(x1, x2)
+    assert t_cross > 0
+    np.testing.assert_allclose(float(h1[0]), r_expected, rtol=1e-3)
+
+
+def test_blackhole_disk_image(rng):
+    """Image structure: shadow, bright disk band, lensed far side above the
+    hole (a disk hit where the geometric disk is edge-on/behind)."""
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0))
+    # camera slightly above the disk plane, aimed at the hole: the classic
+    # "Gargantua" framing
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 96, 54, dtype=jnp.float64)
+    bg = cv.make_spherical_image(0.02 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float64)
+    img = np.asarray(render_blackhole_disk(
+        metric, cam, bg, dt=0.05, max_steps=40_000, escape_radius=80.0,
+        disk=DiskParams(r_inner=5.2, r_outer=13.0, brightness=2.2,
+                        opacity=0.95)))
+    H, W = img.shape[:2]
+    assert img.shape == (54, 96, 3)
+    lum = img.sum(-1)
+    # a substantial bright disk against the dim background
+    assert (lum > 0.5).mean() > 0.08
+    # the shadow (dark) sits just above center
+    center = lum[H // 2 - 8:H // 2, W // 2 - 4:W // 2 + 4]
+    assert center.min() < 0.05
+    # bright emission above AND below the shadow: the lensed far side
+    assert (lum[: H // 4] > 0.5).any()
+    assert (lum[3 * H // 4:] > 0.3).any()
