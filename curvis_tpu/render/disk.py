@@ -42,6 +42,8 @@ class DiskParams:
     tint: tuple = (1.0, 0.71, 0.42)     # hot thermal white-orange
     opacity: float = 0.85               # per crossing
     redshift: bool = True
+    doppler: bool = True                # relativistic beaming (g^3)
+    spin_sign: float = 1.0              # disk rotation sense
 
 
 def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
@@ -51,7 +53,9 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
 
     ``c1``, ``c2``: per-ray z-components of the orbital-plane basis
     (e1_z, e2_z) so that z = r(l) (c1 cos psi + c2 sin psi).
-    Returns (PlanarResult, hit1_r, hit2_r) with 0.0 marking "no hit".
+    Returns (PlanarResult, (hit1_r, hit1_pl), (hit2_r, hit2_pl)) with
+    r = 0.0 marking "no hit"; pl is the radial momentum at the crossing
+    (for Doppler shading).
     """
     dtype = rays.l.dtype
     dt = jnp.asarray(dt, dtype)
@@ -62,18 +66,19 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
     u0 = jnp.cos(rays.psi)
     v0 = jnp.sin(rays.psi)
     z0 = metric.r(l0) * (c1 * u0 + c2 * v0)
+    zeros = jnp.zeros_like(l0)
     state0 = (rays.l, rays.psi, rays.p_l, u0, v0, z0,
-              jnp.zeros_like(l0), jnp.zeros_like(l0),
+              zeros, zeros, zeros, zeros,
               jnp.zeros(l0.shape, jnp.int32), jnp.zeros(l0.shape, jnp.int32),
               jnp.int32(0))
 
     def cond(c):
-        sign = c[8]
-        it = c[10]
+        sign = c[10]
+        it = c[12]
         return (it < max_steps) & jnp.any(sign == 0)
 
     def body(c):
-        l, psi, p_l, u, v, z, h1, h2, sign, steps, it = c
+        l, psi, p_l, u, v, z, h1, h1p, h2, h2p, sign, steps, it = c
         active = sign == 0
         # geodesic step + incremental rotation of (cos psi, sin psi)
         dl, dpsi, dpl = pl.planar_rhs(metric, l, psi, p_l, rays.b)
@@ -89,10 +94,13 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
         frac = jnp.abs(z) / jnp.maximum(jnp.abs(z) + jnp.abs(z1), 1e-30)
         r_hit = jnp.abs(l + frac * (l1 - l))          # coordinate radius
         in_disk = crossed & (r_hit >= r_inner) & (r_hit <= r_outer)
+        pl_hit = p_l + frac * (pl1 - p_l)
         new_h1 = in_disk & (h1 == 0.0)
         new_h2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
         h1 = jnp.where(new_h1, r_hit, h1)
+        h1p = jnp.where(new_h1, pl_hit, h1p)
         h2 = jnp.where(new_h2, r_hit, h2)
+        h2p = jnp.where(new_h2, pl_hit, h2p)
 
         l = jnp.where(active, l1, l)
         psi = jnp.where(active, psi1, psi)
@@ -105,15 +113,25 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
         if r_cap is not None:
             sign = jnp.where(active & (l < r_cap), pl.CAPTURED, sign)
         steps = steps + active.astype(jnp.int32)
-        return l, psi, p_l, u, v, z, h1, h2, sign, steps, it + 1
+        return l, psi, p_l, u, v, z, h1, h1p, h2, h2p, sign, steps, it + 1
 
     out = lax.while_loop(cond, body, state0)
-    l, psi, p_l, _, _, _, h1, h2, sign, steps, _ = out
-    return pl.PlanarResult(l, psi, p_l, sign, steps), h1, h2
+    l, psi, p_l, _, _, _, h1, h1p, h2, h2p, sign, steps, _ = out
+    return pl.PlanarResult(l, psi, p_l, sign, steps), (h1, h1p), (h2, h2p)
 
 
-def _disk_rgb(metric, r_hit, params: DiskParams, dtype):
-    """Emission color+alpha of a disk crossing at radius r_hit (0 = none)."""
+def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype):
+    """Emission color+alpha of a disk crossing at radius r_hit (0 = none).
+
+    Doppler beaming: disk material orbits at v = sqrt(M/r)/sqrt(1-2M/r)
+    (local static-frame speed of a circular geodesic).  The cosine between
+    the photon's local direction and the flow reduces to u_psi_hat * n_z
+    where n_z is the photon plane normal's z-component (the plane meets the
+    equatorial plane along the radial direction at the hit, so the
+    projection of the photon's transverse direction onto phi_hat is exactly
+    n.z — a per-ray constant).  Total g = sqrt(A) / (gamma (1 - v cos_xi)),
+    intensity scaled by g^3.
+    """
     hit = r_hit > 0.0
     rr = jnp.maximum(r_hit, params.r_inner)
     emis = (params.r_inner / rr) ** params.emissivity_index
@@ -122,8 +140,22 @@ def _disk_rgb(metric, r_hit, params: DiskParams, dtype):
     edge_in = jnp.clip((r_hit - params.r_inner) / (0.1 * w), 0.0, 1.0)
     edge_out = jnp.clip((params.r_outer - r_hit) / (0.3 * w), 0.0, 1.0)
     glow = params.brightness * emis * edge_in * edge_out
-    if params.redshift and not pl._unit_lapse(metric):
-        glow = glow * jnp.sqrt(jnp.clip(metric.lapse(rr), 0.0, 1.0))
+    general = not pl._unit_lapse(metric)
+    if general and (params.redshift or params.doppler):
+        A = jnp.clip(metric.lapse(rr), 1e-3, 1.0)
+        g = jnp.sqrt(A) if params.redshift else jnp.ones_like(A)
+        if params.doppler:
+            M = metric.m
+            v = jnp.sqrt(M / rr) / jnp.sqrt(A)
+            v = jnp.clip(v, 0.0, 0.99)
+            gamma = jax.lax.rsqrt(1.0 - v * v)
+            # photon local direction components at the crossing
+            u_l = pl_hit * jnp.sqrt(A)
+            u_psi = b / rr
+            inv = jax.lax.rsqrt(u_l * u_l + u_psi * u_psi + 1e-30)
+            cos_xi = (u_psi * inv) * nz * params.spin_sign
+            g = g / (gamma * (1.0 - v * cos_xi))
+        glow = glow * jnp.clip(g, 0.0, 4.0) ** 3
     tint = jnp.asarray(params.tint, dtype)
     rgb = glow[:, None] * tint[None, :]
     alpha = jnp.where(hit, params.opacity * jnp.clip(glow, 0.25, 1.0), 0.0)
@@ -158,8 +190,10 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
                             n_frames=1, precomputed=res)
     H, W = camera.resolution_y, camera.resolution_x
     bg_colors = img_bg.transpose(1, 0, 2).reshape(-1, 3)
-    rgb1, a1 = _disk_rgb(metric, h1, disk, l.dtype)
-    rgb2, a2 = _disk_rgb(metric, h2, disk, l.dtype)
+    # photon plane normal z-component: n = e1 x e2 -> n_z = e1x e2y - e1y e2x
+    nz = r_hat[0] * e2[1] - r_hat[1] * e2[0]
+    rgb1, a1 = _disk_rgb(metric, h1[0], h1[1], b, nz, disk, l.dtype)
+    rgb2, a2 = _disk_rgb(metric, h2[0], h2[1], b, nz, disk, l.dtype)
     # composite: hit1 over hit2 over background
     behind = rgb2 * a2[:, None] + bg_colors * (1.0 - a2[:, None])
     out = rgb1 * a1[:, None] + behind * (1.0 - a1[:, None])

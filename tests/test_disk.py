@@ -24,7 +24,7 @@ def test_flat_space_disk_crossing_radius():
                          p_l=jnp.asarray([np.cos(alpha)]),
                          b=jnp.asarray([np.sin(alpha) * l0]),
                          r_hat=jnp.zeros((1, 3)), e2=jnp.zeros((1, 3)))
-    res, h1, h2 = march_planar_disk(
+    res, (h1, _h1p), _h2 = march_planar_disk(
         metric, rays, jnp.asarray([c1]), jnp.asarray([c2]), dt=0.002,
         max_steps=100_000, escape_radius=60.0, r_inner=0.1, r_outer=60.0)
     # analytic: straight line P(t) = l0 e1 + t d, d = cos(a) e1 + sin(a) e2
@@ -64,3 +64,33 @@ def test_blackhole_disk_image(rng):
     # bright emission above AND below the shadow: the lensed far side
     assert (lum[: H // 4] > 0.5).any()
     assert (lum[3 * H // 4:] > 0.3).any()
+
+
+def test_doppler_beaming_asymmetry(rng):
+    """Relativistic beaming brightens the approaching side; flipping the
+    disk spin flips the asymmetry."""
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0))
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 96, 54, dtype=jnp.float64)
+    bg = cv.make_spherical_image(0.02 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float64)
+
+    def lum_halves(spin):
+        img = np.asarray(render_blackhole_disk(
+            metric, cam, bg, dt=0.05, max_steps=40_000, escape_radius=80.0,
+            disk=DiskParams(r_inner=5.2, r_outer=13.0, brightness=1.2,
+                            doppler=True, spin_sign=spin)))
+        lum = img.sum(-1)
+        W = lum.shape[1]
+        return lum[:, : W // 2].sum(), lum[:, W // 2:].sum()
+
+    l_pos, r_pos = lum_halves(+1.0)
+    l_neg, r_neg = lum_halves(-1.0)
+    ratio_pos = l_pos / r_pos
+    ratio_neg = l_neg / r_neg
+    # one side clearly brighter, and the spin flip inverts it (up to the
+    # pixel-corner grid asymmetry)
+    assert ratio_pos < 0.5 and ratio_neg > 2.0
+    np.testing.assert_allclose(ratio_pos * ratio_neg, 1.0, rtol=0.1)
