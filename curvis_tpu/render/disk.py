@@ -60,7 +60,6 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
     dtype = rays.l.dtype
     dt = jnp.asarray(dt, dtype)
     r_cap = pl._capture_radius(metric)
-    step = pl._PLANAR_STEPPERS["euler"]
 
     l0 = rays.l
     u0 = jnp.cos(rays.psi)

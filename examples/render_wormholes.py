@@ -89,6 +89,27 @@ def main(argv=None):
         cv.save_image(np.asarray(img), out)
         print(f"saved {out}")
 
+    # the Gargantua shot: Schwarzschild + Doppler-beamed accretion disk
+    from curvis_tpu.render.disk import DiskParams, render_blackhole_disk
+    from curvis_tpu.metrics.base import SchwarzschildMetric
+    import jax
+    th = np.pi / 2 - 0.22
+    bh = SchwarzschildMetric(m=jnp.asarray(1.0, dtype))
+    cam_bh = cv.make_camera([0.0, 28.0, th, 0.0],
+                            [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                            30.0, 43.0, W, H, dtype=dtype)
+    dim_bg = cv.make_spherical_image(0.25 * starfield(512, 1024, 3,
+                                                      (0.5, 0.55, 0.8)),
+                                     dtype=dtype)
+    img = jax.jit(lambda m, c, b: render_blackhole_disk(
+        m, c, b, dt=0.05, max_steps=40_000, escape_radius=80.0,
+        disk=DiskParams(r_inner=5.2, r_outer=13.0, brightness=1.3,
+                        opacity=0.95, doppler=True,
+                        spin_sign=-1.0)))(bh, cam_bh, dim_bg)
+    out = args.outdir / "gargantua_doppler.png"
+    cv.save_image(np.asarray(img), out)
+    print(f"saved {out}")
+
     img = render_symmetric(cv.make_metric("ellis", rho=1.0), camera, bg_pos,
                            bg_neg, dt=0.05, max_steps=40_000,
                            escape_radius=100.0, alpha_nums=100,

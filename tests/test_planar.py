@@ -83,8 +83,8 @@ def test_planar_render_matches_frame3d_render(rng):
 def test_radial_rays_stay_radial():
     metric = EllisMetric(rho=jnp.asarray(1.0))
     x4 = jnp.array([0.0, 5.0, 1.0, 2.0])
-    r_hat = np.asarray(
-        cv.render_direct.__globals__["frame_matrix"](x4[2], x4[3]))[:, 0]
+    from curvis_tpu.geometry.rotations import frame_matrix
+    r_hat = np.asarray(frame_matrix(x4[2], x4[3]))[:, 0]
     rays = pl.spawn_planar(metric, x4, jnp.asarray(r_hat)[None])
     res = pl.march_planar_while(metric, rays, dt=0.05, max_steps=40_000,
                                 escape_radius=100.0)
