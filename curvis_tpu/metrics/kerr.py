@@ -1,0 +1,104 @@
+"""Kerr (rotating) black hole in Boyer-Lindquist coordinates.
+
+The reference README names rotating black holes as exactly what its
+spherically-symmetric architecture cannot do (README.md:111).  Here the Kerr
+metric is just another parameter pytree; the geodesic equations are
+autodiff-generated from the Hamiltonian (physics/hamiltonian.py), so no
+Christoffel symbols are derived by hand.
+
+Coordinates x = (t, r, theta, phi).  With
+    Sigma = r^2 + a^2 cos^2(theta)
+    Delta = r^2 - 2 M r + a^2
+the covariant metric is
+    g_tt      = -(1 - 2 M r / Sigma)
+    g_rr      = Sigma / Delta
+    g_thth    = Sigma
+    g_phph    = (r^2 + a^2 + 2 M r a^2 sin^2/Sigma) sin^2
+    g_tph     = -2 M a r sin^2 / Sigma
+Horizon r_+ = M + sqrt(M^2 - a^2).  Equatorial photon-orbit critical impact
+parameters: b_pm = -/+ a + 6 M cos[(1/3) arccos(-/+ a/M)] (prograde/retro) —
+the validation targets for the tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class KerrMetric:
+    m: jax.Array
+    a: jax.Array
+
+    def _pieces(self, x):
+        r = x[..., 1]
+        th = x[..., 2]
+        ct = jnp.cos(th)
+        st2 = jnp.maximum(jnp.sin(th) ** 2, 1e-12)
+        sigma = r * r + self.a * self.a * ct * ct
+        delta = r * r - 2.0 * self.m * r + self.a * self.a
+        return r, st2, sigma, delta
+
+    def metric(self, x):
+        """Covariant g_{mu nu} -> (..., 4, 4)."""
+        r, st2, sigma, delta = self._pieces(x)
+        a, m = self.a, self.m
+        g_tt = -(1.0 - 2.0 * m * r / sigma)
+        g_rr = sigma / delta
+        g_thth = sigma
+        g_phph = (r * r + a * a + 2.0 * m * r * a * a * st2 / sigma) * st2
+        g_tph = -2.0 * m * a * r * st2 / sigma
+        z = jnp.zeros_like(r)
+        row_t = jnp.stack([g_tt, z, z, g_tph], axis=-1)
+        row_r = jnp.stack([z, g_rr, z, z], axis=-1)
+        row_th = jnp.stack([z, z, g_thth, z], axis=-1)
+        row_ph = jnp.stack([g_tph, z, z, g_phph], axis=-1)
+        return jnp.stack([row_t, row_r, row_th, row_ph], axis=-2)
+
+    def inverse_metric(self, x):
+        """Contravariant g^{mu nu} -> (..., 4, 4) (closed form)."""
+        r, st2, sigma, delta = self._pieces(x)
+        a, m = self.a, self.m
+        A = (r * r + a * a) ** 2 - delta * a * a * st2
+        g_tt = -A / (delta * sigma)
+        g_rr = delta / sigma
+        g_thth = 1.0 / sigma
+        g_phph = (delta - a * a * st2) / (delta * sigma * st2)
+        g_tph = -2.0 * m * a * r / (delta * sigma)
+        z = jnp.zeros_like(r)
+        row_t = jnp.stack([g_tt, z, z, g_tph], axis=-1)
+        row_r = jnp.stack([z, g_rr, z, z], axis=-1)
+        row_th = jnp.stack([z, z, g_thth, z], axis=-1)
+        row_ph = jnp.stack([g_tph, z, z, g_phph], axis=-1)
+        return jnp.stack([row_t, row_r, row_th, row_ph], axis=-2)
+
+    @property
+    def horizon_radius(self):
+        return self.m + jnp.sqrt(jnp.maximum(self.m ** 2 - self.a ** 2, 0.0))
+
+    @property
+    def capture_radius(self):
+        return 1.05 * self.horizon_radius
+
+    def critical_impact_parameter(self, prograde: bool):
+        """Equatorial photon-orbit critical |b| = |L/E| (Bardeen):
+        b_pm = s a + 6 M cos[(1/3) arccos(s a / M)], s = -1 prograde /
+        +1 retrograde.  Checks: a=0 -> 3 sqrt(3) M; a=M -> 2M / 7M."""
+        s = -1.0 if prograde else 1.0
+        return (s * self.a + 6.0 * self.m
+                * jnp.cos(jnp.arccos(s * self.a / self.m) / 3.0))
+
+
+jax.tree_util.register_dataclass(KerrMetric, data_fields=["m", "a"],
+                                 meta_fields=[])
+
+
+def make_kerr(m=1.0, a=0.6) -> KerrMetric:
+    m, a = float(m), float(a)
+    if m <= 0:
+        raise ValueError("Kerr metric requires m > 0")
+    if not (0 <= abs(a) < m):
+        raise ValueError("Kerr metric requires |a| < m (sub-extremal)")
+    return KerrMetric(m=jnp.asarray(m), a=jnp.asarray(a))

@@ -1,0 +1,134 @@
+"""General-metric geodesic integration with autodiff-generated equations.
+
+The planar reduction (physics/planar.py) covers every spherically symmetric
+metric — the reference's whole domain.  This module removes that symmetry
+requirement: given ANY inverse metric g^{mu nu}(x), the geodesic equations
+come from the super-Hamiltonian
+
+    H(x, p) = (1/2) g^{mu nu}(x) p_mu p_nu
+    dx/dlam  =  dH/dp  =  g^{-1} p
+    dp/dlam  = -dH/dx          (computed with jax.grad — no hand-derived
+                                Christoffel symbols, ever)
+
+and local photon spawn uses an orthonormal tetrad built numerically by
+Gram-Schmidt on the coordinate basis under g — also metric-agnostic.
+
+This is what lets curvis_tpu render **rotating (Kerr) black holes**, which
+the reference README explicitly rules out for its architecture
+("CurVis currently supports only ... spherical symmetry (preventing, for
+instance, the simulation of rotating black holes)", README.md:111).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class HamiltonianResult(NamedTuple):
+    x: jax.Array        # (..., 4) final position
+    p: jax.Array        # (..., 4) final covariant momentum
+    sign: jax.Array     # int32: +1 escaped, 2 captured, 0 not terminated
+    steps: jax.Array    # int32
+
+
+def hamiltonian(metric, x, p):
+    """H = (1/2) g^{mu nu} p_mu p_nu, batched over leading dims."""
+    ginv = metric.inverse_metric(x)                    # (..., 4, 4)
+    return 0.5 * jnp.einsum("...ij,...i,...j->...", ginv, p, p)
+
+
+def geodesic_rhs(metric, x, p):
+    """(dx, dp) = (dH/dp, -dH/dx) for a single (4,) state — vmap over rays."""
+    ginv = metric.inverse_metric(x)
+    dx = ginv @ p
+    dp = -jax.grad(lambda xx: hamiltonian(metric, xx, p))(x)
+    return dx, dp
+
+
+def _rhs_batched(metric, x, p):
+    return jax.vmap(lambda xi, pi: geodesic_rhs(metric, xi, pi))(x, p)
+
+
+def rk4_step_batched(metric, x, p, dt):
+    k1x, k1p = _rhs_batched(metric, x, p)
+    k2x, k2p = _rhs_batched(metric, x + 0.5 * dt * k1x, p + 0.5 * dt * k1p)
+    k3x, k3p = _rhs_batched(metric, x + 0.5 * dt * k2x, p + 0.5 * dt * k2p)
+    k4x, k4p = _rhs_batched(metric, x + dt * k3x, p + dt * k3p)
+    x1 = x + (dt / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x)
+    p1 = p + (dt / 6.0) * (k1p + 2 * k2p + 2 * k3p + k4p)
+    return x1, p1
+
+
+def static_tetrad(metric, x):
+    """Orthonormal tetrad e_(a)^mu at x by Gram-Schmidt on the coordinate
+    basis (d_t, d_r, d_theta, d_phi) under g — first leg timelike.
+
+    Rows of the returned (4, 4) array are the tetrad vectors' coordinate
+    components: tetrad[a, mu] = e_(a)^mu.  Valid wherever d_t is timelike
+    (outside the ergosphere for Kerr).
+    """
+    g = metric.metric(x)                               # (4, 4) covariant
+
+    def dot(u, v):
+        return u @ g @ v
+
+    basis = jnp.eye(4, dtype=x.dtype)
+    e0 = basis[0] / jnp.sqrt(-dot(basis[0], basis[0]))
+    vecs = [e0]
+    signs = [-1.0]
+    for k in range(1, 4):
+        v = basis[k]
+        for e, s in zip(vecs, signs):
+            v = v - s * dot(v, e) * e                  # project out (eta_ab)
+        v = v / jnp.sqrt(dot(v, v))
+        vecs.append(v)
+        signs.append(1.0)
+    return jnp.stack(vecs)                             # (4, 4)
+
+
+def spawn_photon(metric, x, direction3):
+    """Covariant null momentum for a photon at x with local direction
+    ``direction3`` (components along the spatial tetrad legs), local energy
+    1 in the static frame.  Batched over rays (x (...,4), dir (...,3))."""
+    def one(xi, di):
+        tet = static_tetrad(metric, xi)                # e_(a)^mu
+        d = di / jnp.linalg.norm(di)
+        p_up = tet[0] + d[0] * tet[1] + d[1] * tet[2] + d[2] * tet[3]
+        g = metric.metric(xi)
+        return g @ p_up                                # lower the index
+    return jax.vmap(one)(x, direction3)
+
+
+def march_hamiltonian(metric, x0, p0, *, dt, max_steps, escape_radius,
+                      capture_radius=None) -> HamiltonianResult:
+    """Masked lock-step RK4 march of the general system.  Radial coordinate
+    is x[..., 1]; escape at r > escape_radius, capture at r < capture_radius
+    (e.g. just outside the horizon)."""
+    dt = jnp.asarray(dt, x0.dtype)
+    sign0 = jnp.zeros(x0.shape[:-1], jnp.int32)
+    steps0 = jnp.zeros(x0.shape[:-1], jnp.int32)
+
+    def cond(c):
+        _, _, sign, _, it = c
+        return (it < max_steps) & jnp.any(sign == 0)
+
+    def body(c):
+        x, p, sign, steps, it = c
+        active = sign == 0
+        x1, p1 = rk4_step_batched(metric, x, p, dt)
+        am = active[..., None]
+        x = jnp.where(am, x1, x)
+        p = jnp.where(am, p1, p)
+        r = x[..., 1]
+        sign = jnp.where(active & (r > escape_radius), 1, sign)
+        if capture_radius is not None:
+            sign = jnp.where(active & (r < capture_radius), 2, sign)
+        steps = steps + active.astype(jnp.int32)
+        return x, p, sign, steps, it + 1
+
+    x, p, sign, steps, _ = lax.while_loop(
+        cond, body, (x0, p0, sign0, steps0, jnp.int32(0)))
+    return HamiltonianResult(x, p, sign, steps)

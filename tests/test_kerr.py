@@ -1,0 +1,161 @@
+"""Kerr geodesics via the autodiff Hamiltonian: limits + frame dragging."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curvis_tpu.metrics.kerr import KerrMetric, make_kerr
+from curvis_tpu.metrics.base import SchwarzschildMetric
+from curvis_tpu.physics import hamiltonian as ham
+from curvis_tpu.physics import planar as pl
+
+
+def test_metric_inverse_consistency():
+    """Closed-form inverse really inverts g, on and off the equator."""
+    metric = make_kerr(m=1.0, a=0.8)
+    for r, th in ((5.0, np.pi / 2), (3.0, 1.0), (10.0, 2.5)):
+        x = jnp.asarray([0.0, r, th, 0.3])
+        g = np.asarray(metric.metric(x))
+        ginv = np.asarray(metric.inverse_metric(x))
+        np.testing.assert_allclose(g @ ginv, np.eye(4), atol=1e-10)
+
+
+def test_tetrad_orthonormal():
+    metric = make_kerr(m=1.0, a=0.9)
+    x = jnp.asarray([0.0, 6.0, 1.1, 0.4])
+    tet = np.asarray(ham.static_tetrad(metric, x))
+    g = np.asarray(metric.metric(x))
+    eta = tet @ g @ tet.T
+    np.testing.assert_allclose(eta, np.diag([-1.0, 1.0, 1.0, 1.0]),
+                               atol=1e-10)
+
+
+def test_spawn_photon_null():
+    metric = make_kerr(m=1.0, a=0.7)
+    x = jnp.asarray([[0.0, 8.0, 1.3, 0.2]])
+    d = jnp.asarray([[0.5, -0.3, 0.81]])
+    p = ham.spawn_photon(metric, x, d)
+    H = float(ham.hamiltonian(metric, x[0], p[0]))
+    assert abs(H) < 1e-12
+
+
+def _equatorial_fate(metric, b, l0=200.0, dt=0.05, max_steps=200_000):
+    """Launch an equatorial photon inward with impact parameter b (sign =
+    orbital sense relative to the spin); returns final sign (1 escaped,
+    2 captured)."""
+    x = jnp.asarray([[0.0, l0, np.pi / 2, 0.0]])
+    # local direction: mostly inward radial, transverse component sets b.
+    # With E measured in the static frame, b = L/E; solve the transverse
+    # fraction numerically from the spawned momentum.
+    def spawn(frac):
+        d = jnp.asarray([[-(1.0 - frac * frac) ** 0.5, 0.0, frac]])
+        p = ham.spawn_photon(metric, x, d)
+        E = -p[0, 0]
+        L = p[0, 3]
+        return p, float(L / E)
+
+    # bisect frac to hit the requested b (monotone)
+    lo, hi = -0.999, 0.999
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        _, bm = spawn(mid)
+        if bm < b:
+            lo = mid
+        else:
+            hi = mid
+    p, b_got = spawn(0.5 * (lo + hi))
+    assert abs(b_got - b) < 1e-6 * max(1.0, abs(b))
+    res = ham.march_hamiltonian(
+        metric, x, p, dt=dt, max_steps=max_steps, escape_radius=1.05 * l0,
+        capture_radius=float(metric.capture_radius))
+    return int(res.sign[0])
+
+
+def test_a0_reduces_to_schwarzschild_critical_b():
+    """Kerr with a -> 0 reproduces the Schwarzschild shadow threshold."""
+    metric = make_kerr(m=1.0, a=1e-6)
+    b_c = 3.0 * np.sqrt(3.0)
+    assert _equatorial_fate(metric, b_c * 0.97) == 2
+    assert _equatorial_fate(metric, b_c * 1.03) == 1
+    # closed-form critical b matches too
+    np.testing.assert_allclose(float(metric.critical_impact_parameter(True)),
+                               b_c, rtol=1e-5)
+
+
+def test_frame_dragging_asymmetric_capture():
+    """The signature Kerr effect: prograde photons survive closer approaches
+    than retrograde ones (b_pro < b_retro), at the Bardeen thresholds."""
+    metric = make_kerr(m=1.0, a=0.9)
+    b_pro = float(metric.critical_impact_parameter(prograde=True))
+    b_ret = -float(metric.critical_impact_parameter(prograde=False))
+    # sanity on the closed form itself
+    assert 0 < b_pro < 3 * np.sqrt(3) < -b_ret
+    # prograde side (b > 0 with our spawn convention = same sense as spin)
+    assert _equatorial_fate(metric, b_pro * 0.96) == 2
+    assert _equatorial_fate(metric, b_pro * 1.04) == 1
+    # retrograde side
+    assert _equatorial_fate(metric, b_ret * 0.96) == 2
+    assert _equatorial_fate(metric, b_ret * 1.04) == 1
+
+
+def test_kerr_equator_vs_planar_schwarzschild():
+    """a=0 Kerr trajectories match the planar Schwarzschild marcher."""
+    kerr = make_kerr(m=1.0, a=1e-8)
+    sch = SchwarzschildMetric(m=jnp.asarray(1.0))
+    b = 8.0
+    l0 = 100.0
+    # planar Schwarzschild
+    A0 = float(sch.lapse(jnp.asarray(l0)))
+    sin_a = b * np.sqrt(A0) / l0
+    alpha = np.pi - np.arcsin(sin_a)
+    rays = pl.PlanarRays(l=jnp.asarray([l0]), psi=jnp.asarray([0.0]),
+                         p_l=jnp.asarray([np.cos(alpha) / A0]),
+                         b=jnp.asarray([np.sin(alpha) * l0 / np.sqrt(A0)]),
+                         r_hat=jnp.zeros((1, 3)), e2=jnp.zeros((1, 3)))
+    res_p = pl.march_planar_while(sch, rays, dt=0.02, max_steps=400_000,
+                                  escape_radius=110.0)
+    beta_p = float(pl.escape_angle_beta(sch, res_p, rays.b)[0])
+    # Kerr Hamiltonian march with the same spawn
+    x = jnp.asarray([[0.0, l0, np.pi / 2, 0.0]])
+    d = jnp.asarray([[np.cos(alpha), 0.0, np.sin(alpha)]])
+    p = ham.spawn_photon(kerr, x, d)
+    res_h = ham.march_hamiltonian(kerr, x, p, dt=0.02, max_steps=400_000,
+                                  escape_radius=110.0,
+                                  capture_radius=2.1)
+    assert int(res_h.sign[0]) == 1 and int(res_p.sign[0]) == 1
+    # compare in-plane escape direction angles
+    xf = res_h.x[0]
+    pf = res_h.p[0]
+    ginv = kerr.inverse_metric(xf)
+    pup = np.asarray(ginv @ pf)
+    r = float(xf[1])
+    u_r = pup[1]
+    u_ph = pup[3] * r
+    beta_h = float(xf[3]) + np.arctan2(u_ph, u_r)
+    assert abs((beta_h - beta_p + np.pi) % (2 * np.pi) - np.pi) < 5e-3
+
+
+def test_kerr_shadow_asymmetry_image(rng):
+    """High-spin shadow is displaced toward the retrograde side (the
+    D-shaped-shadow signature), unlike the centered a~0 shadow."""
+    import curvis_tpu as cv
+    from curvis_tpu.render.kerr import render_kerr
+
+    bg = cv.make_spherical_image(0.5 + 0.5 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float64)
+    cam = cv.make_camera([0.0, 30.0, np.pi / 2, 0.0], [-1.0, 0.0, 0.0],
+                         [0.0, 0.0, 1.0], 18.0, 43.0, 48, 27,
+                         dtype=jnp.float64)
+
+    def shadow_centroid(a):
+        metric = make_kerr(m=1.0, a=a)
+        img = np.asarray(render_kerr(metric, cam, bg, dt=0.1,
+                                     max_steps=20_000))
+        black = img.sum(-1) == 0
+        assert 0.005 < black.mean() < 0.5
+        xs = np.where(black)[1]
+        return xs.mean() - (img.shape[1] - 1) / 2
+
+    c_slow = shadow_centroid(1e-4)
+    c_fast = shadow_centroid(0.95)
+    assert abs(c_slow) < 1.0                   # centered (up to grid offset)
+    assert abs(c_fast - c_slow) > 1.2          # visibly displaced by spin
