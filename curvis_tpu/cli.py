@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                         default="euler",
                         help="euler = reference parity; rk45 = adaptive "
                              "quality mode (direct renderer)")
+        sp.add_argument("--disk", action="store_true",
+                        help="render an accretion disk (black-hole metrics)")
         sp.add_argument("--supersample", type=int, default=1,
                         help="k x k rays per pixel, box-filtered (direct "
                              "renderer anti-aliasing)")
@@ -110,7 +112,21 @@ def image_main(args) -> int:
     kw = dict(dt=sim.ray_integration_step,
               max_steps=sim.ray_integration_max_iterations,
               escape_radius=sim.escape_radius, filtering=args.filtering)
-    if args.renderer == "symmetric":
+    from curvis_tpu.metrics.kerr import KerrMetric
+    if isinstance(metric, KerrMetric):
+        # Kerr has one exterior universe; bg2 is unused
+        from curvis_tpu.render.kerr import render_kerr
+        from curvis_tpu.render.disk import DiskParams
+        img = render_kerr(metric, camera, bgp, dt=max(0.05, kw["dt"]),
+                          max_steps=kw["max_steps"],
+                          escape_radius=kw["escape_radius"],
+                          disk=DiskParams() if args.disk else None,
+                          filtering=args.filtering)
+    elif args.disk:
+        from curvis_tpu.render.disk import DiskParams, render_blackhole_disk
+        img = render_blackhole_disk(metric, camera, bgp,
+                                    disk=DiskParams(), **kw)
+    elif args.renderer == "symmetric":
         from curvis_tpu.render.symmetric import render_symmetric
         img = render_symmetric(
             metric, camera, bgp, bgn, alpha_nums=sim.sampling_initial_nums,

@@ -174,14 +174,17 @@ class MetricSettings:
     a: float = 1e-4
 
     def validate(self):
-        if self.kind not in ("ellis", "interstellar", "schwarzschild"):
+        if self.kind not in ("ellis", "interstellar", "schwarzschild",
+                             "kerr"):
             raise SettingsError(f"unknown metric kind {self.kind!r}")
-        if self.kind != "schwarzschild" and self.rho <= 0:
+        if self.kind in ("ellis", "interstellar") and self.rho <= 0:
             raise SettingsError("rho must be positive")
         if self.kind == "interstellar" and (self.m <= 0 or self.a <= 0):
             raise SettingsError("m and a must be positive")
-        if self.kind == "schwarzschild" and self.m <= 0:
+        if self.kind in ("schwarzschild", "kerr") and self.m <= 0:
             raise SettingsError("m must be positive")
+        if self.kind == "kerr" and not (0 <= abs(self.a) < self.m):
+            raise SettingsError("kerr requires |a| < m (sub-extremal)")
         return self
 
     def make(self):
@@ -190,6 +193,9 @@ class MetricSettings:
             return make_metric("ellis", rho=self.rho)
         if self.kind == "schwarzschild":
             return make_metric("schwarzschild", m=self.m)
+        if self.kind == "kerr":
+            from curvis_tpu.metrics.kerr import make_kerr
+            return make_kerr(m=self.m, a=self.a)
         return make_metric("interstellar", m=self.m, a=self.a, rho=self.rho)
 
     @classmethod

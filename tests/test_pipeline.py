@@ -162,3 +162,15 @@ def test_video_frames_device_batched(tmp_path, rng):
         # nearest texels for the chaotic throat-crossing pixels only
         mismatch = (np.abs(ia - ib).max(-1) > 0).mean()
         assert mismatch < 0.05, mismatch
+
+
+def test_metric_settings_kerr(tmp_path):
+    f = tmp_path / "kerr.toml"
+    f.write_text('kind = "kerr"\nm = 1.0\na = 0.7\n')
+    m = MetricSettings.from_toml(f)
+    from curvis_tpu.metrics.kerr import KerrMetric
+    assert isinstance(m.make(), KerrMetric)
+    f2 = tmp_path / "bad.toml"
+    f2.write_text('kind = "kerr"\nm = 1.0\na = 1.5\n')
+    with pytest.raises(SettingsError):
+        MetricSettings.from_toml(f2)
