@@ -89,7 +89,23 @@ def main(argv=None):
                                                    **PARITY).mean(),
            ellis, cam(*res4k), bgp, bgn)
 
-    # 5. symmetric renderer (the reference's production path) — HD frame,
+    # 5. Schwarzschild + Doppler disk (the Gargantua visual), Pallas kernel
+    from curvis_tpu.render.disk import DiskParams, render_blackhole_disk
+    bh = cv.metrics.base.SchwarzschildMetric(m=jnp.asarray(1.0, jnp.float32))
+    th = np.pi / 2 - 0.22
+    cam_bh = cv.make_camera([0.0, 28.0, th, 0.0],
+                            [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                            30.0, 43.0, res, res * 9 // 16, dtype=jnp.float32)
+    record(f"schwarzschild_disk_{res}x{res * 9 // 16}",
+           res * (res * 9 // 16),
+           lambda m, c, bp: render_blackhole_disk(
+               m, c, bp, dt=0.05, max_steps=40_000, escape_radius=80.0,
+               backend="pallas",
+               disk=DiskParams(r_inner=5.2, r_outer=13.0,
+                               doppler=True)).mean(),
+           bh, cam_bh, bgp)
+
+    # 6. symmetric renderer (the reference's production path) — HD frame,
     #    host-driven sampling + jitted reconstruction
     t0 = time.time()
     img = np.asarray(render_symmetric(

@@ -505,3 +505,158 @@ def march_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     """4-state API shim — the pallas path is planar-only; callers use
     march_planar_pallas via render_direct(method='planar')."""
     raise NotImplementedError("use march_planar_pallas (planar reduction)")
+
+
+# ---------------------------------------------------------------------------
+# Disk-march kernel: planar march + equatorial-plane crossing capture
+# (render/disk.py semantics, VMEM-resident).  Tracks z = r(l)(c1 cos psi +
+# c2 sin psi) with an incrementally rotated (cos psi, sin psi) pair and
+# records the first two crossing (radius, p_l) pairs.
+# ---------------------------------------------------------------------------
+
+def _disk_kernel(kind: str, max_steps: int, unroll: int,
+                 params_ref, l_ref, psi_ref, pl_ref, b_ref, c1_ref, c2_ref,
+                 ol_ref, opsi_ref, opl_ref, osign_ref, osteps_ref,
+                 oh1_ref, oh1p_ref, oh2_ref, oh2p_ref):
+    deriv = _deriv_fns(kind)
+    dt = params_ref[0, 0]
+    R = params_ref[0, 1]
+    r_cap = params_ref[0, 5]
+    r_in = params_ref[0, 6]
+    r_out = params_ref[0, 7]
+
+    l = l_ref[:]
+    psi = psi_ref[:]
+    p_l = pl_ref[:]
+    b = b_ref[:]
+    c1 = c1_ref[:]
+    c2 = c2_ref[:]
+    b2 = b * b
+    one = jnp.ones_like(l)
+    zero = jnp.zeros_like(l)
+    sign = jnp.zeros_like(l)
+    steps = jnp.zeros_like(l)
+    u = jnp.cos(psi)
+    v = jnp.sin(psi)
+    # z / r(l): crossing detection only needs the sign, and c1 u + c2 v
+    # avoids recomputing r(l) for z
+    zq = c1 * u + c2 * v
+    h1 = jnp.zeros_like(l)
+    h1p = jnp.zeros_like(l)
+    h2 = jnp.zeros_like(l)
+    h2p = jnp.zeros_like(l)
+
+    def cond(c):
+        sign = c[7]
+        it = c[12]
+        return (it < max_steps) & jnp.any(sign == 0.0)
+
+    def body(c):
+        l, psi, p_l, u, v, zq, steps, sign, h1, h1p, h2, h2p, it = c
+        for _ in range(unroll):
+            alive = jnp.where(sign == 0.0, one, zero)
+            dte = dt * alive
+            dl, dpsi, dpl = deriv(params_ref, l, p_l, b, b2)
+            l1 = l + dte * dl
+            pl1 = p_l + dte * dpl
+            du = dte * dpsi
+            u1 = u - v * du
+            v1 = v + u * du
+            zq1 = c1 * u1 + c2 * v1
+            # crossing: sign change of z (r > 0 so zq sign == z sign)
+            crossed = alive * jnp.where(zq * zq1 < 0.0, one, zero)
+            denom = jnp.abs(zq) + jnp.abs(zq1)
+            frac = jnp.abs(zq) / jnp.maximum(denom, 1e-30)
+            r_hit = jnp.abs(l + frac * (l1 - l))
+            in_disk = crossed * jnp.where(r_hit >= r_in, one, zero) \
+                * jnp.where(r_hit <= r_out, one, zero)
+            pl_hit = p_l + frac * (pl1 - p_l)
+            new1 = in_disk * jnp.where(h1 == 0.0, one, zero)
+            new2 = in_disk * jnp.where(h1 != 0.0, one, zero) \
+                * jnp.where(h2 == 0.0, one, zero)
+            h1 = h1 + new1 * r_hit
+            h1p = h1p + new1 * pl_hit
+            h2 = h2 + new2 * r_hit
+            h2p = h2p + new2 * pl_hit
+            l = l1
+            psi = psi + dte * dpsi
+            p_l = pl1
+            u = u1
+            v = v1
+            zq = zq1
+            sign = sign + alive * (jnp.where(l > R, one, zero)
+                                   - jnp.where(l < -R, one, zero)
+                                   + 2.0 * jnp.where(l < r_cap, one, zero))
+            steps = steps + alive
+        return l, psi, p_l, u, v, zq, steps, sign, h1, h1p, h2, h2p, \
+            it + unroll
+
+    out = lax.while_loop(cond, body, (l, psi, p_l, u, v, zq, steps, sign,
+                                      h1, h1p, h2, h2p, jnp.int32(0)))
+    l, psi, p_l, _, _, _, steps, sign, h1, h1p, h2, h2p, _ = out
+    ol_ref[:] = l
+    opsi_ref[:] = psi
+    opl_ref[:] = p_l
+    osign_ref[:] = sign.astype(jnp.int32)
+    osteps_ref[:] = steps.astype(jnp.int32)
+    oh1_ref[:] = h1
+    oh1p_ref[:] = h1p
+    oh2_ref[:] = h2
+    oh2p_ref[:] = h2p
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "max_steps", "tile_rows",
+                                             "unroll", "interpret"))
+def _disk_flat_arrays(kind, params, l, psi, p_l, b, c1, c2, *, max_steps,
+                      tile_rows, unroll, interpret=False):
+    n_rows = l.shape[0]
+    grid = (n_rows // tile_rows,)
+    dtype = l.dtype
+
+    def row_spec():
+        return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_disk_kernel, kind, max_steps, unroll)
+    f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
+    i = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ] + [row_spec()] * 6,
+        out_specs=[row_spec()] * 9,
+        out_shape=[f, f, f, i, i, f, f, f, f],
+        interpret=interpret,
+    )(params, l, psi, p_l, b, c1, c2)
+
+
+def march_planar_disk_pallas(metric: Metric, rays: PlanarRays, c1, c2, *, dt,
+                             max_steps, escape_radius, r_inner, r_outer,
+                             tile_rows=32, unroll=8, interpret=False):
+    """Pallas counterpart of render/disk.march_planar_disk."""
+    if max_steps % unroll:
+        max_steps = max_steps + (unroll - max_steps % unroll)
+    kind, params = _metric_kind_and_params(metric, dt, escape_radius,
+                                           rays.l.dtype)
+    params = jnp.concatenate(
+        [params[:, :6],
+         jnp.asarray([[r_inner, r_outer, 0.0, 0.0]], params.dtype)], axis=1)
+
+    n = rays.l.reshape(-1).shape[0]
+    block = tile_rows * LANES
+    n_pad = -(-n // block) * block
+
+    def pad(a):
+        a = a.reshape(-1)
+        return jnp.concatenate([a, jnp.full((n_pad - n,), a[0], a.dtype)])
+
+    arrs = [pad(a) for a in (rays.l, rays.psi, rays.p_l, rays.b, c1, c2)]
+    shape2 = (n_pad // LANES, LANES)
+    outs = _disk_flat_arrays(kind, params, *(a.reshape(shape2) for a in arrs),
+                             max_steps=max_steps, tile_rows=tile_rows,
+                             unroll=unroll, interpret=interpret)
+    outs = [a.reshape(-1)[:n].reshape(rays.l.shape) for a in outs]
+    l, psi, p_l, sign, steps, h1, h1p, h2, h2p = outs
+    return (PlanarResult(l, psi, p_l, sign, steps), (h1, h1p), (h2, h2p))

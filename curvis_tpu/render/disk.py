@@ -164,8 +164,12 @@ def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype):
 def render_blackhole_disk(metric: Metric, camera: Camera,
                           bg: SphericalImage, *, dt=0.02, max_steps=100_000,
                           escape_radius=100.0, disk: DiskParams = None,
-                          filtering="bilinear"):
-    """(H, W, 3): lensed background + shadow + two-crossing accretion disk."""
+                          filtering="bilinear", backend="auto",
+                          interpret=False):
+    """(H, W, 3): lensed background + shadow + two-crossing accretion disk.
+
+    ``backend='auto'`` uses the Pallas disk kernel on TPU (tile-level early
+    exit), the XLA while-loop elsewhere."""
     disk = disk or DiskParams()
     dx, dy, dz = _pixel_dirs_soa(camera, False)
     (l, psi, p_l, b), r_hat, e2 = _spawn_planar_soa(metric, camera, dx, dy,
@@ -176,10 +180,20 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
     c2 = e2[2]
     rays = pl.PlanarRays(l, psi, p_l, b, jnp.zeros((1, 3), l.dtype),
                          jnp.zeros((1, 3), l.dtype))
-    res, h1, h2 = march_planar_disk(
-        metric, rays, c1, c2, dt=dt, max_steps=max_steps,
-        escape_radius=escape_radius, r_inner=disk.r_inner,
-        r_outer=disk.r_outer)
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if (_on_tpu() or interpret) else "while"
+    if backend == "pallas":
+        from curvis_tpu.ops.march_pallas import march_planar_disk_pallas
+        res, h1, h2 = march_planar_disk_pallas(
+            metric, rays, c1, c2, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, r_inner=disk.r_inner,
+            r_outer=disk.r_outer, interpret=interpret)
+    else:
+        res, h1, h2 = march_planar_disk(
+            metric, rays, c1, c2, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, r_inner=disk.r_inner,
+            r_outer=disk.r_outer)
     # background color via the standard readout/shade tail
     img_bg = _finish_render(metric, camera, bg, bg, (res.l, res.psi, res.p_l,
                                                      b), r_hat, e2,

@@ -94,3 +94,38 @@ def test_doppler_beaming_asymmetry(rng):
     # pixel-corner grid asymmetry)
     assert ratio_pos < 0.5 and ratio_neg > 2.0
     np.testing.assert_allclose(ratio_pos * ratio_neg, 1.0, rtol=0.1)
+
+
+def test_disk_pallas_kernel_interpret_matches_while():
+    """The Pallas disk kernel (interpret mode) vs the XLA disk march."""
+    from curvis_tpu.ops.march_pallas import march_planar_disk_pallas
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0))
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 24, 12, dtype=jnp.float64)
+    from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
+    dx, dy, dz = _pixel_dirs_soa(cam, False)
+    (l, psi, p_l, b), r_hat, e2 = _spawn_planar_soa(metric, cam, dx, dy, dz)
+    from curvis_tpu.physics import planar as pl2
+    c1 = jnp.broadcast_to(r_hat[2], l.shape).astype(jnp.float32)
+    c2 = e2[2].astype(jnp.float32)
+    rays32 = pl2.PlanarRays(*(a.astype(jnp.float32) for a in
+                              (l, psi, p_l, b)),
+                            jnp.zeros((1, 3), jnp.float32),
+                            jnp.zeros((1, 3), jnp.float32))
+    kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0,
+              r_inner=5.2, r_outer=13.0)
+    from curvis_tpu.render.disk import march_planar_disk
+    res_a, (h1a, p1a), (h2a, p2a) = march_planar_disk(
+        metric, rays32, c1, c2, **kw)
+    res_b, (h1b, p1b), (h2b, p2b) = march_planar_disk_pallas(
+        metric, rays32, c1, c2, interpret=True, tile_rows=8, **kw)
+    np.testing.assert_array_equal(np.asarray(res_a.sign),
+                                  np.asarray(res_b.sign))
+    hit_a = np.asarray(h1a) > 0
+    hit_b = np.asarray(h1b) > 0
+    assert (hit_a == hit_b).mean() > 0.97        # f32 edge flips only
+    both = hit_a & hit_b
+    np.testing.assert_allclose(np.asarray(h1a)[both], np.asarray(h1b)[both],
+                               rtol=1e-3)
