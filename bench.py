@@ -36,14 +36,15 @@ def main():
     bgp = cv.make_spherical_image(rng.random((512, 1024, 3), dtype=np.float32))
     bgn = cv.make_spherical_image(rng.random((512, 1024, 3), dtype=np.float32))
 
-    from curvis_tpu.render.fast import render_planar_fast
+    from curvis_tpu.ops.render_fused import render_planar_fused
 
     @jax.jit
     def render(metric, cam, bgp, bgn):
         # nearest filtering = the reference's lookup semantics (images.rs:115)
-        return render_planar_fast(metric, cam, bgp, bgn, dt=0.05,
-                                  max_steps=40_000, escape_radius=100.0,
-                                  filtering="nearest")
+        return render_planar_fused(metric, cam, bgp, bgn, dt=0.05,
+                                   max_steps=40_000, escape_radius=100.0,
+                                   filtering="nearest", tile_rows=32,
+                                   unroll=16)
 
     # Sustained-throughput variant: FRAMES distinct camera poses rendered in
     # one device call (the video-workload shape) — amortizes the fixed
@@ -58,9 +59,10 @@ def main():
     def render_batch(metric, cams, bgp, bgn):
         out = jnp.zeros((), jnp.float32)
         for cam in cams:
-            out = out + jnp.mean(render_planar_fast(
+            out = out + jnp.mean(render_planar_fused(
                 metric, cam, bgp, bgn, dt=0.05, max_steps=40_000,
-                escape_radius=100.0, filtering="nearest"))
+                escape_radius=100.0, filtering="nearest", tile_rows=32,
+                unroll=16))
         return out
 
     # Timing uses a scalar fetch: a mean over every pixel forces the full

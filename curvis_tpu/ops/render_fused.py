@@ -1,0 +1,275 @@
+"""Fully fused render kernel: camera spawn + planar march + world-direction
+readout in ONE Pallas program.
+
+The SoA pipeline (render/fast.py) spends a few ms per frame on XLA
+elementwise passes (spawn trig/cross products, readout, state HBM I/O around
+the march kernel).  This kernel moves everything except the texture gather
+on-chip: pixel coordinates come from the grid/iota, camera geometry and
+metric parameters ride in SMEM, the march never leaves VMEM, and the output
+is just (w_x, w_y, w_z, sign) per ray.
+
+Readout avoids unsupported Mosaic transcendentals: with gamma the local
+direction angle (cos gamma = u_l/|u|, sin gamma = u_psi/|u|) and psi the
+accumulated plane angle,
+    cos(beta) = cos psi cos gamma - sin psi sin gamma, etc.
+needs only sin/cos (supported) — no atan2/acos anywhere.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from curvis_tpu.camera.camera import Camera, camera_rotation
+from curvis_tpu.env.spherical_image import SphericalImage
+from curvis_tpu.metrics.base import Metric, SchwarzschildMetric
+from curvis_tpu.ops.march_pallas import (_NO_CAPTURE, _deriv_fns,
+                                         _metric_kind_and_params)
+from curvis_tpu.physics.planar import _unit_lapse
+
+LANES = 128
+
+
+def _readout_u_l(kind, pr, l, p_l):
+    if kind == "schwarzschild":
+        M = pr[0, 2]
+        return p_l * jnp.sqrt(jnp.maximum(1.0 - 2.0 * M / l, 1e-6))
+    return p_l
+
+
+def _r_of_l(kind, pr, l):
+    if kind == "ellis":
+        rho = pr[0, 2]
+        return jnp.sqrt(rho * rho + l * l)
+    if kind in ("flat", "schwarzschild"):
+        return jnp.abs(l)
+    if kind == "interstellar":
+        from curvis_tpu.ops.march_pallas import _atan_poly
+        m, a, rho = pr[0, 2], pr[0, 3], pr[0, 4]
+        al = jnp.abs(l)
+        x = 2.0 * (al - a) / (jnp.pi * m)
+        atx = _atan_poly(x)
+        r_out = rho + m * (x * atx - 0.5 * jnp.log(1.0 + x * x))
+        return jnp.where(al > a, r_out, rho)
+    raise NotImplementedError(kind)
+
+
+def _fused_kernel(kind: str, H: int, max_steps: int, unroll: int,
+                  params_ref, owx_ref, owy_ref, owz_ref, osign_ref):
+    deriv = _deriv_fns(kind)
+    pr = params_ref
+    dt = pr[0, 0]
+    R = pr[0, 1]
+    r_cap = pr[0, 5]
+    focal, sw, sh = pr[0, 6], pr[0, 7], pr[0, 8]
+    invW, invH = pr[0, 9], pr[0, 10]
+    R00, R01, R02 = pr[0, 11], pr[0, 12], pr[0, 13]
+    R10, R11, R12 = pr[0, 14], pr[0, 15], pr[0, 16]
+    R20, R21, R22 = pr[0, 17], pr[0, 18], pr[0, 19]
+    rx, ry, rz = pr[0, 20], pr[0, 21], pr[0, 22]
+    fx, fy, fz = pr[0, 23], pr[0, 24], pr[0, 25]       # degenerate fallback
+    l0 = pr[0, 26]
+    s_pl = pr[0, 27]
+    s_b = pr[0, 28]
+
+    rows = owx_ref.shape[0]
+    base = pl.program_id(0) * rows * LANES
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    idx = base + row_i * LANES + lane_i
+    xpix = idx // H
+    ypix = idx - xpix * H
+
+    # ---- camera ray (cameras.rs:150-172 semantics, SoA) ----
+    wfrac = xpix.astype(jnp.float32) * invW - 0.5
+    hfrac = 0.5 - ypix.astype(jnp.float32) * invH
+    vx = focal
+    vy = -sw * wfrac
+    vz = sh * hfrac
+    inv = lax.rsqrt(vx * vx + vy * vy + vz * vz)
+    vxn, vyn, vzn = vx * inv, vy * inv, vz * inv
+    dx = R00 * vxn + R01 * vyn + R02 * vzn
+    dy = R10 * vxn + R11 * vyn + R12 * vzn
+    dz = R20 * vxn + R21 * vyn + R22 * vzn
+
+    # ---- planar spawn ----
+    cos_a = jnp.clip(dx * rx + dy * ry + dz * rz, -1.0, 1.0)
+    nx = ry * dz - rz * dy
+    ny = rz * dx - rx * dz
+    nz = rx * dy - ry * dx
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    deg = sin_a < 1e-12
+    nn = lax.rsqrt(jnp.where(deg, 1.0, nx * nx + ny * ny + nz * nz))
+    nx = jnp.where(deg, fx, nx * nn)
+    ny = jnp.where(deg, fy, ny * nn)
+    nz = jnp.where(deg, fz, nz * nn)
+    e2x = ny * rz - nz * ry
+    e2y = nz * rx - nx * rz
+    e2z = nx * ry - ny * rx
+    p_l = cos_a * s_pl
+    b = sin_a * s_b
+    b2 = b * b
+    l = jnp.full((rows, LANES), 1.0, jnp.float32) * l0
+    psi = jnp.zeros((rows, LANES), jnp.float32)
+    one = jnp.ones_like(l)
+    zero = jnp.zeros_like(l)
+    sign = jnp.zeros_like(l)
+
+    # ---- march: maskless sprint then masked phase (march_pallas.py) ----
+    m0 = jnp.max(jnp.abs(l))
+    d_free = jnp.minimum(R - m0, jnp.min(l) - r_cap)
+    k_free = jnp.floor(d_free / (dt * 1.05) - 2.0).astype(jnp.int32)
+    k_free = jnp.clip(k_free, 0, max_steps)
+    k_free = (k_free // unroll) * unroll
+
+    def sprint(i, c):
+        l, psi, p_l = c
+        for _ in range(unroll):
+            dl, dpsi, dpl = deriv(params_ref, l, p_l, b, b2)
+            l = l + dt * dl
+            psi = psi + dt * dpsi
+            p_l = p_l + dt * dpl
+        return l, psi, p_l
+
+    l, psi, p_l = lax.fori_loop(0, k_free // unroll, sprint, (l, psi, p_l))
+
+    def cond(c):
+        _, _, _, sign, it = c
+        return (it < max_steps) & jnp.any(sign == 0.0)
+
+    def body(c):
+        l, psi, p_l, sign, it = c
+        for _ in range(unroll):
+            alive = jnp.where(sign == 0.0, one, zero)
+            dte = dt * alive
+            dl, dpsi, dpl = deriv(params_ref, l, p_l, b, b2)
+            l = l + dte * dl
+            psi = psi + dte * dpsi
+            p_l = p_l + dte * dpl
+            sign = sign + alive * (jnp.where(l > R, one, zero)
+                                   - jnp.where(l < -R, one, zero)
+                                   + 2.0 * jnp.where(l < r_cap, one, zero))
+        return l, psi, p_l, sign, it + unroll
+
+    l, psi, p_l, sign, _ = lax.while_loop(
+        cond, body, (l, psi, p_l, sign, k_free))
+
+    # ---- readout: w = cos(beta) e1 + sin(beta) e2 without atan2 ----
+    u_l = _readout_u_l(kind, pr, l, p_l)
+    u_psi = b / _r_of_l(kind, pr, l)
+    invu = lax.rsqrt(jnp.maximum(u_l * u_l + u_psi * u_psi, 1e-30))
+    cg = u_l * invu
+    sg = u_psi * invu
+    cp = jnp.cos(psi)
+    sp = jnp.sin(psi)
+    cb = cp * cg - sp * sg
+    sb_ = sp * cg + cp * sg
+    owx_ref[:] = cb * rx + sb_ * e2x
+    owy_ref[:] = cb * ry + sb_ * e2y
+    owz_ref[:] = cb * rz + sb_ * e2z
+    osign_ref[:] = sign.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "H", "n_rays",
+                                             "max_steps", "tile_rows",
+                                             "unroll", "interpret"))
+def _fused_call(kind, params, *, H, n_rays, max_steps, tile_rows, unroll,
+                interpret=False):
+    block = tile_rows * LANES
+    n_pad = -(-n_rays // block) * block
+    n_rows = n_pad // LANES
+    grid = (n_rows // tile_rows,)
+
+    def row_spec():
+        return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fused_kernel, kind, H, max_steps, unroll)
+    f = jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 32), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=[row_spec()] * 4,
+        out_shape=[f, f, f, i32],
+        interpret=interpret,
+    )(params)
+    return [a.reshape(-1)[:n_rays] for a in outs]
+
+
+def render_planar_fused(metric: Metric, camera: Camera,
+                        bg_positive: SphericalImage,
+                        bg_negative: SphericalImage, *, dt, max_steps,
+                        escape_radius, filtering="nearest", tile_rows=32,
+                        unroll=8, interpret=False):
+    """(H, W, 3) image with the whole compute path in one kernel + a gather.
+
+    f32 only; unit-lapse metrics and Schwarzschild.  Semantics match
+    render_planar_fast up to fused-arithmetic ulps (tested)."""
+    dtype = jnp.float32
+    pos = camera.position.astype(dtype)
+    W, H = camera.resolution_x, camera.resolution_y
+    kind, base_params = _metric_kind_and_params(metric, dt, escape_radius,
+                                                dtype)
+
+    import jax.numpy as jnp_
+    th, ph = pos[2], pos[3]
+    st, ct = jnp_.sin(th), jnp_.cos(th)
+    spp, cpp = jnp_.sin(ph), jnp_.cos(ph)
+    r_hat = jnp_.stack([st * cpp, st * spp, ct])
+    th_hat = jnp_.stack([ct * cpp, ct * spp, -st])
+    Rcam = camera_rotation(camera).astype(dtype)
+    aspect = W / H
+    sh_ = jnp_.sqrt(camera.sensor_diagonal.astype(dtype) ** 2
+                    / (aspect * aspect + 1.0))
+    sw_ = aspect * sh_
+    l0 = pos[1]
+    if _unit_lapse(metric):
+        s_pl = jnp_.asarray(1.0, dtype)
+        s_b = metric.r(l0)
+    else:
+        A0 = metric.lapse(l0)
+        s_pl = jnp_.sqrt(metric.radial_B(l0) / A0)
+        s_b = metric.r(l0) / jnp_.sqrt(A0)
+
+    scal = [base_params[0, 0], base_params[0, 1], base_params[0, 2],
+            base_params[0, 3], base_params[0, 4], base_params[0, 5],
+            camera.focal_length.astype(dtype), sw_, sh_,
+            jnp_.asarray(1.0 / W, dtype), jnp_.asarray(1.0 / H, dtype),
+            Rcam[0, 0], Rcam[0, 1], Rcam[0, 2],
+            Rcam[1, 0], Rcam[1, 1], Rcam[1, 2],
+            Rcam[2, 0], Rcam[2, 1], Rcam[2, 2],
+            r_hat[0], r_hat[1], r_hat[2],
+            th_hat[0], th_hat[1], th_hat[2],
+            l0, s_pl, s_b]
+    scal += [jnp_.zeros((), dtype)] * (32 - len(scal))
+    params = jnp_.stack([jnp_.asarray(v, dtype) for v in scal]).reshape(1, 32)
+
+    ms = max_steps + ((unroll - max_steps % unroll) % unroll)
+    wx, wy, wz, sign = _fused_call(kind, params, H=H, n_rays=W * H,
+                                   max_steps=ms, tile_rows=tile_rows,
+                                   unroll=unroll, interpret=interpret)
+
+    from curvis_tpu.render.fast import _filter_lookup, _texture_uv
+    if bg_positive.texture.shape == bg_negative.texture.shape:
+        up, vp = _texture_uv(bg_positive, wx, wy, wz)
+        un, vn = _texture_uv(bg_negative, wx, wy, wz)
+        neg = sign == -1
+        u = jnp_.where(neg, un, up)
+        v = jnp_.where(neg, vn, vp)
+        Ht, Wt = bg_positive.height, bg_positive.width
+        rows = jnp_.concatenate([bg_positive.texture.reshape(-1, 3),
+                                 bg_negative.texture.reshape(-1, 3)])
+        bbase = jnp_.where(neg, Ht * Wt, 0)
+        colors = _filter_lookup(rows, bbase, u, v, Wt, Ht, filtering)
+    else:
+        raise ValueError("fused renderer requires equal background shapes")
+    lit = (sign == 1) | (sign == -1)
+    colors = jnp_.where(lit[:, None], colors, jnp_.zeros_like(colors))
+    return colors.reshape(W, H, 3).transpose(1, 0, 2)

@@ -190,3 +190,23 @@ def test_atan_poly_accuracy():
                                     np.linspace(-0.5, 0.5, 1001)]))
     err = np.abs(np.asarray(_atan_poly(x)) - np.arctan(np.asarray(x)))
     assert err.max() < 1e-7
+
+
+def test_fused_kernel_interpret_matches_fast():
+    """The fully fused spawn+march+readout kernel equals the SoA path
+    (bit-identical for Ellis in interpret mode)."""
+    from curvis_tpu.render.fast import render_planar_fast
+    from curvis_tpu.ops.render_fused import render_planar_fused
+    rng2 = np.random.default_rng(1)
+    metric = EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
+    bgp = cv.make_spherical_image(rng2.random((32, 64, 3)).astype("float32"))
+    bgn = cv.make_spherical_image(rng2.random((32, 64, 3)).astype("float32"))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.2, 0.1],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 32, 18,
+                         dtype=jnp.float32)
+    kw = dict(dt=0.05, max_steps=8000, escape_radius=50.0)
+    a = np.asarray(render_planar_fast(metric, cam, bgp, bgn,
+                                      backend="tiled", **kw))
+    b = np.asarray(render_planar_fused(metric, cam, bgp, bgn,
+                                       interpret=True, tile_rows=8, **kw))
+    np.testing.assert_array_equal(a, b)
