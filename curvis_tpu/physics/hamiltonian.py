@@ -49,7 +49,12 @@ def geodesic_rhs(metric, x, p):
 
 
 def _rhs_batched(metric, x, p):
-    return jax.vmap(lambda xi, pi: geodesic_rhs(metric, xi, pi))(x, p)
+    """Batched RHS: dp = -grad_x sum_i H(x_i, p_i) (block-diagonal, so the
+    summed gradient IS the per-ray gradient) — one grad call, no vmap."""
+    ginv = metric.inverse_metric(x)                    # (..., 4, 4)
+    dx = jnp.einsum("...ij,...j->...i", ginv, p)
+    dp = -jax.grad(lambda X: jnp.sum(hamiltonian(metric, X, p)))(x)
+    return dx, dp
 
 
 def rk4_step_batched(metric, x, p, dt):

@@ -103,3 +103,21 @@ def test_symmetric_parity_mode_black_seam(rng):
     black = (img.sum(-1) == 0)
     assert black.any()                   # the documented seam exists
     assert black.mean() < 0.2            # but is a thin ring
+
+
+def test_dense_sampler_mode(rng):
+    """sampler='dense' (one batched march) matches the adaptive sampler's
+    image away from the seam."""
+    metric, cam, bg_p, bg_n = _scene(rng, res=(64, 36))
+    a = np.asarray(render_symmetric(metric, cam, bg_p, bg_n, alpha_nums=200,
+                                    max_iterations_sampling=20,
+                                    filtering="bilinear",
+                                    seam="nearest_side",
+                                    exact_escape_angle=True, **KW))
+    b = np.asarray(render_symmetric(metric, cam, bg_p, bg_n, sampler="dense",
+                                    dense_n=4096, filtering="bilinear",
+                                    seam="nearest_side",
+                                    exact_escape_angle=True, **KW))
+    d = np.abs(a - b).max(-1)
+    assert np.median(d) < 2e-3
+    assert (d > 0.05).mean() < 0.03
