@@ -26,9 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from curvis_tpu.camera.camera import Camera, camera_rotation
 from curvis_tpu.env.spherical_image import SphericalImage
-from curvis_tpu.metrics.base import Metric, SchwarzschildMetric
-from curvis_tpu.ops.march_pallas import (_NO_CAPTURE, _deriv_fns,
-                                         _metric_kind_and_params)
+from curvis_tpu.metrics.base import Metric
+from curvis_tpu.ops.march_pallas import _deriv_fns, _metric_kind_and_params
 from curvis_tpu.physics.planar import _unit_lapse
 
 LANES = 128

@@ -62,7 +62,6 @@ def render_tiled(metric, camera, bg_positive, bg_negative, out_dir, *,
     of this host's tile paths.
     """
     import jax
-    import jax.numpy as jnp
     from curvis_tpu.camera.camera import Camera
     from curvis_tpu.render.fast import render_planar_fast
 

@@ -64,8 +64,8 @@ def render_direct_shardmap(metric, camera: Camera,
         from jax.experimental.shard_map import shard_map as _shard_map
     from jax.sharding import PartitionSpec as P
     from curvis_tpu.integrate.march import _on_tpu
-    from curvis_tpu.render.fast import _finish_render, _pixel_dirs_soa, \
-        _spawn_planar_soa
+    from curvis_tpu.render.fast import (_pixel_dirs_soa,
+                                        _spawn_planar_soa)
 
     if use_pallas == "auto":
         use_pallas = _on_tpu() or interpret

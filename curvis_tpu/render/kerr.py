@@ -15,8 +15,6 @@ brightness asymmetry of the disk, with g-factor
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 from jax import lax
