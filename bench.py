@@ -25,6 +25,16 @@ RES = 1024
 
 def main():
     import jax
+    # persistent compilation cache: the remote-TPU compiles cost minutes the
+    # first time; later runs (e.g. the driver's) reuse the artifacts
+    import pathlib
+    cache = pathlib.Path(__file__).parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import curvis_tpu as cv
 
