@@ -74,6 +74,21 @@ class KerrMetric:
         row_ph = jnp.stack([g_tph, z, z, g_phph], axis=-1)
         return jnp.stack([row_t, row_r, row_th, row_ph], axis=-2)
 
+    def inverse_components(self, x):
+        """The 5 independent contravariant components as SoA arrays
+        (g^tt, g^rr, g^thth, g^phph, g^tph) — avoids (N, 4, 4) layouts in
+        the hot march (TPU pads 4-wide minor dims to 128 lanes)."""
+        r, st2, sigma, delta = self._pieces(x)
+        a, m = self.a, self.m
+        A = (r * r + a * a) ** 2 - delta * a * a * st2
+        inv_ds = 1.0 / (delta * sigma)
+        g_tt = -A * inv_ds
+        g_rr = delta / sigma
+        g_thth = 1.0 / sigma
+        g_phph = (delta - a * a * st2) * inv_ds / st2
+        g_tph = -2.0 * m * a * r * inv_ds
+        return g_tt, g_rr, g_thth, g_phph, g_tph
+
     @property
     def horizon_radius(self):
         return self.m + jnp.sqrt(jnp.maximum(self.m ** 2 - self.a ** 2, 0.0))
