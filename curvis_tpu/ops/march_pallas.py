@@ -8,11 +8,17 @@ This kernel runs the reduced planar system (physics/planar.py)
 
 entirely in VMEM/vector registers: a 1-D grid of ray tiles, each program
 looping with a `lax.while_loop` that exits as soon as *its* tile has fully
-escaped.  Ray state never touches HBM between steps (vs the XLA while-loop
-path, which streams the carry), and escape-check semantics are exactly the
-reference's (masked per-step, post-step strict |l| > R test,
+terminated.  Ray state never touches HBM between steps (vs the XLA
+while-loop path, which streams the carry), and escape-check semantics are
+exactly the reference's (masked per-step, post-step strict |l| > R test,
 systems.rs:126-135), so results are bit-comparable with the scan/while
-backends for the Euler stepper.
+backends for the Euler stepper.  Kernels in this file:
+
+  - ``_march_kernel``  : Euler parity march (maskless sprint + masked phase)
+  - ``_rk45_kernel``   : adaptive Dormand-Prince with per-ray dt
+  - ``_disk_kernel``   : Euler march + equatorial-crossing capture for
+                         accretion-disk rendering
+All support Ellis / DNEG / flat / Schwarzschild (capture via SMEM radius).
 
 Runtime parameters (dt, escape radius, metric params) are passed through SMEM
 so retuning them does not recompile; tile geometry / max_steps / unroll are

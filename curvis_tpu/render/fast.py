@@ -6,9 +6,11 @@ on TPU the minor dimension of 3 is padded to the 128-lane register width, a
 (measured: 30 ms spawn + 18-73 ms shade vs 19 ms march at 1024^2).  This
 module implements the same math in structure-of-arrays form: every vector
 quantity is three separate (N,) arrays (internally tiled (N/128, 128)), the
-camera rotation and radial directions are scalars, and texture lookups gather
-per channel from (H*W,) planes.  Semantics are identical to render_direct
-(method='planar'); tests assert agreement.
+camera rotation and radial directions are scalars, and both backgrounds are
+shaded with a single row-gather from a concatenated (2*H*W, 3) texture.
+Semantics are identical to render_direct (method='planar'); tests assert
+agreement.  (ops/render_fused.py goes one step further and fuses spawn +
+march + readout into one Pallas program.)
 """
 from __future__ import annotations
 
