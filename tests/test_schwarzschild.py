@@ -126,3 +126,23 @@ def test_schwarzschild_pallas_interpret_matches_while():
     escaped = np.asarray(a.sign) == 1
     d = np.abs(np.asarray(a.psi) - np.asarray(b.psi))[escaped]
     assert d.max() < 1e-3
+
+
+def test_fused_kernel_schwarzschild_interpret(rng):
+    """The fused render kernel's Schwarzschild path (lapse spawn/readout +
+    capture) vs the SoA fast path; differences confined to the shadow-edge
+    chaos band."""
+    from curvis_tpu.render.fast import render_planar_fast
+    from curvis_tpu.ops.render_fused import render_planar_fused
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0, jnp.float32))
+    cam = cv.make_camera([0.0, 28.0, np.pi / 2 - 0.2, 0.0],
+                         [-1.0, 0.0, -0.2], [0.0, 0.0, 1.0], 30.0, 43.0,
+                         24, 12, dtype=jnp.float32)
+    bgp = cv.make_spherical_image(rng.random((32, 64, 3)).astype("float32"))
+    kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0)
+    a = np.asarray(render_planar_fast(metric, cam, bgp, bgp,
+                                      backend="tiled", **kw))
+    b = np.asarray(render_planar_fused(metric, cam, bgp, bgp,
+                                       interpret=True, tile_rows=8, **kw))
+    d = np.abs(a - b).max(-1)
+    assert (d > 1e-6).mean() < 0.05
