@@ -77,3 +77,29 @@ def test_dneg_reduces_to_near_flat_for_small_m():
     d_dneg, _ = _deflection(dneg, 10.0)
     assert abs(d_dneg) < abs(d_ellis)         # much weaker lens
     assert abs(d_dneg) < 2e-3
+
+
+def test_euler_first_order_convergence():
+    """The parity Euler stepper converges at first order: halving dt halves
+    the escape-angle error (against an RK45 truth)."""
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    alpha = 2.2
+    l0, R = 5.0, 100.0
+    r0 = float(metric.r(jnp.asarray(l0)))
+    rays = pl.PlanarRays(l=jnp.asarray([l0]), psi=jnp.asarray([0.0]),
+                         p_l=jnp.asarray([np.cos(alpha)]),
+                         b=jnp.asarray([np.sin(alpha) * r0]),
+                         r_hat=jnp.zeros((1, 3)), e2=jnp.zeros((1, 3)))
+    truth = march_planar_rk45(metric, rays, escape_radius=R, rtol=1e-12,
+                              atol=1e-13, dt0=0.01, max_steps=400_000)
+    beta_t = float(pl.escape_angle_beta(metric, truth, rays.b)[0])
+
+    errs = []
+    for dt in (0.08, 0.04, 0.02, 0.01):
+        res = pl.march_planar_while(metric, rays, dt=dt,
+                                    max_steps=2_000_000, escape_radius=R)
+        beta = float(pl.escape_angle_beta(metric, res, rays.b)[0])
+        errs.append(abs(beta - beta_t))
+    orders = [np.log2(e1 / e2) for e1, e2 in zip(errs[:-1], errs[1:])]
+    # first-order convergence: each halving of dt halves the error
+    assert all(0.7 < o < 1.4 for o in orders), (errs, orders)
