@@ -43,9 +43,17 @@ class MarchResult(NamedTuple):
     steps: jax.Array    # (...,) int32: integration steps taken while active
 
 
-def _masked_step(metric, x, p, sign, steps, dt, stepper, escape_radius):
-    """Advance active rays one step, then update escape signs."""
+def _masked_step(metric, x, p, sign, steps, dt, stepper, escape_radius,
+                 max_steps=None):
+    """Advance active rays one step, then update escape signs.
+
+    ``max_steps`` (when given) caps per-ray stepping so fixed-length scan
+    backends that overshoot the cap stay sign-identical to the early-exit
+    while backend (see tests/test_planar.py::test_backends_agree_at_step_cap).
+    """
     active = sign == 0
+    if max_steps is not None:
+        active = active & (steps < max_steps)
     x1, p1 = stepper(metric, x, p, dt)
     am = active[..., None]
     x = jnp.where(am, x1, x)
@@ -101,7 +109,8 @@ def march_scan(metric, x0, p0, *, dt, max_steps, escape_radius,
     def one_step(carry, _):
         x, p, sign, steps = carry
         x, p, sign, steps = _masked_step(
-            metric, x, p, sign, steps, dt, step_fn, escape_radius)
+            metric, x, p, sign, steps, dt, step_fn, escape_radius,
+            max_steps=max_steps)
         return (x, p, sign, steps), None
 
     @jax.checkpoint
@@ -111,10 +120,9 @@ def march_scan(metric, x0, p0, *, dt, max_steps, escape_radius,
 
     (x, p, sign, steps), _ = lax.scan(
         one_segment, (x0, p0, sign0, steps0), None, length=n_seg)
-    # Trim overshoot: segments may exceed max_steps; rays that would have
-    # stopped exactly at max_steps but escaped in the overshoot are unaffected
-    # in practice (overshoot < segment steps only extends still-active rays).
-    return MarchResult(x, p, sign, jnp.minimum(steps, max_steps))
+    # steps is capped per-ray inside _masked_step, so segment overshoot never
+    # advances a ray past max_steps and sign agrees with the while backend.
+    return MarchResult(x, p, sign, steps)
 
 
 def march(metric, x0, p0, *, dt, max_steps, escape_radius, stepper="euler",

@@ -280,8 +280,13 @@ def march_planar_pallas(metric: Metric, rays: PlanarRays, *, dt, max_steps,
     if stepper != "euler":
         raise NotImplementedError("pallas march currently implements the "
                                   "(reference-parity) Euler stepper")
-    if max_steps % unroll:
-        max_steps = max_steps + (unroll - max_steps % unroll)  # exact cap
+    # The kernel's masked phase gates only on sign, so the iteration bound
+    # must hit max_steps exactly: shrink unroll to a divisor rather than
+    # rounding the cap up (an overshoot would let a ray escape with sign +-1
+    # where the while/scan backends report 0 — pinned by
+    # tests/test_planar.py::test_backends_agree_at_step_cap).
+    while max_steps % unroll:
+        unroll //= 2
     kind, params = _metric_kind_and_params(metric, dt, escape_radius,
                                            rays.l.dtype)
 
@@ -642,8 +647,8 @@ def march_planar_disk_pallas(metric: Metric, rays: PlanarRays, c1, c2, *, dt,
                              max_steps, escape_radius, r_inner, r_outer,
                              tile_rows=32, unroll=8, interpret=False):
     """Pallas counterpart of render/disk.march_planar_disk."""
-    if max_steps % unroll:
-        max_steps = max_steps + (unroll - max_steps % unroll)
+    while max_steps % unroll:        # exact step cap (see march_planar_pallas)
+        unroll //= 2
     kind, params = _metric_kind_and_params(metric, dt, escape_radius,
                                            rays.l.dtype)
     params = jnp.concatenate(

@@ -202,7 +202,12 @@ def march_planar_scan(metric: Metric, rays: PlanarRays, *, dt, max_steps,
 
     def one(c, _):
         l, psi, p_l, sign, steps = c
-        active = sign == 0
+        # Mask on steps as well as sign: the scan runs n_seg*segment >=
+        # max_steps iterations, and a ray escaping during the overshoot must
+        # keep sign 0 exactly like the while backend (which stops at
+        # max_steps).  Backend agreement at the cap is pinned by
+        # tests/test_planar.py::test_backends_agree_at_step_cap.
+        active = (sign == 0) & (steps < max_steps)
         l1, psi1, pl1 = step(metric, l, psi, p_l, rays.b, dt)
         l = jnp.where(active, l1, l)
         psi = jnp.where(active, psi1, psi)
@@ -221,7 +226,7 @@ def march_planar_scan(metric: Metric, rays: PlanarRays, *, dt, max_steps,
 
     (l, psi, p_l, sign, steps), _ = lax.scan(
         seg, (rays.l, rays.psi, rays.p_l, sign0, steps0), None, length=n_seg)
-    return PlanarResult(l, psi, p_l, sign, jnp.minimum(steps, max_steps))
+    return PlanarResult(l, psi, p_l, sign, steps)
 
 
 def march_planar_tiled(metric: Metric, rays: PlanarRays, *, dt, max_steps,

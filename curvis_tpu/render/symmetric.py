@@ -27,6 +27,8 @@ per-pixel marching would dominate.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,6 +141,68 @@ def sample_deflection_function(metric: Metric, l0, *, dt, max_steps,
                    max_iterations_sampling, threshold_1, threshold_2, batch)
 
 
+def sample_deflection_function_device(metric: Metric, l0, *, dt, max_steps,
+                                      escape_radius, alpha_nums,
+                                      max_iterations_sampling,
+                                      threshold_1, threshold_2,
+                                      stepper="euler",
+                                      exact_escape_angle=False,
+                                      dtype=jnp.float64, capacity=4096,
+                                      march_width=512):
+    """On-device counterpart of :func:`sample_deflection_function` — the whole
+    refinement loop is one jitted program (sampling/device.py).  Returns numpy
+    (alphas, angles, spaces) trimmed to the live count; on CPU f64 the output
+    is bit-identical to the host sampler (tested)."""
+    from curvis_tpu.sampling.device import doubly_sample_on_device
+
+    @jax.jit
+    def run(l0, thr1, thr2):
+        def march_fn(a):
+            return compute_escape_angles(
+                metric, l0, a, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius, stepper=stepper,
+                exact_escape_angle=exact_escape_angle)
+        return doubly_sample_on_device(
+            march_fn, ALPHA_MIN, ALPHA_MAX, alpha_nums,
+            max_iterations_sampling, thr1, thr2, capacity=capacity,
+            march_width=march_width, dtype=dtype)
+
+    a, e, s, n = run(jnp.asarray(l0, dtype), threshold_1, threshold_2)
+    n = int(n)
+    return (np.asarray(a[:n], np.float64), np.asarray(e[:n], np.float64),
+            np.asarray(s[:n], np.float64))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_steps", "alpha_nums", "max_iterations", "filtering", "seam",
+    "center_pixels", "stepper", "exact_escape_angle", "capacity",
+    "march_width"))
+def _render_symmetric_device(metric, camera, bg_positive, bg_negative, dt,
+                             escape_radius, thr1, thr2, *, max_steps,
+                             alpha_nums, max_iterations, filtering, seam,
+                             center_pixels, stepper, exact_escape_angle,
+                             capacity, march_width):
+    """Whole symmetric frame — adaptive sampling + reconstruction — as ONE
+    jitted program (one device dispatch per frame warm)."""
+    from curvis_tpu.sampling.device import doubly_sample_on_device
+    dtype = camera.position.dtype
+    l0 = camera.position[1]
+
+    def march_fn(a):
+        return compute_escape_angles(
+            metric, l0, a, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, stepper=stepper,
+            exact_escape_angle=exact_escape_angle)
+
+    alphas_s, angles_s, spaces_s, _ = doubly_sample_on_device(
+        march_fn, ALPHA_MIN, ALPHA_MAX, alpha_nums, max_iterations,
+        thr1, thr2, capacity=capacity, march_width=march_width, dtype=dtype)
+    return _reconstruct_image(metric, camera, bg_positive, bg_negative,
+                              alphas_s, angles_s, spaces_s,
+                              filtering=filtering, seam=seam,
+                              center_pixels=center_pixels)
+
+
 def render_symmetric(metric: Metric, camera: Camera,
                      bg_positive: SphericalImage,
                      bg_negative: SphericalImage, *, dt, max_steps,
@@ -148,17 +212,35 @@ def render_symmetric(metric: Metric, camera: Camera,
                      sampling_convergence_threshold_2=1e-5,
                      filtering="nearest", seam="exact",
                      exact_escape_angle=False, center_pixels=False,
-                     stepper="euler", sampler="adaptive", dense_n=4096):
+                     stepper="euler", sampler="auto", dense_n=4096,
+                     capacity=4096, march_width=512):
     """(H, W, 3) image via the 1-D symmetry reduction (systems.rs:333-527).
 
     ``sampler``:
-      - 'adaptive' : the reference's host-driven refinement (parity; ~30
-                     sequential device calls per frame)
+      - 'auto'     : 'device' on TPU (production), 'adaptive' on CPU
+      - 'device'   : reference refinement control flow run on-device — the
+                     whole frame is one jitted device call
+                     (sampling/device.py)
+      - 'adaptive' : the reference's host-driven refinement (~30 sequential
+                     device calls per frame; parity oracle for 'device')
       - 'dense'    : one batched march of ``dense_n`` uniform alphas
-                     (quality/speed mode for video: a single device call,
-                     ~20x faster per frame at comparable resolution)
+                     (quality mode for video at fixed resolution)
     """
     dtype = camera.position.dtype
+    if sampler == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        sampler = "device" if _on_tpu() else "adaptive"
+    if sampler == "device":
+        return _render_symmetric_device(
+            metric, camera, bg_positive, bg_negative,
+            jnp.asarray(dt, dtype), jnp.asarray(escape_radius, dtype),
+            jnp.asarray(sampling_convergence_threshold_1, dtype),
+            jnp.asarray(sampling_convergence_threshold_2, dtype),
+            max_steps=max_steps, alpha_nums=int(alpha_nums),
+            max_iterations=int(max_iterations_sampling),
+            filtering=filtering, seam=seam, center_pixels=center_pixels,
+            stepper=stepper, exact_escape_angle=exact_escape_angle,
+            capacity=int(capacity), march_width=int(march_width))
     # ---- Step 3 first (sampling of the 1-D deflection function)
     if sampler == "dense":
         alphas_j = jnp.linspace(ALPHA_MIN, ALPHA_MAX, dense_n, dtype=dtype)

@@ -1,0 +1,177 @@
+"""On-device adaptive sampler — `doubly_sample_function` as ONE XLA program.
+
+The host-driven sampler (sampling/adaptive.py) re-dispatches a geodesic
+bundle per refinement generation; over the remote-TPU tunnel each dispatch
+costs ~25-60 ms and a 960x540 frame needs ~30 generations (~1.8 s/frame,
+dispatch-bound, the round-1 bench's weakest entry).  This module runs the
+*same* control flow as the reference's adaptive sampler
+(/root/reference/src/sampling.rs:46-124) — the triple scan with the i+=2
+skip after a refinement, the dropped tail points, the between-pass NaN
+cleaning, and the shrink/fixpoint termination — inside a single jitted
+`lax.while_loop` over a fixed-capacity point buffer, so the whole adaptive
+refinement is one device call.
+
+Mechanics per pass (all static shapes):
+  - Shoelace convergence scores for every consecutive triple, vectorized
+    (sampling.rs:198-245 formula, identical operation order to the host
+    sampler so CPU f64 runs are bit-identical — pinned by
+    tests/test_symmetric.py::test_device_sampler_matches_host).
+  - The reference's sequential skip logic as a tiny lax.scan with a carry.
+  - Buffer reconstruction via exclusive-cumsum offsets + scatters
+    (mode='drop' doubles as the capacity guard).
+  - New midpoints compacted into a fixed-width march bundle so every pass
+    reuses one compiled geodesic kernel; lanes beyond the midpoint count
+    march a dummy outward ray (alpha 0 escapes in (R - l0)/dt steps).
+
+Deviations from the host/reference (documented, not exercised in practice):
+  - a pass on fewer than 3 points terminates instead of raising
+    (panics don't exist inside jit; sampling.rs:156-158),
+  - points beyond ``capacity`` are silently dropped (default 4096 vs ~600
+    points for the default HD config).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _shoelace(a1, e1, s1, a2, e2, s2, a3, e3, s3):
+    """Twice the triangle areas in (alpha, escape) and (alpha, space) space,
+    with the exact operation order of sampling.rs:198-245 / the host sampler
+    (bit-parity on CPU f64)."""
+    t1 = jnp.abs((a1 * e2 + a2 * e3 + a3 * e1)
+                 - (e1 * a2 + e2 * a3 + e3 * a1))
+    t2 = jnp.abs((a1 * s2 + a2 * s3 + a3 * s1)
+                 - (s1 * a2 + s2 * a3 + s3 * a1))
+    return t1, t2
+
+
+def _compact(valid, arrays, capacity):
+    """Stable stream compaction of ``arrays`` rows where ``valid``; returns
+    compacted arrays (zero-filled tails) + the new count."""
+    pos = jnp.cumsum(valid) - valid.astype(jnp.int32)
+    idx = jnp.where(valid, pos, capacity)          # capacity -> dropped
+    outs = tuple(
+        jnp.zeros((capacity,), a.dtype).at[idx].set(a, mode="drop")
+        for a in arrays)
+    return outs, jnp.sum(valid.astype(jnp.int32))
+
+
+def doubly_sample_on_device(march_fn, a_min, a_max, initial_points_number,
+                            max_iterations, thr1, thr2, *, capacity=4096,
+                            march_width=512, dtype=jnp.float32):
+    """Jit-compatible adaptive sampling of ``march_fn`` (sampling.rs:46-124).
+
+    ``march_fn``: (march_width,) alphas -> ((march_width,) escape angles,
+    (march_width,) escape spaces); NotEscaped encoded as NaN.
+    ``a_min``/``a_max``/``initial_points_number``/``max_iterations`` must be
+    static; ``thr1``/``thr2`` may be traced scalars.
+
+    Returns (alphas, escapes, spaces, n): (capacity,) buffers whose first n
+    slots are the sample set; the tail is a strictly-increasing epsilon
+    continuation of the last sample (safe under jnp.interp, never matched by
+    clamped queries).
+    """
+    C = int(capacity)
+    M = int(march_width)
+    n0 = int(initial_points_number)
+    if n0 > M:
+        raise ValueError(f"initial_points_number {n0} exceeds march_width {M}")
+    if n0 > C:
+        raise ValueError(f"initial_points_number {n0} exceeds capacity {C}")
+    thr1 = jnp.asarray(thr1, dtype)
+    thr2 = jnp.asarray(thr2, dtype)
+
+    # Initial uniform grid, computed with np at trace time so the host
+    # sampler (np.linspace) sees bit-identical launch angles.
+    xs0 = np.linspace(float(a_min), float(a_max), n0)
+    e0, s0 = march_fn(jnp.asarray(
+        np.concatenate([xs0, np.zeros(M - n0)]), dtype))
+    i_c = jnp.arange(C)
+    a_buf = jnp.zeros((C,), dtype).at[:n0].set(jnp.asarray(xs0, dtype))
+    e_buf = jnp.zeros((C,), dtype).at[:n0].set(e0[:n0])
+    s_buf = jnp.zeros((C,), dtype).at[:n0].set(s0[:n0])
+    fin0 = ((i_c < n0) & jnp.isfinite(a_buf) & jnp.isfinite(e_buf)
+            & jnp.isfinite(s_buf))
+    (a_buf, e_buf, s_buf), n = _compact(fin0, (a_buf, e_buf, s_buf), C)
+
+    def cond(c):
+        _, _, _, n, it, done = c
+        return (it < max_iterations) & ~done & (n >= 3)
+
+    def body(c):
+        a, e, s, n, it, _ = c
+        inr = i_c < (n - 2)
+        a2, a3 = jnp.roll(a, -1), jnp.roll(a, -2)
+        e2, e3 = jnp.roll(e, -1), jnp.roll(e, -2)
+        s2, s3 = jnp.roll(s, -1), jnp.roll(s, -2)
+        t1, t2 = _shoelace(a, e, s, a2, e2, s2, a3, e3, s3)
+        raw = inr & ((t1 > thr1) | (t2 > thr2))
+
+        # sampling.rs:160-191 scan: i += 1 on a kept triple, i += 2 after a
+        # refinement (the next position is never scanned).
+        def skip_step(skip, x):
+            raw_i, inr_i = x
+            scanned = inr_i & (skip == 0)
+            refine = scanned & raw_i
+            nskip = jnp.where(
+                ~inr_i, skip,
+                jnp.where(refine, 1, jnp.where(scanned, 0, skip - 1)))
+            return nskip, (scanned, refine)
+
+        _, (scanned, refine) = lax.scan(skip_step, jnp.int32(0), (raw, inr))
+        keep = scanned & ~refine
+        # keep emits [p_i]; refine emits [p_i, mid(i,i+1), p_{i+1},
+        # mid(i+1,i+2)] (sampling.rs:168-186); unscanned positions emit
+        # nothing — which also drops the reference's 1-2 tail points.
+        emit = jnp.where(refine, 4, jnp.where(keep, 1, 0))
+        off = jnp.cumsum(emit) - emit
+        mid1 = 0.5 * (a + a2)
+        mid2 = 0.5 * (a2 + a3)
+
+        na = jnp.zeros((C,), dtype)
+        ne = jnp.zeros((C,), dtype)
+        ns = jnp.zeros((C,), dtype)
+        nvalid = jnp.zeros((C,), bool)
+        nneed = jnp.zeros((C,), bool)
+        idx0 = jnp.where(emit > 0, off, C)
+        idx1 = jnp.where(refine, off + 1, C)
+        idx2 = jnp.where(refine, off + 2, C)
+        idx3 = jnp.where(refine, off + 3, C)
+        na = na.at[idx0].set(a, mode="drop").at[idx1].set(mid1, mode="drop") \
+               .at[idx2].set(a2, mode="drop").at[idx3].set(mid2, mode="drop")
+        ne = ne.at[idx0].set(e, mode="drop").at[idx2].set(e2, mode="drop")
+        ns = ns.at[idx0].set(s, mode="drop").at[idx2].set(s2, mode="drop")
+        t = jnp.ones((C,), bool)
+        nvalid = nvalid.at[idx0].set(t, mode="drop") \
+            .at[idx1].set(t, mode="drop").at[idx2].set(t, mode="drop") \
+            .at[idx3].set(t, mode="drop")
+        nneed = nneed.at[idx1].set(t, mode="drop").at[idx3].set(t, mode="drop")
+
+        # March the new midpoints as one fixed-width bundle.
+        noff = jnp.cumsum(nneed) - nneed.astype(jnp.int32)
+        midx = jnp.where(nneed, noff, M)
+        march_a = jnp.zeros((M,), dtype).at[midx].set(na, mode="drop")
+        me, ms = march_fn(march_a)
+        got = nneed & (noff < M)
+        g = jnp.clip(noff, 0, M - 1)
+        ne = jnp.where(got, me[g], ne)
+        ns = jnp.where(got, ms[g], ns)
+
+        fin = nvalid & jnp.isfinite(na) & jnp.isfinite(ne) & jnp.isfinite(ns)
+        (a_n, e_n, s_n), n_n = _compact(fin, (na, ne, ns), C)
+        return a_n, e_n, s_n, n_n, it + 1, n_n <= n
+
+    a_buf, e_buf, s_buf, n, it, done = lax.while_loop(
+        cond, body, (a_buf, e_buf, s_buf, n, jnp.int32(0), jnp.asarray(False)))
+
+    # Interp-safe tail: strictly-increasing epsilon continuation holding the
+    # last sample's values (same padding the host path applies).
+    last = jnp.maximum(n - 1, 0)
+    tail = a_buf[last] + (i_c - last).astype(dtype) * jnp.asarray(1e-6, dtype)
+    live = i_c < n
+    a_out = jnp.where(live, a_buf, tail)
+    e_out = jnp.where(live, e_buf, e_buf[last])
+    s_out = jnp.where(live, s_buf, s_buf[last])
+    return a_out, e_out, s_out, n

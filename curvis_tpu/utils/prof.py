@@ -35,10 +35,20 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name, sync=True):
+        """Time a stage. Yields a list: append device arrays produced inside
+        and they are materialized before the clock stops. With an empty
+        holder and sync=True, a barrier scalar is enqueued and fetched —
+        device streams execute in order, so the fetch drains everything the
+        stage enqueued (block_until_ready alone returns at enqueue time on
+        the remote tunnel; see CLAUDE.md)."""
+        holder: list = []
         t0 = time.time()
-        yield
+        yield holder
         if sync:
-            pass
+            if holder:
+                materialize(holder)
+            else:
+                float(jnp.add(jnp.float32(0), jnp.float32(0)))
         dt = time.time() - t0
         self.stages[name] = self.stages.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1

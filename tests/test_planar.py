@@ -210,3 +210,38 @@ def test_fused_kernel_interpret_matches_fast():
     b = np.asarray(render_planar_fused(metric, cam, bgp, bgn,
                                        interpret=True, tile_rows=8, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_backends_agree_at_step_cap():
+    """sign/steps agreement between while, scan, tiled and pallas(interpret)
+    backends for rays terminating within +-2 steps of max_steps (VERDICT
+    round-1 weak #5: scan overshoot / pallas unroll rounding)."""
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    from curvis_tpu.ops.march_pallas import march_planar_pallas
+    # radial outward ray from l0=5 with dt=0.05 crosses l>100 strictly at
+    # step 1901; add inward + near-critical rays for variety
+    alphas = np.array([0.0, np.pi, 1.2, 2.2, 2.95])
+    l = jnp.full((5,), 5.0)
+    rays = pl.PlanarRays(l=l, psi=jnp.zeros_like(l),
+                         p_l=jnp.cos(jnp.asarray(alphas)),
+                         b=jnp.sin(jnp.asarray(alphas)) * metric.r(l),
+                         r_hat=jnp.zeros((1, 3)), e2=jnp.zeros((1, 3)))
+    kw = dict(dt=0.05, escape_radius=100.0)
+    for cap in (1899, 1900, 1901, 1902, 2101):
+        w = pl.march_planar_while(metric, rays, max_steps=cap, **kw)
+        s = pl.march_planar_scan(metric, rays, max_steps=cap, **kw)
+        t = pl.march_planar_tiled(metric, rays, max_steps=cap, tile=640,
+                                  **kw)
+        p = march_planar_pallas(metric, rays, max_steps=cap, interpret=True,
+                                sort=False, tile_rows=8, **kw)
+        for other in (s, t, p):
+            np.testing.assert_array_equal(np.asarray(w.sign),
+                                          np.asarray(other.sign),
+                                          err_msg=f"cap={cap}")
+            np.testing.assert_array_equal(np.asarray(w.steps),
+                                          np.asarray(other.steps),
+                                          err_msg=f"cap={cap}")
+    # the radial ray flips from not-escaped to escaped exactly at 1901
+    w0 = pl.march_planar_while(metric, rays, max_steps=1900, **kw)
+    w1 = pl.march_planar_while(metric, rays, max_steps=1901, **kw)
+    assert int(w0.sign[0]) == 0 and int(w1.sign[0]) == 1
