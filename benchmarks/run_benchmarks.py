@@ -105,18 +105,26 @@ def main(argv=None):
                                doppler=True)).mean(),
            bh, cam_bh, bgp)
 
-    # 6. symmetric renderer (the reference's production path) — HD frame,
-    #    host-driven sampling + jitted reconstruction
+    # 6. symmetric renderer (the reference's production path) — HD frame.
+    #    sampler='auto' -> the on-device refinement loop on TPU (whole frame
+    #    = one dispatch); scalar-checksum timing like every other entry.
+    from curvis_tpu.utils.prof import materialize
+
+    def sym_frame(k=0):
+        img = render_symmetric(
+            ellis, cam(960, 540, k), bgp, bgn, dt=0.05, max_steps=40_000,
+            escape_radius=100.0, alpha_nums=100, max_iterations_sampling=50)
+        materialize(img)
+        return img
+
     t0 = time.time()
-    img = np.asarray(render_symmetric(
-        ellis, cam(960, 540), bgp, bgn, dt=0.05, max_steps=40_000,
-        escape_radius=100.0, alpha_nums=100, max_iterations_sampling=50))
+    sym_frame()
     warm = time.time() - t0
-    t0 = time.time()
-    img = np.asarray(render_symmetric(
-        ellis, cam(960, 540), bgp, bgn, dt=0.05, max_steps=40_000,
-        escape_radius=100.0, alpha_nums=100, max_iterations_sampling=50))
-    t = time.time() - t0
+    t = float("inf")
+    for k in (1, 2, 3):
+        t0 = time.time()
+        sym_frame(k)
+        t = min(t, time.time() - t0)
     report["configs"]["ellis_960x540_symmetric_hd_frame"] = {
         "secs": round(t, 3), "first_secs": round(warm, 3),
         "note": "reference renders this config in 'seconds' single-thread"}

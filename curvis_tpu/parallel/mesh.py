@@ -26,6 +26,21 @@ def make_mesh(n_devices=None, axis_name=RAYS, devices=None) -> Mesh:
     return Mesh(np.array(devs[:n]), (axis_name,))
 
 
+def make_mesh_2d(n_frames, n_rays=None, devices=None) -> Mesh:
+    """(frames, rays) 2-D mesh — the video-workload topology: whole frames
+    sharded across one axis, each frame's ray bundle split across the other
+    (SURVEY.md section 2: per-frame and per-pixel are the two natural
+    parallel axes)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_rays is None:
+        n_rays = len(devs) // n_frames
+    need = n_frames * n_rays
+    if need > len(devs):
+        raise ValueError(f"requested {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_frames, n_rays),
+                (FRAMES, RAYS))
+
+
 def ray_sharding(mesh: Mesh, axis_name=RAYS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 

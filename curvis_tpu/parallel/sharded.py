@@ -109,8 +109,60 @@ def render_direct_shardmap(metric, camera: Camera,
                                res, b[:n], r_hat, e2, filtering)
 
 
+def render_frames_sharded(metric, cameras, bg_positive: SphericalImage,
+                          bg_negative: SphericalImage, mesh: Mesh, *, dt,
+                          max_steps, escape_radius, stepper="euler",
+                          filtering="nearest"):
+    """Video-workload sharding: F frames on a 2-D ('frames', 'rays') mesh
+    (parallel.mesh.make_mesh_2d) -> (F, H, W, 3).
+
+    Each frame's ray bundle is split over the 'rays' axis while whole frames
+    spread over 'frames' — the two natural parallel axes of the reference's
+    video loop (rendering.rs:291-316).  Forward pass is collective-free;
+    jit-compatible.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from curvis_tpu.parallel.mesh import FRAMES, RAYS
+    from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
+
+    cams = list(cameras)
+    W, H = cams[0].resolution_x, cams[0].resolution_y
+    if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
+        raise ValueError("all cameras in a batch must share a resolution")
+    states = []
+    for cam in cams:
+        dx, dy, dz = _pixel_dirs_soa(cam)
+        states.append(_spawn_planar_soa(metric, cam, dx, dy, dz))
+    F = len(cams)
+    n = W * H
+
+    def stack_state(i):
+        return jnp.stack([s[0][i] for s in states])          # (F, N)
+
+    l, psi, p_l, b = (stack_state(i) for i in range(4))
+    sh = NamedSharding(mesh, P(FRAMES, RAYS))
+    l, psi, p_l, b = (jax.lax.with_sharding_constraint(a, sh)
+                      for a in (l, psi, p_l, b))
+    rays = pl.PlanarRays(l, psi, p_l, b, jnp.zeros((1, 3), l.dtype),
+                         jnp.zeros((1, 3), l.dtype))
+    res = pl.march_planar_while(metric, rays, dt=dt, max_steps=max_steps,
+                                escape_radius=escape_radius, stepper=stepper)
+    # per-frame scalar bases broadcast to their ray blocks, then flatten
+    def chain(idx, comp):
+        return jnp.stack([jnp.broadcast_to(s[idx][comp], (n,))
+                          for s in states]).reshape(-1)
+
+    flat = pl.PlanarResult(*(a.reshape(-1) for a in res))
+    img = _finish_from_result(metric, cams[0], bg_positive, bg_negative,
+                              flat, b.reshape(-1),
+                              (chain(1, 0), chain(1, 1), chain(1, 2)),
+                              (chain(2, 0), chain(2, 1), chain(2, 2)),
+                              filtering, n_frames=F)
+    return img
+
+
 def _finish_from_result(metric, camera, bg_positive, bg_negative, res, b,
-                        r_hat, e2, filtering):
+                        r_hat, e2, filtering, n_frames=1):
     from curvis_tpu.render.fast import _filter_lookup, _texture_uv
     rx, ry, rz = r_hat
     e2x, e2y, e2z = e2
@@ -130,9 +182,14 @@ def _finish_from_result(metric, camera, bg_positive, bg_negative, res, b,
                             bg_negative.texture.reshape(-1, 3)])
     base = jnp.where(neg, H * W, 0)
     colors = _filter_lookup(rows, base, u, v, W, H, filtering)
-    colors = jnp.where((sign != 0)[:, None], colors, jnp.zeros_like(colors))
+    # only escaped rays are lit (captured/not-escaped render black, matching
+    # render/fast.py semantics)
+    lit = (sign == 1) | (sign == -1)
+    colors = jnp.where(lit[:, None], colors, jnp.zeros_like(colors))
     W, H = camera.resolution_x, camera.resolution_y
-    return colors.reshape(W, H, 3).transpose(1, 0, 2)
+    if n_frames == 1:
+        return colors.reshape(W, H, 3).transpose(1, 0, 2)
+    return colors.reshape(n_frames, W, H, 3).transpose(0, 2, 1, 3)
 
 
 def make_train_step(mesh: Mesh, *, dt, max_steps, escape_radius,

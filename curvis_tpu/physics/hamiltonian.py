@@ -142,9 +142,16 @@ def march_hamiltonian(metric, x0, p0, *, dt, max_steps, escape_radius,
         x = jnp.where(am, x1, x)
         p = jnp.where(am, p1, p)
         r = x[..., 1]
-        sign = jnp.where(active & (r > escape_radius), 1, sign)
+        # blowup guard (sign 3): same full-state abs-sum predicate as the
+        # pallas Kerr kernel so backends agree ray for ray (catches inf AND
+        # NaN in any of r/theta/phi/p_r/p_theta — NaN compares false)
+        m_chk = (jnp.abs(r) + jnp.abs(x[..., 2]) + jnp.abs(x[..., 3])
+                 + jnp.abs(p[..., 1]) + jnp.abs(p[..., 2]))
+        ok = m_chk <= 1e8
+        sign = jnp.where(active & ok & (r > escape_radius), 1, sign)
         if capture_radius is not None:
-            sign = jnp.where(active & (r < capture_radius), 2, sign)
+            sign = jnp.where(active & ok & (r < capture_radius), 2, sign)
+        sign = jnp.where(active & ~ok, 3, sign)
         steps = steps + active.astype(jnp.int32)
         return x, p, sign, steps, it + 1
 

@@ -48,6 +48,7 @@ def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
     def body(c):
         x, p, sign, h1, h2, ct_prev, it = c
         active = sign == 0
+        r_prev = x[:, 1]
         x1, p1 = ham.rk4_step_batched(metric, x, p, dt)
         am = active[:, None]
         x = jnp.where(am, x1, x)
@@ -56,13 +57,20 @@ def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
         crossed = active & (ct_prev * ct < 0.0)
         frac = jnp.abs(ct_prev) / jnp.maximum(jnp.abs(ct_prev) + jnp.abs(ct),
                                               1e-30)
-        r_hit = x[:, 1]                                # ~radius at crossing
+        # linear-in-step radius at the crossing (same interpolation as the
+        # pallas kernel, ops/march_pallas.py:_kerr_kernel)
+        r_hit = r_prev + frac * (x[:, 1] - r_prev)
         in_disk = crossed & (r_hit >= r_inner) & (r_hit <= r_outer)
         h2 = jnp.where(in_disk & (h1 != 0.0) & (h2 == 0.0), r_hit, h2)
         h1 = jnp.where(in_disk & (h1 == 0.0), r_hit, h1)
         r = x[:, 1]
-        sign = jnp.where(active & (r > escape_radius), 1, sign)
-        sign = jnp.where(active & (r < cap), 2, sign)
+        # full-state blowup guard, matches the pallas kernel's predicate
+        m_chk = (jnp.abs(r) + jnp.abs(x[:, 2]) + jnp.abs(x[:, 3])
+                 + jnp.abs(p[:, 1]) + jnp.abs(p[:, 2]))
+        ok = m_chk <= 1e8
+        sign = jnp.where(active & ok & (r > escape_radius), 1, sign)
+        sign = jnp.where(active & ok & (r < cap), 2, sign)
+        sign = jnp.where(active & ~ok, 3, sign)
         ct_prev = jnp.where(active, ct, ct_prev)
         return x, p, sign, h1, h2, ct_prev, it + 1
 
@@ -97,13 +105,35 @@ def _kerr_disk_rgb(metric: KerrMetric, r_hit, b_photon, params: DiskParams,
 
 def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
                 dt=0.1, max_steps=20_000, escape_radius=None,
-                disk: DiskParams | None = None, filtering="bilinear"):
+                disk: DiskParams | None = None, filtering="bilinear",
+                backend="auto"):
     """(H, W, 3): Kerr shadow + lensed background (+ optional disk).
 
     Camera position is (t, r, theta, phi) in Boyer-Lindquist; pixel rays are
     decomposed in the asymptotic frame convention [r_hat, theta_hat, phi_hat]
     at the camera angles (exact as r -> infinity).
+
+    ``backend='auto'`` marches with the hand-inlined Pallas Kerr kernel on
+    TPU (ops/march_pallas.py:march_kerr_pallas — same flow as the autodiff
+    marcher, VMEM-resident) and the XLA autodiff marcher elsewhere.  Eager
+    calls self-jit (one cached compiled bundle per config).
     """
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if _on_tpu() else "xla"
+    return _render_kerr_jit(metric, camera, bg, jnp.asarray(dt),
+                            max_steps=max_steps, escape_radius=escape_radius,
+                            disk=disk, filtering=filtering, backend=backend)
+
+
+_render_kerr_jit = jax.jit(
+    lambda *a, **k: _render_kerr_impl(*a, **k),
+    static_argnames=("max_steps", "escape_radius", "disk", "filtering",
+                     "backend"))
+
+
+def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
+                      disk, filtering, backend):
     pos = camera.position
     if escape_radius is None:
         escape_radius = 2.0 * pos[1]          # traced-safe
@@ -116,16 +146,29 @@ def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
     p0 = ham.spawn_photon(metric, x0, comps)
 
     if disk is not None:
-        x, p, sign, (h1, h2) = march_kerr_disk(
-            metric, x0, p0, dt=dt, max_steps=max_steps,
-            escape_radius=escape_radius, r_inner=disk.r_inner,
-            r_outer=disk.r_outer)
+        if backend == "pallas":
+            from curvis_tpu.ops.march_pallas import march_kerr_pallas
+            x, p, sign, _, (h1, h2) = march_kerr_pallas(
+                metric, x0, p0, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius,
+                disk=(disk.r_inner, disk.r_outer))
+        else:
+            x, p, sign, (h1, h2) = march_kerr_disk(
+                metric, x0, p0, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius, r_inner=disk.r_inner,
+                r_outer=disk.r_outer)
     else:
-        res = ham.march_hamiltonian(metric, x0, p0, dt=dt,
-                                    max_steps=max_steps,
-                                    escape_radius=escape_radius,
-                                    capture_radius=metric.capture_radius)
-        x, p, sign = res.x, res.p, res.sign
+        if backend == "pallas":
+            from curvis_tpu.ops.march_pallas import march_kerr_pallas
+            x, p, sign, _ = march_kerr_pallas(
+                metric, x0, p0, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius)
+        else:
+            res = ham.march_hamiltonian(metric, x0, p0, dt=dt,
+                                        max_steps=max_steps,
+                                        escape_radius=escape_radius,
+                                        capture_radius=metric.capture_radius)
+            x, p, sign = res.x, res.p, res.sign
         h1 = h2 = None
 
     # readout: asymptotic direction from contravariant momentum

@@ -159,3 +159,81 @@ def test_kerr_shadow_asymmetry_image(rng):
     c_fast = shadow_centroid(0.95)
     assert abs(c_slow) < 1.0                   # centered (up to grid offset)
     assert abs(c_fast - c_slow) > 1.2          # visibly displaced by spin
+
+
+def test_kerr_pallas_kernel_matches_autodiff():
+    """The hand-inlined Pallas Kerr RHS is the same Hamiltonian flow as the
+    autodiff marcher: identical signs/steps, state to ~1e-12 (f64 interpret),
+    including the disk-crossing variant."""
+    from curvis_tpu.ops.march_pallas import march_kerr_pallas
+    metric = make_kerr(m=1.0, a=0.9)
+    rng = np.random.default_rng(0)
+    n = 16
+    ths = np.concatenate([np.full(8, np.pi / 2),
+                          np.pi / 2 + 0.4 * rng.standard_normal(8)])
+    x0 = jnp.asarray(np.stack([np.zeros(n), np.full(n, 30.0), ths,
+                               np.zeros(n)], -1))
+    dirs = rng.standard_normal((n, 3))
+    dirs[:, 0] = -np.abs(dirs[:, 0]) - 0.5
+    d = jnp.asarray(dirs / np.linalg.norm(dirs, axis=1, keepdims=True))
+    p0 = ham.spawn_photon(metric, x0, d)
+    kw = dict(dt=0.1, max_steps=20_000, escape_radius=60.0)
+    res = ham.march_hamiltonian(metric, x0, p0,
+                                capture_radius=float(metric.capture_radius),
+                                **kw)
+    x_k, p_k, sign_k, steps_k = march_kerr_pallas(metric, x0, p0,
+                                                  interpret=True,
+                                                  tile_rows=1, **kw)
+    np.testing.assert_array_equal(np.asarray(res.sign), np.asarray(sign_k))
+    np.testing.assert_array_equal(np.asarray(res.steps), np.asarray(steps_k))
+    esc = np.asarray(res.sign) == 1
+    np.testing.assert_allclose(np.asarray(res.x[:, 1:])[esc],
+                               np.asarray(x_k[:, 1:])[esc], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.p)[esc],
+                               np.asarray(p_k)[esc], atol=1e-12)
+    # disk variant agrees with the XLA disk marcher's crossing radii
+    from curvis_tpu.render.kerr import march_kerr_disk
+    xd, pd, sd, (h1x, h2x) = march_kerr_disk(metric, x0, p0, r_inner=3.0,
+                                             r_outer=20.0, **kw)
+    _, _, sk, _, (h1k, h2k) = march_kerr_pallas(metric, x0, p0,
+                                                disk=(3.0, 20.0),
+                                                interpret=True, tile_rows=1,
+                                                **kw)
+    np.testing.assert_array_equal(np.asarray(sd), np.asarray(sk))
+    np.testing.assert_allclose(np.asarray(h1x), np.asarray(h1k), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(h2x), np.asarray(h2k), atol=1e-10)
+
+
+def test_kerr_pallas_bardeen_thresholds():
+    """Physics oracle straight through the kernel: capture/escape flips at
+    the Bardeen critical impact parameters (prograde AND retrograde)."""
+    from curvis_tpu.ops.march_pallas import march_kerr_pallas
+    metric = make_kerr(m=1.0, a=0.9)
+
+    def fate(b):
+        l0 = 200.0
+        x = jnp.asarray([[0.0, l0, np.pi / 2, 0.0]])
+        lo, hi = -0.999, 0.999
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            dd = jnp.asarray([[-(1.0 - mid * mid) ** 0.5, 0.0, mid]])
+            p = ham.spawn_photon(metric, x, dd)
+            if float(p[0, 3] / -p[0, 0]) < b:
+                lo = mid
+            else:
+                hi = mid
+        mid = 0.5 * (lo + hi)
+        dd = jnp.asarray([[-(1.0 - mid * mid) ** 0.5, 0.0, mid]])
+        p = ham.spawn_photon(metric, x, dd)
+        _, _, sign, _ = march_kerr_pallas(metric, x, p, dt=0.05,
+                                          max_steps=200_000,
+                                          escape_radius=1.05 * l0,
+                                          interpret=True, tile_rows=1)
+        return int(sign[0])
+
+    b_pro = float(metric.critical_impact_parameter(prograde=True))
+    b_ret = -float(metric.critical_impact_parameter(prograde=False))
+    assert fate(b_pro * 0.96) == 2
+    assert fate(b_pro * 1.04) == 1
+    assert fate(b_ret * 0.96) == 2
+    assert fate(b_ret * 1.04) == 1

@@ -85,24 +85,52 @@ def test_mesh_utilities():
 
 def test_shardmap_pallas_render_matches_single(rng):
     """Production pod path: shard_map with a per-shard Pallas kernel launch
-    (interpret mode on the virtual CPU mesh)."""
+    (interpret mode on the virtual CPU mesh).  Smooth textures + bilinear
+    filtering so f32 ulp-level angle differences cannot flip whole texels:
+    the sharded image must match the single-device while-backend image to
+    1e-3 on >99.9% of pixels."""
     from curvis_tpu.parallel.sharded import render_direct_shardmap
-    metric, cam, bg_p, bg_n = _scene(rng, res=(32, 16))
     # pallas kernels are f32
     metric32 = EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
     cam32 = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.3, 0.1],
-                           [0.0, 0.0, 1.0], 15.0, 43.0, 32, 16,
+                           [0.0, 0.0, 1.0], 15.0, 43.0, 64, 32,
                            dtype=jnp.float32)
-    bgp32 = cv.make_spherical_image(rng.random((16, 32, 3)).astype("float32"))
-    bgn32 = cv.make_spherical_image(rng.random((16, 32, 3)).astype("float32"))
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([xx / w, yy / h, 0.5 + 0 * xx], -1).astype("float32")
+    bgp32 = cv.make_spherical_image(smooth)
+    bgn32 = cv.make_spherical_image(smooth[::-1].copy())
     mesh = make_mesh(8)
     img = np.asarray(render_direct_shardmap(
         metric32, cam32, bgp32, bgn32, mesh, interpret=True,
-        use_pallas=True, **KW))
+        use_pallas=True, filtering="bilinear", **KW))
     ref = np.asarray(cv.render_direct(metric32, cam32, bgp32, bgn32,
-                                      method="planar", filtering="nearest",
+                                      method="planar", filtering="bilinear",
                                       backend="while", **KW))
-    # f32 + chaotic band: compare mismatch fraction
     assert img.shape == ref.shape
-    mism = (np.abs(img - ref).max(-1) > 1e-6).mean()
-    assert mism < 0.1, mism
+    d = np.abs(img - ref).max(-1)
+    assert (d > 1e-3).mean() < 1e-3, (d > 1e-3).mean()
+    assert np.median(d) < 1e-5
+
+
+def test_frames_axis_sharded_render(rng):
+    """2-D ('frames', 'rays') mesh: frame-batched render matches per-frame
+    single-device renders exactly (f64)."""
+    from curvis_tpu.parallel.mesh import make_mesh_2d
+    from curvis_tpu.parallel.sharded import render_frames_sharded
+    metric, _, bg_p, bg_n = _scene(rng)
+    cams = [cv.make_camera([0.0, 5.0, np.pi / 2, 0.05 * k], [-1.0, 0.0, 0.0],
+                           [0.0, 0.0, 1.0], 15.0, 43.0, 32, 16,
+                           dtype=jnp.float64) for k in range(4)]
+    mesh2 = make_mesh_2d(2, 4)
+    assert mesh2.shape == {"frames": 2, "rays": 4}
+    frames = np.asarray(jax.jit(lambda m, bp, bn: render_frames_sharded(
+        m, cams, bp, bn, mesh2, **KW))(metric, bg_p, bg_n))
+    assert frames.shape == (4, 16, 32, 3)
+    from curvis_tpu.render.fast import render_planar_fast
+    for k, cam in enumerate(cams):
+        single = np.asarray(render_planar_fast(metric, cam, bg_p, bg_n,
+                                               backend="tiled",
+                                               filtering="nearest", **KW))
+        # same SoA pipeline -> bit-identical frames regardless of sharding
+        np.testing.assert_array_equal(frames[k], single)
