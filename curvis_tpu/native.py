@@ -62,6 +62,15 @@ def _load():
         ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, _EVAL_FN, ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+    lib.cn_render_naive_f64.restype = None
+    lib.cn_render_naive_f64.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return _lib
 
@@ -143,6 +152,46 @@ def _param_dict(kind, params):
     if _KINDS[kind] == 1:
         return {"m": params[0], "a": params[1], "rho": params[2]}
     return {}
+
+
+def render_naive_f64(kind: str, params, camera, bg_positive, bg_negative, *,
+                     dt, max_steps, escape_radius):
+    """Independent f64 C++ render of the reference's EXACT naive pixel chain
+    (identity-frame spawn, Euler A7 march, ff22-bug readout, minimal-rotation
+    embedding, nearest flip lookup; systems.rs:307-330,531-561) ->
+    (H, W, 3) float64.  No JAX in the loop — the end-to-end golden oracle.
+
+    ``camera``: a curvis_tpu Camera (only its pose/optics are read; its
+    rotation matrix is evaluated once with the tested geometry module).
+    ``bg_*``: (H, W, 3) float arrays or SphericalImage (identity orientation).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (g++ required)")
+    kind_i = _KINDS[kind]
+    prm = np.zeros(4, dtype=np.float64)
+    p = list(params)
+    prm[:len(p)] = p
+    from curvis_tpu.camera.camera import camera_rotation
+    R = np.ascontiguousarray(np.asarray(camera_rotation(camera), np.float64))
+    pos = np.asarray(camera.position, np.float64)
+    cam = np.ascontiguousarray(np.array(
+        [pos[1], pos[2], pos[3], float(camera.focal_length),
+         float(camera.sensor_diagonal)], np.float64))
+
+    def tex(bg):
+        t = getattr(bg, "texture", bg)
+        return np.ascontiguousarray(np.asarray(t, np.float64))
+
+    tp, tn = tex(bg_positive), tex(bg_negative)
+    W, H = int(camera.resolution_x), int(camera.resolution_y)
+    out = np.zeros((H, W, 3), dtype=np.float64)
+    lib.cn_render_naive_f64(
+        kind_i, _dp(prm), _dp(cam), _dp(R), W, H,
+        _dp(tp), tp.shape[0], tp.shape[1],
+        _dp(tn), tn.shape[0], tn.shape[1],
+        float(dt), int(max_steps), float(escape_radius), _dp(out))
+    return out
 
 
 def doubly_sample_native(a_min, a_max, n0, max_iter, thr1, thr2, batch_fn,

@@ -144,14 +144,21 @@ def render_direct(metric, camera: Camera, bg_positive: SphericalImage,
             raise NotImplementedError(
                 "method='frame3d' marches the reference's g00=-1 system; "
                 "general static metrics (Schwarzschild) use method='planar'")
+        # frame_convention may be a (spawn, readout) pair: the reference's
+        # naive path mixes them — identity spawn (systems.rs:531-534) but
+        # minimal-rotation readout (systems.rs:144-187).
+        if isinstance(frame_convention, tuple):
+            spawn_conv, readout_conv = frame_convention
+        else:
+            spawn_conv = readout_conv = frame_convention
         x0, p0 = spawn_pixel_photons(metric, camera,
                                      center_pixels=center_pixels,
-                                     frame_convention=frame_convention)
+                                     frame_convention=spawn_conv)
         res = march(metric, x0, p0, dt=dt, max_steps=max_steps,
                     escape_radius=escape_radius, stepper=stepper,
                     backend=backend, differentiable=differentiable)
         w = escape_world_directions(metric, res,
-                                    frame_convention=frame_convention,
+                                    frame_convention=readout_conv,
                                     compat_ff22_bug=compat_ff22_bug)
         sign = res.sign
     else:

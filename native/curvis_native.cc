@@ -149,6 +149,137 @@ void cn_march_planar_f64(int kind, const double* params, int n, double* l,
 }
 
 // ---------------------------------------------------------------------------
+// Full-image f64 naive render — the independent end-to-end golden oracle for
+// the reference's exact naive pixel semantics (SURVEY.md section 3.4 chain):
+//   camera ray        cameras.rs:150-172 (pixel-corner fractions, -sw, +sh)
+//   photon spawn      metrics.rs:301-334 fed the WORLD direction unrotated
+//                     (systems.rs:531-534 — "identity" frame convention)
+//   Euler march       metrics.rs:283-297 with the A7 RHS (metrics.rs:223-270)
+//   escape test       post-step strict l > R / l < -R (systems.rs:126-135)
+//   readout           relativistic_vector_to_direction INCLUDING the
+//                     frame_field_22-for-33 bug (metrics.rs:339-349), rotated
+//                     by the minimal rotation x_hat -> r_hat(theta, phi)
+//                     (systems.rs:144-187, algebra.rs:92-101)
+//   texel lookup      nearest with the (0.5 - phi/2pi) mod 1 horizontal flip
+//                     (images.rs:115-121), identity background orientation
+// Implemented with libm doubles, no JAX anywhere — a genuinely independent
+// executor gating render_direct(method='frame3d') in tests/test_golden.py.
+// ---------------------------------------------------------------------------
+namespace {
+
+inline void minimal_rotation_apply(double tx, double ty, double tz,
+                                   const double u[3], double w[3]) {
+  // Rotation taking x_hat to the unit vector t, applied to u (Rodrigues).
+  // Degenerate t ~ +-x_hat handled like nalgebra's rotation_between limit.
+  double kx = 0.0, ky = -tz, kz = ty;            // x_hat cross t
+  const double s2 = ky * ky + kz * kz;
+  const double c = tx;                           // x_hat dot t
+  if (s2 < 1e-300) {                             // parallel / antiparallel
+    if (c > 0) { w[0] = u[0]; w[1] = u[1]; w[2] = u[2]; }
+    else { w[0] = -u[0]; w[1] = -u[1]; w[2] = u[2]; }   // 180deg about z
+    return;
+  }
+  const double s = std::sqrt(s2);
+  kx = 0.0; ky /= s; kz /= s;
+  const double kd = ky * u[1] + kz * u[2];       // k . u (kx = 0)
+  const double cx = ky * u[2] - kz * u[1];       // k x u
+  const double cy = kz * u[0];
+  const double cz = -ky * u[0];
+  const double omc = 1.0 - c;
+  w[0] = u[0] * c + cx * s + kx * kd * omc;
+  w[1] = u[1] * c + cy * s + ky * kd * omc;
+  w[2] = u[2] * c + cz * s + kz * kd * omc;
+}
+
+}  // namespace
+
+// Renders an (res_y, res_x, 3) row-major f64 image.  cam = [l0, theta0,
+// phi0, focal, diag]; R = 3x3 camera->world rotation, row-major (world = R v).
+// bgp/bgn: (bh, bw, 3) row-major f64 textures, identity orientation.
+void cn_render_naive_f64(int kind, const double* params, const double* cam,
+                         const double* R, int res_x, int res_y,
+                         const double* bgp, int ph_, int pw_,
+                         const double* bgn, int nh_, int nw_, double dt,
+                         int max_steps, double escape_radius, double* out) {
+  const Shape s{kind, params[0], params[1], params[2]};
+  const double l0 = cam[0], th0 = cam[1], ph0 = cam[2];
+  const double focal = cam[3], diag = cam[4];
+  const double aspect = (double)res_x / (double)res_y;
+  const double sh = std::sqrt(diag * diag / (aspect * aspect + 1.0));
+  const double sw = aspect * sh;
+  const double r0 = s.r(l0);
+  const double st0 = std::sin(th0);
+
+  for (int px = 0; px < res_x; ++px) {
+    for (int py = 0; py < res_y; ++py) {
+      // camera ray (cameras.rs:150-172; pixel corners, no +0.5)
+      const double wf = (double)px / res_x - 0.5;
+      const double hf = 0.5 - (double)py / res_y;
+      double v[3] = {focal, -sw * wf, sh * hf};
+      const double vn = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
+      v[0] /= vn; v[1] /= vn; v[2] /= vn;
+      double d[3] = {R[0] * v[0] + R[1] * v[1] + R[2] * v[2],
+                     R[3] * v[0] + R[4] * v[1] + R[5] * v[2],
+                     R[6] * v[0] + R[7] * v[1] + R[8] * v[2]};
+      // identity-frame spawn (systems.rs:531-534 -> metrics.rs:301-334);
+      // d is unit already
+      double pt = 1.0, pl = d[0], pth = d[1] * r0, pph = d[2] * r0 * st0;
+      double t = 0.0, l = l0, th = th0, ph = ph0;
+      (void)pt; (void)t;
+      int sg = 0;
+      for (int it = 0; it < max_steps; ++it) {
+        // A7 RHS (metrics.rs:223-270) + explicit Euler (metrics.rs:283-297)
+        const double r2 = s.r2(l);
+        const double r = s.r(l);
+        const double stt = std::sin(th);
+        const double s2 = stt * stt;
+        const double b2 = pth * pth + pph * pph / s2;
+        const double dl = pl;
+        const double dth = pth / r2;
+        const double dph = pph / (r2 * s2);
+        const double dpl = b2 * s.dr(l) / (r2 * r);
+        const double dpth = pph * pph * std::cos(th) / (r2 * s2 * stt);
+        l += dt * dl; th += dt * dth; ph += dt * dph;
+        pl += dt * dpl; pth += dt * dpth;
+        if (l > escape_radius) { sg = 1; break; }
+        if (l < -escape_radius) { sg = -1; break; }
+      }
+      double rgb[3] = {0.0, 0.0, 0.0};
+      if (sg != 0) {
+        // readout with the ff22 bug: third component scaled by r, not
+        // r sin(theta) (metrics.rs:344-348)
+        const double r2 = s.r2(l);
+        const double r = s.r(l);
+        const double stt = std::sin(th);
+        double u[3] = {pl, (pth / r2) * r, (pph / (r2 * stt * stt)) * r};
+        // minimal rotation x_hat -> r_hat(theta, phi) (systems.rs:144-187)
+        const double rx = stt * std::cos(ph);
+        const double ry = stt * std::sin(ph);
+        const double rz = std::cos(th);
+        double w[3];
+        minimal_rotation_apply(rx, ry, rz, u, w);
+        const double wn = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
+        // texel (images.rs:115-121; theta-phi normalization algebra.rs:106)
+        const double theta_i = std::acos(std::fmax(-1.0, std::fmin(1.0, w[2] / wn)));
+        double phi_i = std::atan2(w[1], w[0]);
+        double uu = std::fmod(0.5 - phi_i / (2.0 * M_PI), 1.0);
+        if (uu < 0.0) uu += 1.0;
+        const double vv = theta_i / M_PI;
+        const double* tex = (sg == 1) ? bgp : bgn;
+        const int W = (sg == 1) ? pw_ : nw_;
+        const int H = (sg == 1) ? ph_ : nh_;
+        int xi = (int)(uu * W); if (xi > W - 1) xi = W - 1; if (xi < 0) xi = 0;
+        int yi = (int)(vv * H); if (yi > H - 1) yi = H - 1; if (yi < 0) yi = 0;
+        const double* px3 = tex + 3 * (yi * W + xi);
+        rgb[0] = px3[0]; rgb[1] = px3[1]; rgb[2] = px3[2];
+      }
+      double* o = out + 3 * (py * res_x + px);
+      o[0] = rgb[0]; o[1] = rgb[1]; o[2] = rgb[2];
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Adaptive sampling driver (sampling.rs:46-124 semantics, quirks included).
 // The evaluator callback receives a batch of alphas and writes escapes/signs;
 // on the Python side it is a jitted TPU bundle.
