@@ -59,6 +59,18 @@ def build_parser() -> argparse.ArgumentParser:
                              "renderer anti-aliasing)")
         sp.add_argument("--f64", action="store_true",
                         help="double precision (CPU)")
+        sp.add_argument("--bg1-orient", type=float, nargs=6, default=None,
+                        metavar=("FX", "FY", "FZ", "UX", "UY", "UZ"),
+                        help="forward+up orientation of background 1 — "
+                             "fixes the reference's 'backgrounds cannot be "
+                             "rotated' limitation (README.md:106)")
+        sp.add_argument("--bg2-orient", type=float, nargs=6, default=None,
+                        metavar=("FX", "FY", "FZ", "UX", "UY", "UZ"),
+                        help="forward+up orientation of background 2")
+        sp.add_argument("--flip-negative", action="store_true",
+                        help="mirror the negative-l background horizontally, "
+                             "compensating the reference's known "
+                             "negative-side flip (README.md:105)")
 
     img = sub.add_parser("image", help="render a single image")
     common(img)
@@ -72,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     vid.add_argument("--clean", action="store_true",
                      help="delete pre-existing frames first (reference "
                           "behavior); default resumes")
+    vid.add_argument("--frames-per-batch", type=int, default=1,
+                     help="device-batch this many frames per dispatch "
+                          "(direct/disk renderers)")
 
     sub.add_parser("custom", help="custom-script hook (stub, like the "
                                   "reference's custom.rs)")
@@ -92,8 +107,19 @@ def _load_common(args):
         import jax
         jax.config.update("jax_enable_x64", True)
         jax.config.update("jax_platforms", "cpu")
-    bgp = cvt.load_spherical_image(args.background_image_1, dtype=dtype)
-    bgn = cvt.load_spherical_image(args.background_image_2, dtype=dtype)
+    def orient(o):
+        return (o[:3], o[3:]) if o else (None, None)
+
+    f1, u1 = orient(args.bg1_orient)
+    f2, u2 = orient(args.bg2_orient)
+    bgp = cvt.load_spherical_image(args.background_image_1, forward=f1,
+                                   up=u1, dtype=dtype)
+    bgn = cvt.load_spherical_image(args.background_image_2, forward=f2,
+                                   up=u2, dtype=dtype)
+    if args.flip_negative:
+        from curvis_tpu.env.spherical_image import SphericalImage
+        bgn = SphericalImage(texture=bgn.texture[:, ::-1],
+                             rotation=bgn.rotation)
     metric = MetricSettings.from_toml(args.metric_settings).make()
     camera_s = CameraSettings.from_toml(args.camera_settings)
     sim = SimulationSettings.from_toml(args.simulation_settings)
@@ -150,7 +176,10 @@ def video_main(args) -> int:
     from curvis_tpu.config.settings import VideoSettings
     from curvis_tpu.camera.path import load_path
     from curvis_tpu.render.video import render_video_frames
+    from curvis_tpu.render.disk import DiskParams
     vid_s = VideoSettings.from_toml(args.video_settings)
+    if args.disk:
+        args.renderer = "disk"   # disk video mode
     if not vid_s.filepath_to_camera_path:
         raise SystemExit("error: video settings must provide "
                          "filepath_to_camera_path")
@@ -169,7 +198,9 @@ def video_main(args) -> int:
         max_iterations_sampling=sim.sampling_max_iterations,
         sampling_convergence_threshold_1=sim.sampling_convergence_threshold_1,
         sampling_convergence_threshold_2=sim.sampling_convergence_threshold_2,
-        seam=args.seam, resume=not args.clean, clean=args.clean, dtype=dtype)
+        seam=args.seam, resume=not args.clean, clean=args.clean, dtype=dtype,
+        stepper=args.stepper, frames_per_batch=args.frames_per_batch,
+        disk=DiskParams() if args.disk else None)
     print(f"rendered {len(frames)} frames into {args.output_folder / 'tmp'}")
     if args.gif:
         from curvis_tpu.utils.assemble import assemble_gif

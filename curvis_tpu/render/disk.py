@@ -44,6 +44,65 @@ class DiskParams:
     redshift: bool = True
     doppler: bool = True                # relativistic beaming (g^3)
     spin_sign: float = 1.0              # disk rotation sense
+    # 'tint': power-law emissivity times a fixed tint, intensity ~ g^3.
+    # 'blackbody': Shakura-Sunyaev temperature profile, Planck colors, and
+    # the full chromatic shift: observed T = g * T_emit, luminance ~ T_obs^4
+    # (so Doppler blue-shifts the approaching side toward white-blue and
+    # red-dims the receding side — physical color, not just intensity).
+    color_mode: str = "tint"
+    t_peak: float = 9000.0              # peak emitted temperature [K]
+
+
+_BB_C2 = 1.4388e-2                      # Planck c2 = h c / k_B  [m K]
+_BB_LAMBDA = (610e-9, 550e-9, 465e-9)   # RGB sample wavelengths [m]
+
+
+def blackbody_rgb(T):
+    """Linear-RGB chromaticity of a Planck radiator: Planck's law sampled at
+    610/550/465 nm, normalized to max channel 1 per element.  Smooth and
+    differentiable (expm1), valid from deep red (~1000 K) through blue-white
+    (>20000 K)."""
+    T = jnp.maximum(T, 100.0)
+    chans = [1.0 / (lam ** 5 * jnp.expm1(_BB_C2 / (lam * T)))
+             for lam in _BB_LAMBDA]
+    rgb = jnp.stack(chans, axis=-1)
+    return rgb / jnp.max(rgb, axis=-1, keepdims=True)
+
+
+def disk_temperature(r, params: DiskParams):
+    """Thin-disk (Shakura-Sunyaev) effective temperature profile
+    T(r) ~ r^{-3/4} (1 - sqrt(r_in/r))^{1/4}, normalized so the peak (at
+    r = 49/36 r_in) is ``t_peak``; zero at the inner edge (cold ISCO)."""
+    r_in = params.r_inner
+    r = jnp.maximum(r, r_in)
+    f = r ** -0.75 * (1.0 - jnp.sqrt(r_in / r)) ** 0.25
+    rp = (49.0 / 36.0) * r_in
+    f_peak = rp ** -0.75 * (1.0 / 7.0) ** 0.25   # 1 - sqrt(36/49) = 1/7
+    return params.t_peak * f / f_peak
+
+
+def _emission_rgb(r_hit, g, params: DiskParams, dtype):
+    """Shared disk emission (planar + Kerr shaders): color and alpha of a
+    crossing at radius r_hit (0 = no hit) with total shift factor g."""
+    hit = r_hit > 0.0
+    w = params.r_outer - params.r_inner
+    edge_in = jnp.clip((r_hit - params.r_inner) / (0.1 * w), 0.0, 1.0)
+    edge_out = jnp.clip((params.r_outer - r_hit) / (0.3 * w), 0.0, 1.0)
+    if params.color_mode == "blackbody":
+        t_obs = g * disk_temperature(r_hit, params)
+        lum = params.brightness * (t_obs / params.t_peak) ** 4
+        lum = lum / (1.0 + lum)                    # soft tone map
+        glow = lum * edge_out                      # T profile fades the
+        rgb = blackbody_rgb(t_obs) * glow[:, None]  # inner edge physically
+    else:
+        rr = jnp.maximum(r_hit, params.r_inner)
+        emis = (params.r_inner / rr) ** params.emissivity_index
+        glow = params.brightness * emis * edge_in * edge_out
+        glow = glow * jnp.clip(g, 0.0, 4.0) ** 3
+        tint = jnp.asarray(params.tint, dtype)
+        rgb = glow[:, None] * tint[None, :]
+    alpha = jnp.where(hit, params.opacity * jnp.clip(glow, 0.25, 1.0), 0.0)
+    return rgb, alpha
 
 
 def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
@@ -131,18 +190,13 @@ def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype):
     n.z — a per-ray constant).  Total g = sqrt(A) / (gamma (1 - v cos_xi)),
     intensity scaled by g^3.
     """
-    hit = r_hit > 0.0
     rr = jnp.maximum(r_hit, params.r_inner)
-    emis = (params.r_inner / rr) ** params.emissivity_index
-    # smooth fade at both edges
-    w = params.r_outer - params.r_inner
-    edge_in = jnp.clip((r_hit - params.r_inner) / (0.1 * w), 0.0, 1.0)
-    edge_out = jnp.clip((params.r_outer - r_hit) / (0.3 * w), 0.0, 1.0)
-    glow = params.brightness * emis * edge_in * edge_out
+    g = jnp.ones_like(r_hit)
     general = not pl._unit_lapse(metric)
     if general and (params.redshift or params.doppler):
         A = jnp.clip(metric.lapse(rr), 1e-3, 1.0)
-        g = jnp.sqrt(A) if params.redshift else jnp.ones_like(A)
+        if params.redshift:
+            g = jnp.sqrt(A)
         if params.doppler:
             M = metric.m
             v = jnp.sqrt(M / rr) / jnp.sqrt(A)
@@ -154,11 +208,7 @@ def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype):
             inv = jax.lax.rsqrt(u_l * u_l + u_psi * u_psi + 1e-30)
             cos_xi = (u_psi * inv) * nz * params.spin_sign
             g = g / (gamma * (1.0 - v * cos_xi))
-        glow = glow * jnp.clip(g, 0.0, 4.0) ** 3
-    tint = jnp.asarray(params.tint, dtype)
-    rgb = glow[:, None] * tint[None, :]
-    alpha = jnp.where(hit, params.opacity * jnp.clip(glow, 0.25, 1.0), 0.0)
-    return rgb, alpha
+    return _emission_rgb(r_hit, g, params, dtype)
 
 
 def render_blackhole_disk(metric: Metric, camera: Camera,
@@ -169,20 +219,65 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
     """(H, W, 3): lensed background + shadow + two-crossing accretion disk.
 
     ``backend='auto'`` uses the Pallas disk kernel on TPU (tile-level early
-    exit), the XLA while-loop elsewhere."""
+    exit), the XLA while-loop elsewhere.  Self-jitting: eager calls reuse a
+    cached compiled bundle (never run renderers eagerly on the remote TPU)."""
     disk = disk or DiskParams()
-    dx, dy, dz = _pixel_dirs_soa(camera, False)
-    (l, psi, p_l, b), r_hat, e2 = _spawn_planar_soa(metric, camera, dx, dy,
-                                                    dz)
-    # world z-components of each ray's in-plane basis: e1 = r_hat (scalar
-    # camera direction), e2 per-ray
-    c1 = jnp.broadcast_to(r_hat[2], l.shape)
-    c2 = e2[2]
-    rays = pl.PlanarRays(l, psi, p_l, b, jnp.zeros((1, 3), l.dtype),
-                         jnp.zeros((1, 3), l.dtype))
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() or interpret) else "while"
+    return _render_disk_jit(metric, (camera,), bg, jnp.asarray(dt),
+                            jnp.asarray(escape_radius), max_steps=max_steps,
+                            disk=disk, filtering=filtering, backend=backend,
+                            interpret=interpret)[0]
+
+
+def render_disk_frames_batched(metric: Metric, cameras, bg: SphericalImage,
+                               *, dt=0.02, max_steps=100_000,
+                               escape_radius=100.0, disk: DiskParams = None,
+                               filtering="bilinear", backend="auto",
+                               interpret=False):
+    """Several disk frames in ONE device call -> (F, H, W, 3): the video
+    workload's frame axis batched into a single march bundle (same scheme as
+    render/fast.render_frames_batched)."""
+    disk = disk or DiskParams()
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if (_on_tpu() or interpret) else "while"
+    return _render_disk_jit(metric, tuple(cameras), bg, jnp.asarray(dt),
+                            jnp.asarray(escape_radius), max_steps=max_steps,
+                            disk=disk, filtering=filtering, backend=backend,
+                            interpret=interpret)
+
+
+def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
+                      disk, filtering, backend, interpret):
+    cams = list(cameras)
+    W, H = cams[0].resolution_x, cams[0].resolution_y
+    if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
+        raise ValueError("all cameras in a batch must share a resolution")
+    F = len(cams)
+    n = W * H
+    per = []
+    for cam in cams:
+        dx, dy, dz = _pixel_dirs_soa(cam, False)
+        per.append(_spawn_planar_soa(metric, cam, dx, dy, dz))
+    l = jnp.concatenate([p[0][0] for p in per])
+    psi = jnp.concatenate([p[0][1] for p in per])
+    p_l = jnp.concatenate([p[0][2] for p in per])
+    b = jnp.concatenate([p[0][3] for p in per])
+
+    def chain(idx, comp):
+        return jnp.concatenate([jnp.broadcast_to(p[idx][comp], (n,))
+                                for p in per])
+
+    r_hat = (chain(1, 0), chain(1, 1), chain(1, 2))
+    e2 = (chain(2, 0), chain(2, 1), chain(2, 2))
+    # world z-components of each ray's in-plane basis: e1 = r_hat (per-frame
+    # camera direction), e2 per-ray
+    c1 = r_hat[2]
+    c2 = e2[2]
+    rays = pl.PlanarRays(l, psi, p_l, b, jnp.zeros((1, 3), l.dtype),
+                         jnp.zeros((1, 3), l.dtype))
     if backend == "pallas":
         from curvis_tpu.ops.march_pallas import march_planar_disk_pallas
         res, h1, h2 = march_planar_disk_pallas(
@@ -195,14 +290,15 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
             escape_radius=escape_radius, r_inner=disk.r_inner,
             r_outer=disk.r_outer)
     # background color via the standard readout/shade tail
-    img_bg = _finish_render(metric, camera, bg, bg, (res.l, res.psi, res.p_l,
-                                                     b), r_hat, e2,
-                            dt=dt, max_steps=max_steps,
-                            escape_radius=escape_radius, filtering=filtering,
-                            backend="precomputed", stepper="euler",
-                            n_frames=1, precomputed=res)
-    H, W = camera.resolution_y, camera.resolution_x
-    bg_colors = img_bg.transpose(1, 0, 2).reshape(-1, 3)
+    imgs_bg = _finish_render(metric, cams[0], bg, bg,
+                             (res.l, res.psi, res.p_l, b), r_hat, e2,
+                             dt=dt, max_steps=max_steps,
+                             escape_radius=escape_radius, filtering=filtering,
+                             backend="precomputed", stepper="euler",
+                             n_frames=F, precomputed=res)
+    if F == 1:
+        imgs_bg = imgs_bg[None]
+    bg_colors = imgs_bg.transpose(0, 2, 1, 3).reshape(-1, 3)
     # photon plane normal z-component: n = e1 x e2 -> n_z = e1x e2y - e1y e2x
     nz = r_hat[0] * e2[1] - r_hat[1] * e2[0]
     rgb1, a1 = _disk_rgb(metric, h1[0], h1[1], b, nz, disk, l.dtype)
@@ -211,4 +307,10 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
     behind = rgb2 * a2[:, None] + bg_colors * (1.0 - a2[:, None])
     out = rgb1 * a1[:, None] + behind * (1.0 - a1[:, None])
     out = jnp.clip(out, 0.0, 1.0)
-    return out.reshape(W, H, 3).transpose(1, 0, 2)
+    return out.reshape(F, W, H, 3).transpose(0, 2, 1, 3)
+
+
+_render_disk_jit = jax.jit(
+    lambda *a, **k: _render_disk_impl(*a, **k),
+    static_argnames=("max_steps", "disk", "filtering", "backend",
+                     "interpret"))

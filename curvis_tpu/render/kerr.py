@@ -80,14 +80,12 @@ def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
 
 def _kerr_disk_rgb(metric: KerrMetric, r_hit, b_photon, params: DiskParams,
                    dtype):
-    """Disk emission with the Kerr circular-orbit g-factor."""
-    hit = r_hit > 0.0
+    """Disk emission with the Kerr circular-orbit g-factor (color/alpha
+    assembly shared with the planar shader, render/disk._emission_rgb —
+    incl. the blackbody chromatic-shift mode)."""
+    from curvis_tpu.render.disk import _emission_rgb
     rr = jnp.maximum(r_hit, params.r_inner)
-    emis = (params.r_inner / rr) ** params.emissivity_index
-    w = params.r_outer - params.r_inner
-    edge_in = jnp.clip((r_hit - params.r_inner) / (0.1 * w), 0.0, 1.0)
-    edge_out = jnp.clip((params.r_outer - r_hit) / (0.3 * w), 0.0, 1.0)
-    glow = params.brightness * emis * edge_in * edge_out
+    g = jnp.ones_like(r_hit)
     if params.doppler or params.redshift:
         M, a = metric.m, metric.a
         s = params.spin_sign
@@ -96,11 +94,7 @@ def _kerr_disk_rgb(metric: KerrMetric, r_hit, b_photon, params: DiskParams,
         under = jnp.clip(1.0 - 3.0 * M / rr + 2.0 * s * a * sqM * rr ** -1.5,
                          1e-3, None)
         g = jnp.sqrt(under) / jnp.clip(1.0 - omega * b_photon, 0.2, 5.0)
-        glow = glow * jnp.clip(g, 0.0, 4.0) ** 3
-    tint = jnp.asarray(params.tint, dtype)
-    rgb = glow[:, None] * tint[None, :]
-    alpha = jnp.where(hit, params.opacity * jnp.clip(glow, 0.25, 1.0), 0.0)
-    return rgb, alpha
+    return _emission_rgb(r_hit, g, params, dtype)
 
 
 def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,

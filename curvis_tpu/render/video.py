@@ -48,7 +48,7 @@ def render_video_frames(metric: Metric, path: CameraPath,
                         sampling_convergence_threshold_2=1e-5,
                         seam="exact", resume=True, clean=False,
                         dtype=jnp.float32, progress=True,
-                        frames_per_batch=1):
+                        frames_per_batch=1, stepper="euler", disk=None):
     """Render every frame of the camera path into <output_folder>/tmp/.
 
     Returns the list of frame file paths.  ``resume=True`` skips frames whose
@@ -75,12 +75,12 @@ def render_video_frames(metric: Metric, path: CameraPath,
 
     log.info("rendering %d frames at %s fps -> %s", len(times), frame_rate,
              tmp)
-    if renderer == "direct" and frames_per_batch > 1:
+    if renderer in ("direct", "disk") and frames_per_batch > 1:
         return _render_frames_device_batched(
             metric, path, bg_positive, bg_negative, times, tmp, manifest,
             manifest_path, frames_per_batch, resolution, focal_length,
             sensor_diagonal, dt, max_steps, escape_radius, filtering, resume,
-            dtype, progress)
+            dtype, progress, renderer=renderer, stepper=stepper, disk=disk)
     for i, t in enumerate(times):
         frame_path = tmp / f"frame_{i}.png"
         frames.append(frame_path)
@@ -105,7 +105,13 @@ def render_video_frames(metric: Metric, path: CameraPath,
             img = render_planar_fast(metric, camera, bg_positive, bg_negative,
                                      dt=dt, max_steps=max_steps,
                                      escape_radius=escape_radius,
-                                     filtering=filtering)
+                                     filtering=filtering, stepper=stepper)
+        elif renderer == "disk":
+            from curvis_tpu.render.disk import render_blackhole_disk
+            img = render_blackhole_disk(metric, camera, bg_positive,
+                                        dt=dt, max_steps=max_steps,
+                                        escape_radius=escape_radius,
+                                        filtering=filtering, disk=disk)
         else:
             raise ValueError(f"unknown renderer {renderer!r}")
         save_image(np.asarray(img), frame_path)
@@ -123,16 +129,27 @@ def _render_frames_device_batched(metric, path, bg_positive, bg_negative,
                                   frames_per_batch, resolution, focal_length,
                                   sensor_diagonal, dt, max_steps,
                                   escape_radius, filtering, resume, dtype,
-                                  progress):
-    """Direct renderer, ``frames_per_batch`` poses per device call — the
-    frame axis batched into one march bundle (render/fast.py)."""
+                                  progress, renderer="direct",
+                                  stepper="euler", disk=None):
+    """Direct or disk renderer, ``frames_per_batch`` poses per device call —
+    the frame axis batched into one march bundle (render/fast.py +
+    render/disk.py); supports the rk45 stepper (direct)."""
     import jax
     from curvis_tpu.render.fast import render_frames_batched
 
     frames = [tmp / f"frame_{i}.png" for i in range(len(times))]
-    jit_batch = jax.jit(lambda m, cams, bp, bn: render_frames_batched(
-        m, cams, bp, bn, dt=dt, max_steps=max_steps,
-        escape_radius=escape_radius, filtering=filtering))
+    if renderer == "disk":
+        from curvis_tpu.render.disk import render_disk_frames_batched
+
+        def jit_batch(m, cams, bp, bn):
+            return render_disk_frames_batched(
+                m, cams, bp, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius, filtering=filtering, disk=disk)
+    else:
+        jit_batch = jax.jit(lambda m, cams, bp, bn: render_frames_batched(
+            m, cams, bp, bn, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, filtering=filtering,
+            stepper=stepper))
     for start in range(0, len(times), frames_per_batch):
         idxs = [i for i in range(start, min(start + frames_per_batch,
                                             len(times)))

@@ -129,3 +129,61 @@ def test_disk_pallas_kernel_interpret_matches_while():
     both = hit_a & hit_b
     np.testing.assert_allclose(np.asarray(h1a)[both], np.asarray(h1b)[both],
                                rtol=1e-3)
+
+
+def test_blackbody_rgb_chromaticity():
+    """Planck colors: red-dominant at 2000 K, near-white ~6600 K,
+    blue-dominant at 15000 K; smooth and normalized."""
+    from curvis_tpu.render.disk import blackbody_rgb
+    rgb = np.asarray(blackbody_rgb(jnp.asarray([2000.0, 6600.0, 15000.0])))
+    np.testing.assert_allclose(rgb.max(axis=1), 1.0)
+    r, g, b = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+    assert r[0] > g[0] > b[0]            # glowing red-orange
+    assert b[0] < 0.25
+    assert min(r[1], g[1], b[1]) > 0.6   # whitish
+    assert b[2] >= r[2]                  # blue-white
+    # monotone blue fraction with temperature
+    T = jnp.linspace(1500.0, 20000.0, 64)
+    frac_b = np.asarray(blackbody_rgb(T))[:, 2]
+    assert (np.diff(frac_b) > -1e-6).all()
+
+
+def test_disk_temperature_profile():
+    """Shakura-Sunyaev profile: zero at the inner edge, peak t_peak at
+    r = 49/36 r_in, decays outward."""
+    from curvis_tpu.render.disk import disk_temperature
+    p = DiskParams(r_inner=6.0, r_outer=30.0, t_peak=9000.0)
+    r = jnp.linspace(6.0, 30.0, 2001)
+    T = np.asarray(disk_temperature(r, p))
+    assert abs(T[0]) < 1e-6
+    ipk = T.argmax()
+    np.testing.assert_allclose(T[ipk], 9000.0, rtol=1e-4)
+    np.testing.assert_allclose(float(r[ipk]), 49.0 / 36.0 * 6.0, rtol=2e-2)
+    assert T[-1] < T[ipk]
+
+
+def test_blackbody_disk_doppler_color_asymmetry(rng):
+    """The chromatic shift: the approaching (Doppler-boosted) side of a
+    blackbody disk is both brighter AND bluer than the receding side."""
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0))
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 96, 54, dtype=jnp.float64)
+    bg = cv.make_spherical_image(np.zeros((16, 32, 3)), dtype=jnp.float64)
+    disk = DiskParams(r_inner=5.2, r_outer=13.0, doppler=True, redshift=True,
+                      color_mode="blackbody", t_peak=7000.0)
+    img = np.asarray(render_blackhole_disk(
+        metric, cam, bg, dt=0.05, max_steps=40_000, escape_radius=80.0,
+        backend="while", disk=disk))
+    H, W = img.shape[:2]
+    left = img[:, : W // 3]
+    right = img[:, 2 * W // 3:]
+    lum_l, lum_r = left.sum(), right.sum()
+    bright, dim = (left, right) if lum_l > lum_r else (right, left)
+    assert max(lum_l, lum_r) > 3.0 * min(lum_l, lum_r)   # beaming
+    # blue fraction of the disk light: approaching side hotter -> bluer
+    def blue_frac(side):
+        lit = side.sum(-1) > 0.05
+        return side[..., 2][lit].sum() / side[lit].sum()
+    assert blue_frac(bright) > blue_frac(dim) + 0.02
