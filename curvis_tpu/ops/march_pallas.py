@@ -775,11 +775,20 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool,
     def cond(c):
         return (c[-1] < max_steps) & jnp.any(c[5] == 0.0)
 
+    ax_u0 = params_ref[0, 8]
+
     def body(c):
         r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2, it = c
         for _ in range(unroll):
             alive = jnp.where(sign == 0.0, one, zero)
-            dte = dt * alive
+            # polar-axis step control: the theta-equation stiffens as
+            # 1/sin^2 near theta = 0/pi; shrink dt up to 16x inside the
+            # sin^2(theta) < ax_u0 band (ax_u0 = 0 disables via the guarded
+            # ratio -> clip to 1).  Same rule in the XLA marchers.
+            s_ax = jnp.sin(th)
+            scale = jnp.clip((s_ax * s_ax + 1e-12)
+                             / jnp.maximum(ax_u0, 1e-12), 1.0 / 16.0, 1.0)
+            dte = dt * alive * scale
             k1 = _kerr_rhs(M, a, E, L, r, th, p_r, p_th)
             k2 = _kerr_rhs(M, a, E, L, r + 0.5 * dte * k1[0],
                            th + 0.5 * dte * k1[1], p_r + 0.5 * dte * k1[3],
@@ -878,7 +887,7 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
 
 def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
                       capture_radius=None, disk=None, tile_rows=16,
-                      unroll=2, interpret=False):
+                      unroll=2, interpret=False, axis_u0=0.01):
     # NB unroll=1 trips a Mosaic relayout bug on v5e ("Non-singleton logical
     # dimension is replicated in destination but not in source") in the
     # while-loop carry; unroll=2 compiles fine.
@@ -896,7 +905,7 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
         capture_radius = metric.capture_radius
     r_in, r_out = disk if disk is not None else (0.0, 0.0)
     vals = [dt, escape_radius, metric.m, metric.a, 0.0, capture_radius,
-            r_in, r_out, 0.0, 0.0]
+            r_in, r_out, axis_u0, 0.0]
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]).reshape(1, 10)
 
     n = x0.shape[0]

@@ -121,8 +121,19 @@ def spawn_photon(metric, x, direction3):
     return jax.vmap(one)(x, direction3)
 
 
+def axis_dt_scale(theta, axis_u0):
+    """Polar-axis step control shared by every Kerr/BL marcher: shrink dt by
+    up to 16x inside the sin^2(theta) < axis_u0 band (the theta-equation
+    stiffens as 1/sin^2 there; NEXT.md round-1 'polar-axis seam').
+    ``axis_u0 = 0`` disables (guarded ratio clips to 1).  The pallas Kerr
+    kernel implements the identical rule."""
+    s = jnp.sin(theta)
+    return jnp.clip((s * s + 1e-12) / jnp.maximum(axis_u0, 1e-12),
+                    1.0 / 16.0, 1.0)
+
+
 def march_hamiltonian(metric, x0, p0, *, dt, max_steps, escape_radius,
-                      capture_radius=None) -> HamiltonianResult:
+                      capture_radius=None, axis_u0=0.01) -> HamiltonianResult:
     """Masked lock-step RK4 march of the general system.  Radial coordinate
     is x[..., 1]; escape at r > escape_radius, capture at r < capture_radius
     (e.g. just outside the horizon)."""
@@ -137,7 +148,8 @@ def march_hamiltonian(metric, x0, p0, *, dt, max_steps, escape_radius,
     def body(c):
         x, p, sign, steps, it = c
         active = sign == 0
-        x1, p1 = rk4_step_batched(metric, x, p, dt)
+        dte = dt * axis_dt_scale(x[..., 2], axis_u0)
+        x1, p1 = rk4_step_batched(metric, x, p, dte[..., None])
         am = active[..., None]
         x = jnp.where(am, x1, x)
         p = jnp.where(am, p1, p)

@@ -29,7 +29,7 @@ from curvis_tpu.render.fast import _filter_lookup, _pixel_dirs_soa, _texture_uv
 
 
 def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
-                    escape_radius, r_inner, r_outer):
+                    escape_radius, r_inner, r_outer, axis_u0=0.01):
     """Masked RK4 march recording the first two equatorial-plane crossings
     (cos theta sign changes) with BL radius inside [r_inner, r_outer].
     Returns (x, p, sign, (h1_r, h2_r))."""
@@ -49,7 +49,8 @@ def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
         x, p, sign, h1, h2, ct_prev, it = c
         active = sign == 0
         r_prev = x[:, 1]
-        x1, p1 = ham.rk4_step_batched(metric, x, p, dt)
+        dte = dt * ham.axis_dt_scale(x[:, 2], axis_u0)
+        x1, p1 = ham.rk4_step_batched(metric, x, p, dte[:, None])
         am = active[:, None]
         x = jnp.where(am, x1, x)
         p = jnp.where(am, p1, p)
