@@ -110,22 +110,36 @@ def sample_nearest(img: SphericalImage, v_world):
 
 
 def sample_bilinear(img: SphericalImage, v_world):
-    """Bilinear lookup: horizontal wrap, vertical clamp; differentiable."""
+    """Bilinear lookup: horizontal wrap, vertical pole-reflect (a row beyond
+    a pole is the same row half a turn around — no clamped-pole seam);
+    differentiable.  Identical formula to render/fast._filter_lookup."""
     theta, phi = direction_to_theta_phi(img, v_world)
     u, v = _uv_from_theta_phi(theta, phi)
-    fx = u * img.width - 0.5
-    fy = v * img.height - 0.5
+    W, H = img.width, img.height
+    fx = u * W - 0.5
+    fy = v * H - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     wx = (fx - x0)[..., None]
     wy = (fy - y0)[..., None]
-    x0i = jnp.mod(x0.astype(jnp.int32), img.width)
-    x1i = jnp.mod(x0i + 1, img.width)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, img.height - 1)
-    y1i = jnp.clip(y0i + 1, 0, img.height - 1)
+    x0i = jnp.mod(x0.astype(jnp.int32), W)
+    x1i = jnp.mod(x0i + 1, W)
+
+    def pole(yr):
+        over = (yr < 0) | (yr > H - 1)
+        yc = jnp.clip(jnp.where(yr < 0, -1 - yr, 2 * H - 1 - yr), 0, H - 1)
+        yc = jnp.where(over, yc, yr)
+        xs = jnp.where(over, W // 2, 0)
+        return yc, xs
+
+    y0r = y0.astype(jnp.int32)
+    y0c, xs0 = pole(y0r)
+    y1c, xs1 = pole(y0r + 1)
     t = img.texture
-    top = t[y0i, x0i] * (1.0 - wx) + t[y0i, x1i] * wx
-    bot = t[y1i, x0i] * (1.0 - wx) + t[y1i, x1i] * wx
+    top = (t[y0c, jnp.mod(x0i + xs0, W)] * (1.0 - wx)
+           + t[y0c, jnp.mod(x1i + xs0, W)] * wx)
+    bot = (t[y1c, jnp.mod(x0i + xs1, W)] * (1.0 - wx)
+           + t[y1c, jnp.mod(x1i + xs1, W)] * wx)
     return top * (1.0 - wy) + bot * wy
 
 

@@ -111,7 +111,9 @@ def _filter_lookup(rows, base, u, v, W, H, filtering):
         xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
         return rows[base + yi * W + xi]                # (N, 3)
-    # bilinear: horizontal wrap, vertical clamp
+    # bilinear: horizontal wrap, vertical pole-reflect — a row beyond a pole
+    # maps to the same row half a turn around (y = -1 -> row 0 with x + W/2),
+    # removing the clamped-pole seam at extreme up/down views
     fx = u * W - 0.5
     fy = v * H - 0.5
     x0 = jnp.floor(fx)
@@ -120,10 +122,25 @@ def _filter_lookup(rows, base, u, v, W, H, filtering):
     wyf = (fy - y0)[:, None]
     x0i = jnp.mod(x0.astype(jnp.int32), W)
     x1i = jnp.mod(x0i + 1, W)
-    y0i = base + jnp.clip(y0.astype(jnp.int32), 0, H - 1) * W
-    y1i = base + jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1) * W
-    top = rows[y0i + x0i] * (1.0 - wxf) + rows[y0i + x1i] * wxf
-    bot = rows[y1i + x0i] * (1.0 - wxf) + rows[y1i + x1i] * wxf
+
+    def pole(yr):
+        over = (yr < 0) | (yr > H - 1)
+        yc = jnp.clip(jnp.where(yr < 0, -1 - yr, 2 * H - 1 - yr), 0, H - 1)
+        yc = jnp.where(over, yc, yr)
+        xs = jnp.where(over, W // 2, 0)
+        return yc, xs
+
+    y0r = y0.astype(jnp.int32)
+    y0c, xs0 = pole(y0r)
+    y1c, xs1 = pole(y0r + 1)
+    x0t = jnp.mod(x0i + xs0, W)
+    x1t = jnp.mod(x1i + xs0, W)
+    x0b = jnp.mod(x0i + xs1, W)
+    x1b = jnp.mod(x1i + xs1, W)
+    y0i = base + y0c * W
+    y1i = base + y1c * W
+    top = rows[y0i + x0t] * (1.0 - wxf) + rows[y0i + x1t] * wxf
+    bot = rows[y1i + x0b] * (1.0 - wxf) + rows[y1i + x1b] * wxf
     return top * (1.0 - wyf) + bot * wyf
 
 

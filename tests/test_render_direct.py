@@ -123,3 +123,31 @@ def test_supersampling(rng):
                                       **kw))
     assert b.shape == a.shape == (14, 24, 3)
     assert abs(a.mean() - b.mean()) < 0.05
+
+
+def test_bilinear_pole_continuity():
+    """Bilinear sampling is continuous across the poles (pole-reflect, not
+    clamp): values just either side of straight-up agree closely, in both
+    implementations (env.sample and the SoA _filter_lookup)."""
+    import curvis_tpu as cv
+    from curvis_tpu.env.spherical_image import sample
+    from curvis_tpu.render.fast import _filter_lookup, _texture_uv
+    rng2 = np.random.default_rng(5)
+    tex = rng2.random((16, 32, 3))
+    img = cv.make_spherical_image(tex, dtype=jnp.float64)
+    eps = 1e-4
+    # directions crossing the +z pole in the xz-plane: (sin e, 0, cos e) vs
+    # (-sin e, 0, cos e) — half a turn apart in phi, adjacent across the pole
+    d = jnp.asarray([[np.sin(eps), 0.0, np.cos(eps)],
+                     [-np.sin(eps), 0.0, np.cos(eps)],
+                     [np.sin(eps), 0.0, -np.cos(eps)],
+                     [-np.sin(eps), 0.0, -np.cos(eps)]])
+    c = np.asarray(sample(img, d, filtering="bilinear"))
+    assert np.abs(c[0] - c[1]).max() < 5e-3        # north pole continuous
+    assert np.abs(c[2] - c[3]).max() < 5e-3        # south pole continuous
+    # SoA path agrees with env.sample exactly
+    u, v = _texture_uv(img, d[:, 0], d[:, 1], d[:, 2])
+    c2 = np.asarray(_filter_lookup(img.texture.reshape(-1, 3),
+                                   jnp.zeros(4, jnp.int32), u, v, 32, 16,
+                                   "bilinear"))
+    np.testing.assert_allclose(c, c2, atol=1e-12)
