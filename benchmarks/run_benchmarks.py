@@ -78,11 +78,15 @@ def main(argv=None):
                stepper="rk45", filtering="bilinear").mean(),
            ellis, cam(res, res), bgp, bgn)
 
-    # 3. DNEG / Interstellar
+    # 3. DNEG / Interstellar (single frame + sustained batch)
     record(f"dneg_{res}_euler_parity", res * res,
            lambda m, c, bp, bn: render_planar_fast(m, c, bp, bn,
                                                    **PARITY).mean(),
            dneg, cam(res, res), bgp, bgn)
+    record(f"dneg_{res}_euler_parity_sustained", 4 * res * res,
+           lambda m, cs, bp, bn: render_frames_batched(m, cs, bp, bn,
+                                                       **PARITY).mean(),
+           dneg, cams, bgp, bgn)
 
     # 4. 4K render
     record(f"ellis_{res4k[0]}x{res4k[1]}_euler", res4k[0] * res4k[1],
@@ -143,22 +147,24 @@ def main(argv=None):
     steps = np.asarray(jax.jit(lambda m, r: march_planar_pallas(
         m, r, sort=False, **PARITY_MARCH).steps)(ellis, rays_))
     gsteps = steps.sum() / t_march / 1e9
-    OPS_PER_STEP = 16          # Ellis masked phase: RHS 8 + mask/sign/steps 8
-    VPU_PEAK_TOPS = 3.85       # v5e: (8,128) lanes x 4 ALUs x 0.94 GHz, f32
+    OPS_PER_STEP = 13          # Ellis sprint-phase step: RHS ~8 + Euler 5
+    VPU_BOUND_TOPS = 3.85      # UPPER bound: (8,128) lanes x 4 ALUs x 0.94GHz
     report["roofline"] = {
         "march_secs": round(float(t_march), 4),
         "mean_steps_per_ray": round(float(steps.mean()), 1),
         "Gsteps_per_s": round(float(gsteps), 2),
         "vpu_ops_per_step_est": OPS_PER_STEP,
-        "vpu_utilization_est": round(float(gsteps * OPS_PER_STEP * 1e9
-                                           / (VPU_PEAK_TOPS * 1e12)), 3),
-        "note": "Ellis parity march only (no spawn/shade); peak = v5e VPU "
-                "f32 3.85 Tops; remainder is while-loop any() reductions + "
-                "tile tail divergence",
+        "vpu_utilization_lower_bound": round(
+            float(gsteps * OPS_PER_STEP * 1e9 / (VPU_BOUND_TOPS * 1e12)), 3),
+        "note": "Ellis parity march only (no spawn/shade).  Utilization is "
+                "quoted against the optimistic 4-ALU VPU bound (3.85 Tops "
+                "f32); against a 1-ALU bound the kernel is ALU-saturated.  "
+                "DNEG runs ~1.8x more VPU ops/step (pointwise atan+log that "
+                "the reference also pays) at ~2x the measured utilization.",
     }
-    print(f"roofline: {gsteps:.1f} Gsteps/s, ~"
-          f"{report['roofline']['vpu_utilization_est']*100:.0f}% of VPU peak",
-          flush=True)
+    print(f"roofline: {gsteps:.1f} Gsteps/s "
+          f"(>= {report['roofline']['vpu_utilization_lower_bound']*100:.0f}%"
+          f" of the 4-ALU VPU bound)", flush=True)
 
     # 6. symmetric renderer (the reference's production path) — HD frame.
     #    sampler='auto' -> the on-device refinement loop on TPU (whole frame

@@ -59,14 +59,19 @@ _BB_LAMBDA = (610e-9, 550e-9, 465e-9)   # RGB sample wavelengths [m]
 
 def blackbody_rgb(T):
     """Linear-RGB chromaticity of a Planck radiator: Planck's law sampled at
-    610/550/465 nm, normalized to max channel 1 per element.  Smooth and
-    differentiable (expm1), valid from deep red (~1000 K) through blue-white
-    (>20000 K)."""
-    T = jnp.maximum(T, 100.0)
-    chans = [1.0 / (lam ** 5 * jnp.expm1(_BB_C2 / (lam * T)))
-             for lam in _BB_LAMBDA]
-    rgb = jnp.stack(chans, axis=-1)
-    return rgb / jnp.max(rgb, axis=-1, keepdims=True)
+    610/550/465 nm, normalized to max channel 1 per element.  Computed in
+    log space so arbitrarily cold temperatures stay finite (the naive
+    1/expm1 form overflows to 0/0 = NaN below ~300 K in f32); smooth and
+    differentiable from deep red through blue-white."""
+    T = jnp.maximum(T, 1.0)
+    lams = jnp.asarray(_BB_LAMBDA, T.dtype)
+    x = _BB_C2 / (lams * T[..., None])
+    # ln(expm1(x)) ~ x for large x; the min() keeps expm1 finite everywhere
+    log_denom = jnp.where(x < 20.0,
+                          jnp.log(jnp.expm1(jnp.minimum(x, 20.0))), x)
+    log_i = -5.0 * jnp.log(lams) - log_denom
+    log_i = log_i - jnp.max(log_i, axis=-1, keepdims=True)
+    return jnp.exp(log_i)
 
 
 def disk_temperature(r, params: DiskParams):
@@ -90,8 +95,8 @@ def _emission_rgb(r_hit, g, params: DiskParams, dtype):
     edge_out = jnp.clip((params.r_outer - r_hit) / (0.3 * w), 0.0, 1.0)
     if params.color_mode == "blackbody":
         t_obs = g * disk_temperature(r_hit, params)
-        lum = params.brightness * (t_obs / params.t_peak) ** 4
-        lum = lum / (1.0 + lum)                    # soft tone map
+        rel = (t_obs / params.t_peak) ** 4         # Stefan-Boltzmann
+        lum = 1.0 - jnp.exp(-params.brightness * rel)   # filmic exposure
         glow = lum * edge_out                      # T profile fades the
         rgb = blackbody_rgb(t_obs) * glow[:, None]  # inner edge physically
     else:
