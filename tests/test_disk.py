@@ -187,3 +187,14 @@ def test_blackbody_disk_doppler_color_asymmetry(rng):
         lit = side.sum(-1) > 0.05
         return side[..., 2][lit].sum() / side[lit].sum()
     assert blue_frac(bright) > blue_frac(dim) + 0.02
+
+
+def test_blackbody_rgb_cold_temperature_finite():
+    """Regression: the naive 1/expm1 Planck form overflowed to 0/0 = NaN
+    below ~300 K in f32; the log-space form stays finite at any T."""
+    from curvis_tpu.render.disk import blackbody_rgb
+    T = jnp.asarray([0.0, 1.0, 10.0, 100.0, 300.0, 1e6], jnp.float32)
+    rgb = np.asarray(blackbody_rgb(T))
+    assert np.isfinite(rgb).all()
+    np.testing.assert_allclose(rgb.max(axis=1), 1.0, rtol=1e-5)
+    assert rgb[1, 0] == 1.0 and rgb[1, 2] < 1e-6    # cold = pure red ratio

@@ -282,3 +282,37 @@ def test_polar_axis_camera_robustness(rng):
     sk = np.asarray(sk)
     assert (sk == 3).mean() < 0.002
     assert (sign == sk).mean() > 0.99          # backends agree per ray
+
+
+def test_kerr_weak_field_deflection():
+    """Weak-field oracle through the Pallas kernel: equatorial deflection
+    |4M/b| with the frame-dragging correction -+ 4Ma/b^2 (prograde rays bend
+    LESS).  Independent closed-form check, not a backend comparison."""
+    from curvis_tpu.ops.march_pallas import march_kerr_pallas
+    M, a = 1.0, 0.9
+    metric = make_kerr(m=M, a=a)
+    l0 = 4000.0
+    x = jnp.asarray([[0.0, l0, np.pi / 2, 0.0]])
+    defl = {}
+    for b in (60.0, -60.0):                      # prograde / retrograde
+        frac = b / l0                            # weak field: sin ~ b/r
+        d = jnp.asarray([[-(1.0 - frac * frac) ** 0.5, 0.0, frac]])
+        p = ham.spawn_photon(metric, x, d)
+        xf, pf, sg, _ = march_kerr_pallas(metric, x, p, dt=0.5,
+                                          max_steps=200_000,
+                                          escape_radius=1.5 * l0,
+                                          interpret=True, tile_rows=1)
+        assert int(sg[0]) == 1
+        ginv = metric.inverse_metric(xf[0])
+        pup = np.asarray(ginv @ pf[0])
+        r = float(xf[0, 1])
+        beta = float(xf[0, 3]) + np.arctan2(pup[3] * r, pup[1])
+        # undeflected straight-line direction angle: pi - arcsin(b/l0);
+        # signed deflection (positive = bent toward +phi for b > 0)
+        straight = np.pi - np.arcsin(frac)
+        dfl = (beta - straight + np.pi) % (2.0 * np.pi) - np.pi
+        expected = np.sign(b) * 4.0 * M / abs(b) - 4.0 * M * a / (b * b)
+        np.testing.assert_allclose(dfl, expected, rtol=0.08)
+        defl[b] = abs(dfl)
+    # frame dragging: prograde (b > 0, same sense as the spin) bends less
+    assert defl[60.0] < defl[-60.0]
