@@ -11,8 +11,9 @@ the fixes/upgrades called out in SURVEY.md section 5:
   - the per-frame sampling thresholds are wired correctly (the reference
     passes threshold_1 twice, rendering.rs:305-306);
   - frames can be rendered in device-side batches (the frame axis is the
-    natural extra parallel axis, SURVEY.md section 2) with the direct
-    renderer, or one-by-one with the cheap symmetric renderer.
+    natural extra parallel axis, SURVEY.md section 2) with the direct, disk
+    and symmetric renderers — the symmetric batch runs all frames' adaptive
+    refinements in lock-step inside one jitted program.
 
 Video assembly (frames -> mp4/gif) lives in utils/assemble.py — the reference
 leaves assembly to an out-of-repo OpenCV script (rendering.rs:318-319,
@@ -75,12 +76,16 @@ def render_video_frames(metric: Metric, path: CameraPath,
 
     log.info("rendering %d frames at %s fps -> %s", len(times), frame_rate,
              tmp)
-    if renderer in ("direct", "disk") and frames_per_batch > 1:
+    if renderer in ("direct", "disk", "symmetric") and frames_per_batch > 1:
         return _render_frames_device_batched(
             metric, path, bg_positive, bg_negative, times, tmp, manifest,
             manifest_path, frames_per_batch, resolution, focal_length,
             sensor_diagonal, dt, max_steps, escape_radius, filtering, resume,
-            dtype, progress, renderer=renderer, stepper=stepper, disk=disk)
+            dtype, progress, renderer=renderer, stepper=stepper, disk=disk,
+            alpha_nums=alpha_nums,
+            max_iterations_sampling=max_iterations_sampling,
+            thr1=sampling_convergence_threshold_1,
+            thr2=sampling_convergence_threshold_2, seam=seam)
     for i, t in enumerate(times):
         frame_path = tmp / f"frame_{i}.png"
         frames.append(frame_path)
@@ -130,15 +135,30 @@ def _render_frames_device_batched(metric, path, bg_positive, bg_negative,
                                   sensor_diagonal, dt, max_steps,
                                   escape_radius, filtering, resume, dtype,
                                   progress, renderer="direct",
-                                  stepper="euler", disk=None):
-    """Direct or disk renderer, ``frames_per_batch`` poses per device call —
-    the frame axis batched into one march bundle (render/fast.py +
-    render/disk.py); supports the rk45 stepper (direct)."""
+                                  stepper="euler", disk=None, alpha_nums=100,
+                                  max_iterations_sampling=50, thr1=1e-5,
+                                  thr2=1e-5, seam="exact"):
+    """Direct, disk or symmetric renderer, ``frames_per_batch`` poses per
+    device call — the frame axis batched into one march bundle
+    (render/fast.py + render/disk.py) or one lock-step adaptive refinement
+    (render/symmetric.py); supports the rk45 stepper (direct)."""
     import jax
     from curvis_tpu.render.fast import render_frames_batched
 
     frames = [tmp / f"frame_{i}.png" for i in range(len(times))]
-    if renderer == "disk":
+    if renderer == "symmetric":
+        from curvis_tpu.render.symmetric import \
+            render_symmetric_frames_batched
+
+        def jit_batch(m, cams, bp, bn):
+            return render_symmetric_frames_batched(
+                m, cams, bp, bn, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius, alpha_nums=alpha_nums,
+                max_iterations_sampling=max_iterations_sampling,
+                sampling_convergence_threshold_1=thr1,
+                sampling_convergence_threshold_2=thr2,
+                filtering=filtering, seam=seam, stepper=stepper)
+    elif renderer == "disk":
         from curvis_tpu.render.disk import render_disk_frames_batched
 
         def jit_batch(m, cams, bp, bn):

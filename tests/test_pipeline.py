@@ -164,6 +164,35 @@ def test_video_frames_device_batched(tmp_path, rng):
         assert mismatch < 0.05, mismatch
 
 
+def test_video_frames_symmetric_batched(tmp_path, rng):
+    """Symmetric renderer with frames_per_batch>1 produces the same frames
+    as one-by-one rendering (lock-step on-device refinement per batch)."""
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.render.video import render_video_frames
+    metric = cv.make_metric("ellis", rho=1.0)
+    bg = cv.make_spherical_image(rng.random((16, 32, 3)), dtype=jnp.float64)
+    path = generate_orbit_path(l=3.0, period=0.2, n=10)
+    kw = dict(frame_rate=30.0, resolution=(24, 14), dt=0.05,
+              max_steps=20_000, escape_radius=50.0, renderer="symmetric",
+              alpha_nums=40, max_iterations_sampling=8,
+              dtype=jnp.float64, progress=False)
+    a = render_video_frames(metric, path, bg, bg, tmp_path / "a", **kw)
+    b = render_video_frames(metric, path, bg, bg, tmp_path / "b",
+                            frames_per_batch=4, **kw)
+    assert len(a) == len(b) == 6
+    from PIL import Image
+    for fa, fb in zip(a, b):
+        ia = np.asarray(Image.open(fa)).astype(int)
+        ib = np.asarray(Image.open(fb)).astype(int)
+        assert ia.shape == ib.shape == (14, 24, 3)
+        # one-by-one uses sampler='auto' while the batch runs the lock-step
+        # device sampler; both refine to the same grid, so only ulp-level
+        # texel flips on chaotic throat-crossing pixels may differ
+        mismatch = (np.abs(ia - ib).max(-1) > 0).mean()
+        assert mismatch < 0.05, mismatch
+
+
 def test_metric_settings_kerr(tmp_path):
     f = tmp_path / "kerr.toml"
     f.write_text('kind = "kerr"\nm = 1.0\na = 0.7\n')

@@ -178,6 +178,71 @@ def test_device_sampler_matches_host():
     assert len(ah) > 70          # refinement actually happened
 
 
+def test_device_sampler_frames_matches_single():
+    """Frame-batched device sampler == F independent single-frame runs on
+    CPU f64: identical refinement structure/counts, samples to ~1e-12 (the
+    flat F*M march fuses slightly differently than the single-frame M march,
+    so escapes can differ by an ulp — same caveat as
+    test_device_sampler_matches_host)."""
+    import jax
+    from curvis_tpu.render.symmetric import (ALPHA_MAX, ALPHA_MIN,
+                                             compute_escape_angles)
+    from curvis_tpu.sampling.device import (doubly_sample_on_device,
+                                            doubly_sample_on_device_frames)
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    l0s = np.array([5.0, 3.5, 7.25])
+    kw = dict(dt=0.05, max_steps=4000, escape_radius=20.0)
+    M = 256
+
+    def march_flat(a_flat):
+        l0_flat = jnp.repeat(jnp.asarray(l0s, jnp.float64), M)
+        return compute_escape_angles(metric, l0_flat, a_flat, **kw)
+
+    ab, eb, sb, nb = jax.jit(lambda: doubly_sample_on_device_frames(
+        march_flat, ALPHA_MIN, ALPHA_MAX, 60, 25, 1e-4, 1e-4,
+        n_frames=len(l0s), capacity=1024, march_width=M,
+        dtype=jnp.float64))()
+    for f, l0 in enumerate(l0s):
+        def march_one(a, l0=l0):
+            return compute_escape_angles(metric, l0, a, **kw)
+        a1, e1, s1, n1 = jax.jit(lambda m=march_one: doubly_sample_on_device(
+            m, ALPHA_MIN, ALPHA_MAX, 60, 25, 1e-4, 1e-4, capacity=1024,
+            march_width=M, dtype=jnp.float64))()
+        n = int(n1)
+        assert int(nb[f]) == n
+        np.testing.assert_allclose(np.asarray(ab[f])[:n],
+                                   np.asarray(a1)[:n], rtol=0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(eb[f])[:n],
+                                   np.asarray(e1)[:n], rtol=0, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(sb[f])[:n],
+                                      np.asarray(s1)[:n])
+        assert n > 60                  # refinement happened per frame
+
+
+def test_symmetric_frames_batched_matches_single(rng):
+    """render_symmetric_frames_batched ~= per-frame sampler='device' renders
+    (one device call for the whole batch; CPU f64; ulp-level tolerance for
+    the flat F*M march's different XLA fusion)."""
+    from curvis_tpu.render.symmetric import render_symmetric_frames_batched
+    metric, _, bg_p, bg_n = _scene(rng)
+    kw2 = dict(dt=0.05, max_steps=4000, escape_radius=20.0, alpha_nums=60,
+               max_iterations_sampling=15,
+               sampling_convergence_threshold_1=1e-4,
+               sampling_convergence_threshold_2=1e-4,
+               filtering="bilinear", seam="nearest_side", march_width=256)
+    cams = [cv.make_camera([0.0, l0, np.pi / 2, phi], [-1.0, 0.0, 0.0],
+                           [0.0, 0.0, 1.0], 15.0, 43.0, 64, 36,
+                           dtype=jnp.float64)
+            for l0, phi in [(5.0, 0.0), (4.0, 0.7), (6.5, -0.3)]]
+    batch = np.asarray(render_symmetric_frames_batched(
+        metric, cams, bg_p, bg_n, **kw2))
+    assert batch.shape == (3, 36, 64, 3)
+    for f, cam in enumerate(cams):
+        single = np.asarray(render_symmetric(metric, cam, bg_p, bg_n,
+                                             sampler="device", **kw2))
+        np.testing.assert_allclose(batch[f], single, rtol=0, atol=1e-12)
+
+
 def test_device_render_matches_adaptive_render(rng):
     """sampler='device' image ~= sampler='adaptive' image on CPU f64 (the
     production one-dispatch path vs the host-driven parity path; ulp-level
