@@ -191,6 +191,34 @@ def main(argv=None):
         "note": "reference renders this config in 'seconds' single-thread"}
     print(f"symmetric HD frame: {t:.2f} s (first {warm:.1f} s)", flush=True)
 
+    # 6b. symmetric VIDEO batch: 4 poses per dispatch via the lock-step
+    #     frame-batched device sampler (render_symmetric_frames_batched) —
+    #     the video-workload shape for the reference's production renderer.
+    from curvis_tpu.render.symmetric import render_symmetric_frames_batched
+
+    def sym_batch(k0=0):
+        cams_f = [cam(960, 540, k0 + k) for k in range(4)]
+        img = render_symmetric_frames_batched(
+            ellis, cams_f, bgp, bgn, dt=0.05, max_steps=40_000,
+            escape_radius=100.0, alpha_nums=100, max_iterations_sampling=50)
+        materialize(img)
+        return img
+
+    t0 = time.time()
+    sym_batch()
+    warm_b = time.time() - t0
+    tb = float("inf")
+    for k0 in (10, 20, 30):
+        t0 = time.time()
+        sym_batch(k0)
+        tb = min(tb, time.time() - t0)
+    report["configs"]["ellis_960x540_symmetric_video_batch4"] = {
+        "secs_per_frame": round(tb / 4, 3), "batch_secs": round(tb, 3),
+        "first_secs": round(warm_b, 3),
+        "note": "4 poses, one dispatch, lock-step adaptive refinement"}
+    print(f"symmetric video batch4: {tb:.2f} s -> {tb/4:.3f} s/frame "
+          f"(first {warm_b:.1f} s)", flush=True)
+
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(report, indent=1))
     print(f"wrote {args.out}")

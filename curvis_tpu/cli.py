@@ -86,7 +86,7 @@ def build_parser() -> argparse.ArgumentParser:
                           "behavior); default resumes")
     vid.add_argument("--frames-per-batch", type=int, default=1,
                      help="device-batch this many frames per dispatch "
-                          "(direct/disk renderers)")
+                          "(direct/disk/symmetric renderers)")
 
     sub.add_parser("custom", help="custom-script hook (stub, like the "
                                   "reference's custom.rs)")
@@ -178,7 +178,10 @@ def video_main(args) -> int:
     from curvis_tpu.render.video import render_video_frames
     from curvis_tpu.render.disk import DiskParams
     vid_s = VideoSettings.from_toml(args.video_settings)
-    if args.disk:
+    from curvis_tpu.metrics.kerr import KerrMetric
+    if isinstance(metric, KerrMetric):
+        args.renderer = "kerr"   # no symmetry reduction; bg2 unused
+    elif args.disk:
         args.renderer = "disk"   # disk video mode
     if not vid_s.filepath_to_camera_path:
         raise SystemExit("error: video settings must provide "

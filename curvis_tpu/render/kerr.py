@@ -127,11 +127,10 @@ _render_kerr_jit = jax.jit(
                      "backend"))
 
 
-def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
-                      disk, filtering, backend):
+def _spawn_kerr_rays(metric, camera):
+    """Per-pixel BL state bundle for one camera: (N, 4) x0, (N, 4) covariant
+    p0 via the asymptotic-frame pixel decomposition + static tetrad."""
     pos = camera.position
-    if escape_radius is None:
-        escape_radius = 2.0 * pos[1]          # traced-safe
     dx_, dy_, dz_ = _pixel_dirs_soa(camera, False)
     d_world = jnp.stack([dx_, dy_, dz_], axis=-1)
     F = frame_matrix(pos[2], pos[3])
@@ -139,7 +138,28 @@ def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
     n = comps.shape[0]
     x0 = jnp.broadcast_to(pos, (n, 4))
     p0 = ham.spawn_photon(metric, x0, comps)
+    return x0, p0
 
+
+def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
+                      disk, filtering, backend):
+    pos = camera.position
+    if escape_radius is None:
+        escape_radius = 2.0 * pos[1]          # traced-safe
+    x0, p0 = _spawn_kerr_rays(metric, camera)
+    colors = _kerr_march_and_shade(metric, x0, p0, bg, dt,
+                                   max_steps=max_steps,
+                                   escape_radius=escape_radius, disk=disk,
+                                   filtering=filtering, backend=backend)
+    W, H = camera.resolution_x, camera.resolution_y
+    return colors.reshape(W, H, 3).transpose(1, 0, 2)
+
+
+def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
+                          escape_radius, disk, filtering, backend):
+    """March an (N,)-ray BL bundle and shade it -> (N, 3) colors.  Shared by
+    the single-frame and frames-batched Kerr renderers (all per-ray math, so
+    batching frames is pure concatenation)."""
     if disk is not None:
         if backend == "pallas":
             from curvis_tpu.ops.march_pallas import march_kerr_pallas
@@ -190,5 +210,56 @@ def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
         behind = rgb2 * a2[:, None] + colors * (1.0 - a2[:, None])
         colors = jnp.clip(rgb1 * a1[:, None] + behind * (1.0 - a1[:, None]),
                           0.0, 1.0)
-    W, H = camera.resolution_x, camera.resolution_y
-    return colors.reshape(W, H, 3).transpose(1, 0, 2)
+    return colors
+
+
+def render_kerr_frames_batched(metric: KerrMetric, cameras,
+                               bg: SphericalImage, *, dt=0.1,
+                               max_steps=20_000, escape_radius=None,
+                               disk: DiskParams | None = None,
+                               filtering="bilinear", backend="auto"):
+    """Render several Kerr camera poses in ONE device call -> (F, H, W, 3).
+
+    Every stage of the Kerr pipeline (tetrad spawn, BL march, asymptotic
+    readout, disk shading) is per-ray, so the frame axis batches by pure
+    concatenation into one (F*N,) march bundle — one Pallas kernel launch
+    (or one XLA while-loop) per batch instead of per frame, amortizing the
+    fixed ~25 ms tunnel dispatch and filling the chip.  All cameras must
+    share a resolution.  ``escape_radius=None`` uses 2 * max camera radius
+    (one shared SMEM scalar for the whole batch)."""
+    cams = list(cameras)
+    W, H = cams[0].resolution_x, cams[0].resolution_y
+    if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
+        raise ValueError("all cameras in a batch must share a resolution")
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if _on_tpu() else "xla"
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    return _render_kerr_frames_jit(
+        metric, stacked, bg, jnp.asarray(dt, cams[0].position.dtype),
+        n_frames=len(cams), max_steps=max_steps, escape_radius=escape_radius,
+        disk=disk, filtering=filtering, backend=backend)
+
+
+_render_kerr_frames_jit = jax.jit(
+    lambda *a, **k: _render_kerr_frames_impl(*a, **k),
+    static_argnames=("n_frames", "max_steps", "escape_radius", "disk",
+                     "filtering", "backend"))
+
+
+def _render_kerr_frames_impl(metric, cams, bg, dt, *, n_frames, max_steps,
+                             escape_radius, disk, filtering, backend):
+    F = int(n_frames)
+    if escape_radius is None:
+        escape_radius = 2.0 * jnp.max(cams.position[:, 1])     # traced-safe
+    bundles = [_spawn_kerr_rays(metric,
+                                jax.tree_util.tree_map(lambda a: a[f], cams))
+               for f in range(F)]
+    x0 = jnp.concatenate([b[0] for b in bundles])
+    p0 = jnp.concatenate([b[1] for b in bundles])
+    colors = _kerr_march_and_shade(metric, x0, p0, bg, dt,
+                                   max_steps=max_steps,
+                                   escape_radius=escape_radius, disk=disk,
+                                   filtering=filtering, backend=backend)
+    W, H = cams.resolution_x, cams.resolution_y    # static meta fields
+    return colors.reshape(F, W, H, 3).transpose(0, 2, 1, 3)

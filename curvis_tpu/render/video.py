@@ -76,7 +76,8 @@ def render_video_frames(metric: Metric, path: CameraPath,
 
     log.info("rendering %d frames at %s fps -> %s", len(times), frame_rate,
              tmp)
-    if renderer in ("direct", "disk", "symmetric") and frames_per_batch > 1:
+    if renderer in ("direct", "disk", "symmetric", "kerr") \
+            and frames_per_batch > 1:
         return _render_frames_device_batched(
             metric, path, bg_positive, bg_negative, times, tmp, manifest,
             manifest_path, frames_per_batch, resolution, focal_length,
@@ -117,6 +118,12 @@ def render_video_frames(metric: Metric, path: CameraPath,
                                         dt=dt, max_steps=max_steps,
                                         escape_radius=escape_radius,
                                         filtering=filtering, disk=disk)
+        elif renderer == "kerr":
+            from curvis_tpu.render.kerr import render_kerr
+            img = render_kerr(metric, camera, bg_positive, dt=dt,
+                              max_steps=max_steps,
+                              escape_radius=escape_radius,
+                              filtering=filtering, disk=disk)
         else:
             raise ValueError(f"unknown renderer {renderer!r}")
         save_image(np.asarray(img), frame_path)
@@ -163,6 +170,13 @@ def _render_frames_device_batched(metric, path, bg_positive, bg_negative,
 
         def jit_batch(m, cams, bp, bn):
             return render_disk_frames_batched(
+                m, cams, bp, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius, filtering=filtering, disk=disk)
+    elif renderer == "kerr":
+        from curvis_tpu.render.kerr import render_kerr_frames_batched
+
+        def jit_batch(m, cams, bp, bn):
+            return render_kerr_frames_batched(
                 m, cams, bp, dt=dt, max_steps=max_steps,
                 escape_radius=escape_radius, filtering=filtering, disk=disk)
     else:

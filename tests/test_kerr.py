@@ -316,3 +316,33 @@ def test_kerr_weak_field_deflection():
         defl[b] = abs(dfl)
     # frame dragging: prograde (b > 0, same sense as the spin) bends less
     assert defl[60.0] < defl[-60.0]
+
+
+def test_kerr_frames_batched_matches_single(rng):
+    """render_kerr_frames_batched == per-frame render_kerr (one flat march
+    bundle per batch; CPU f64, xla backend, shadow + disk modes)."""
+    import curvis_tpu as cv
+    from curvis_tpu.render.disk import DiskParams
+    from curvis_tpu.render.kerr import render_kerr, render_kerr_frames_batched
+
+    metric = make_kerr(m=1.0, a=0.9)
+    bg = cv.make_spherical_image(0.5 + 0.5 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float64)
+    th = np.pi / 2 - 0.2
+    cams = [cv.make_camera([0.0, r0, th, ph],
+                           [-np.sin(th) * np.cos(ph), -np.sin(th) * np.sin(ph),
+                            -np.cos(th)],
+                           [0.0, 0.0, 1.0], 24.0, 43.0, 24, 14,
+                           dtype=jnp.float64)
+            for r0, ph in [(28.0, 0.0), (30.0, 0.5)]]
+    for disk in (None, DiskParams(r_inner=2.6, r_outer=12.0, doppler=True)):
+        batch = np.asarray(render_kerr_frames_batched(
+            metric, cams, bg, dt=0.25, max_steps=2000, escape_radius=64.0,
+            disk=disk, backend="xla"))
+        assert batch.shape == (2, 14, 24, 3)
+        for f, cam in enumerate(cams):
+            single = np.asarray(render_kerr(metric, cam, bg, dt=0.25,
+                                            max_steps=2000,
+                                            escape_radius=64.0, disk=disk,
+                                            backend="xla"))
+            np.testing.assert_allclose(batch[f], single, rtol=0, atol=1e-12)

@@ -193,6 +193,36 @@ def test_video_frames_symmetric_batched(tmp_path, rng):
         assert mismatch < 0.05, mismatch
 
 
+def test_video_frames_kerr_batched(tmp_path, rng):
+    """Kerr video mode (renderer='kerr'): frames_per_batch>1 produces the
+    same frames as one-by-one rendering (no symmetry reduction to use)."""
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.metrics.kerr import make_kerr
+    from curvis_tpu.render.video import render_video_frames
+    metric = make_kerr(m=1.0, a=0.9)
+    bg = cv.make_spherical_image(0.5 + 0.5 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float64)
+    path = generate_orbit_path(l=28.0, period=0.2, n=10)
+    kw = dict(frame_rate=30.0, resolution=(20, 12), dt=0.25, max_steps=2000,
+              escape_radius=64.0, renderer="kerr", dtype=jnp.float64,
+              progress=False)
+    a = render_video_frames(metric, path, bg, bg, tmp_path / "a", **kw)
+    b = render_video_frames(metric, path, bg, bg, tmp_path / "b",
+                            frames_per_batch=3, **kw)
+    assert len(a) == len(b) == 6
+    from PIL import Image
+    for fa, fb in zip(a, b):
+        ia = np.asarray(Image.open(fa)).astype(int)
+        ib = np.asarray(Image.open(fb)).astype(int)
+        assert ia.shape == ib.shape == (12, 20, 3)
+        # escape_radius is shared across the batch (max-radius rule) and both
+        # paths pass the same explicit value here; only ulp-level texel flips
+        # near the shadow edge may differ
+        mismatch = (np.abs(ia - ib).max(-1) > 0).mean()
+        assert mismatch < 0.05, mismatch
+
+
 def test_metric_settings_kerr(tmp_path):
     f = tmp_path / "kerr.toml"
     f.write_text('kind = "kerr"\nm = 1.0\na = 0.7\n')
