@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "quality mode (direct renderer)")
         sp.add_argument("--disk", action="store_true",
                         help="render an accretion disk (black-hole metrics)")
+        sp.add_argument("--disk-color", choices=["tint", "blackbody"],
+                        default="tint",
+                        help="disk shading: tint = power-law emissivity x "
+                             "fixed tint; blackbody = Shakura-Sunyaev T(r) "
+                             "with Planck colors + chromatic Doppler shift")
+        sp.add_argument("--disk-thickness", type=float, default=0.0,
+                        help="finite-thickness slab shading (slab aspect; "
+                             "0 = thin-disk model, planar renderers only)")
         sp.add_argument("--supersample", type=int, default=1,
                         help="k x k rays per pixel, box-filtered (direct "
                              "renderer anti-aliasing)")
@@ -91,6 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("custom", help="custom-script hook (stub, like the "
                                   "reference's custom.rs)")
     return p
+
+
+def _disk_params(args):
+    """DiskParams from the --disk-* CLI knobs."""
+    from curvis_tpu.render.disk import DiskParams
+    return DiskParams(color_mode=args.disk_color,
+                      thickness=args.disk_thickness)
 
 
 def _load_common(args):
@@ -146,12 +161,12 @@ def image_main(args) -> int:
         img = render_kerr(metric, camera, bgp, dt=max(0.05, kw["dt"]),
                           max_steps=kw["max_steps"],
                           escape_radius=kw["escape_radius"],
-                          disk=DiskParams() if args.disk else None,
+                          disk=_disk_params(args) if args.disk else None,
                           filtering=args.filtering)
     elif args.disk:
         from curvis_tpu.render.disk import DiskParams, render_blackhole_disk
         img = render_blackhole_disk(metric, camera, bgp,
-                                    disk=DiskParams(), **kw)
+                                    disk=_disk_params(args), **kw)
     elif args.renderer == "symmetric":
         from curvis_tpu.render.symmetric import render_symmetric
         img = render_symmetric(
@@ -203,7 +218,7 @@ def video_main(args) -> int:
         sampling_convergence_threshold_2=sim.sampling_convergence_threshold_2,
         seam=args.seam, resume=not args.clean, clean=args.clean, dtype=dtype,
         stepper=args.stepper, frames_per_batch=args.frames_per_batch,
-        disk=DiskParams() if args.disk else None)
+        disk=_disk_params(args) if args.disk else None)
     print(f"rendered {len(frames)} frames into {args.output_folder / 'tmp'}")
     if args.gif:
         from curvis_tpu.utils.assemble import assemble_gif

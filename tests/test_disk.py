@@ -198,3 +198,49 @@ def test_blackbody_rgb_cold_temperature_finite():
     assert np.isfinite(rgb).all()
     np.testing.assert_allclose(rgb.max(axis=1), 1.0, rtol=1e-5)
     assert rgb[1, 0] == 1.0 and rgb[1, 2] < 1e-6    # cold = pure red ratio
+
+
+def test_finite_thickness_slab_shading(rng):
+    """Finite-thickness mode: thickness=0 is bit-identical to the thin
+    model, thickness>0 only ever adds light/opacity (chord >= 1), grazing
+    geometry brightens more than face-on, and the chord cap holds."""
+    from curvis_tpu.render.disk import _disk_rgb
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0))
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 96, 54, dtype=jnp.float64)
+    bg = cv.make_spherical_image(0.02 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float64)
+    kw = dict(dt=0.05, max_steps=40_000, escape_radius=80.0, backend="while")
+    base = DiskParams(r_inner=5.2, r_outer=13.0, brightness=1.2)
+    thin = np.asarray(render_blackhole_disk(metric, cam, bg, disk=base, **kw))
+    # dataclasses.replace keeps every other knob identical
+    import dataclasses as dc
+    zero = np.asarray(render_blackhole_disk(
+        metric, cam, bg, disk=dc.replace(base, thickness=0.0), **kw))
+    np.testing.assert_array_equal(thin, zero)     # bit-exact thin limit
+    slab = np.asarray(render_blackhole_disk(
+        metric, cam, bg, disk=dc.replace(base, thickness=0.15), **kw))
+    # the slab never darkens the disk: per-pixel luminance >= thin wherever
+    # the image differs meaningfully (composite can dim bg-dominated pixels
+    # by at most the added alpha of a dim far-side crossing)
+    lum_t, lum_s = thin.sum(-1), slab.sum(-1)
+    assert lum_s.sum() > lum_t.sum() * 1.02       # net brightening
+    assert (lum_s >= lum_t - 0.05).mean() > 0.995
+    # unit-level: alpha and rgb are monotone in thickness, chord capped
+    r_hit = jnp.asarray([6.5, 9.0, 12.0])
+    pl_hit = jnp.asarray([0.4, -0.2, 0.05])
+    b = jnp.asarray([4.0, -6.0, 0.3])             # last: nearly radial ->
+    nz = jnp.asarray([0.9, 0.9, 0.02])            # near-grazing chord
+    rgb0, a0 = _disk_rgb(metric, r_hit, pl_hit, b, nz, base, jnp.float64)
+    p_thick = dc.replace(base, thickness=0.15)
+    rgb1, a1 = _disk_rgb(metric, r_hit, pl_hit, b, nz, p_thick, jnp.float64)
+    assert (np.asarray(a1) >= np.asarray(a0) - 1e-12).all()
+    assert (np.asarray(rgb1) >= np.asarray(rgb0) - 1e-12).all()
+    assert np.asarray(a1).max() <= base.opacity * 8 + 1e-9   # cap ~ 8x
+    # fat slab (aspect >= 1): chord pinned to 1 -> thin values to fp error
+    p_fat = dc.replace(base, thickness=2.0)
+    rgb2, a2 = _disk_rgb(metric, r_hit, pl_hit, b, nz, p_fat, jnp.float64)
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a0), rtol=1e-12)
