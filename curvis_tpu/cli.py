@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--disk-thickness", type=float, default=0.0,
                         help="finite-thickness slab shading (slab aspect; "
                              "0 = thin-disk model, planar renderers only)")
+        sp.add_argument("--disk-volumetric", action="store_true",
+                        help="true volumetric radiative transfer through a "
+                             "flared Gaussian gas disk (per-step "
+                             "emission/absorption; soft edges, "
+                             "self-obscuration; planar renderers only)")
+        sp.add_argument("--disk-h", type=float, default=0.08,
+                        help="volumetric disk scale height H / r")
         sp.add_argument("--supersample", type=int, default=1,
                         help="k x k rays per pixel, box-filtered (direct "
                              "renderer anti-aliasing)")
@@ -105,7 +112,8 @@ def _disk_params(args):
     """DiskParams from the --disk-* CLI knobs."""
     from curvis_tpu.render.disk import DiskParams
     return DiskParams(color_mode=args.disk_color,
-                      thickness=args.disk_thickness)
+                      thickness=args.disk_thickness,
+                      volumetric=args.disk_volumetric, h_rel=args.disk_h)
 
 
 def _load_common(args):
