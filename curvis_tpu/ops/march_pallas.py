@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -704,6 +705,253 @@ def march_planar_disk_pallas(metric: Metric, rays: PlanarRays, c1, c2, *, dt,
     outs = [a.reshape(-1)[:n].reshape(rays.l.shape) for a in outs]
     l, psi, p_l, sign, steps, h1, h1p, h2, h2p = outs
     return (PlanarResult(l, psi, p_l, sign, steps), (h1, h1p), (h2, h2p))
+
+
+# ---------------------------------------------------------------------------
+# Volumetric disk kernel: the planar march with per-step radiative transfer
+# through the flared Gaussian disk (render/disk.py:march_planar_disk_volumetric
+# is the XLA reference implementation; per-step semantics kept identical —
+# emission at the post-step state with the PRE-update tau, accumulators and
+# tau masked by the per-ray dte, termination checks after accumulation).
+# Blackbody chromaticity is evaluated in log space with the expm1-free
+# identity ln(e^x - 1) = x + ln(1 - e^-x), valid here because x = c2/(lam T)
+# >= ~2.3 for T <= 1.5 t_peak at the bluest sample wavelength.
+# ---------------------------------------------------------------------------
+
+# compile-time per-channel constants: c2 / lambda_c and -5 ln lambda_c
+_VOL_BB_K = tuple(1.4388e-2 / lam for lam in (610e-9, 550e-9, 465e-9))
+_VOL_BB_L5 = tuple(-5.0 * float(np.log(lam))
+                   for lam in (610e-9, 550e-9, 465e-9))
+
+
+def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
+                  pr, l, p_l, b, zq, tau, nz):
+    """SoA per-step volumetric emission — (dtau, demr, demg, demb).
+
+    Mirrors render/disk.py:step_emission exactly (same clips, same guards);
+    scalars come from the widened SMEM row (see _disk_vol_arrays layout).
+    """
+    r_in = pr[0, 6]
+    r_out = pr[0, 7]
+    h2 = pr[0, 8]
+    inv_norm = pr[0, 9]
+    kappa = pr[0, 10]
+    t_peak = pr[0, 12]
+    emis_q = pr[0, 13]
+    spin_sign = pr[0, 14]
+
+    if kind == "schwarzschild":
+        r = l
+    else:
+        inv_r2, _ = _shape_fns(kind)(pr, l)
+        r = jax.lax.rsqrt(inv_r2)
+    zq2 = zq * zq
+    s2 = jnp.clip(1.0 - zq2, 1e-12, 1.0)
+    r_cyl = r * jnp.sqrt(s2)
+    dens = jnp.exp(-zq2 / (2.0 * h2 * s2)) * (inv_norm / r_cyl)
+    w_edge = r_out - r_in
+    edge_in = jnp.clip((r_cyl - r_in) / (0.1 * w_edge), 0.0, 1.0)
+    edge_out = jnp.clip((r_out - r_cyl) / (0.3 * w_edge), 0.0, 1.0)
+    base = dens * edge_in * edge_out
+    rr = jnp.maximum(r_cyl, r_in)
+    g = jnp.ones_like(r_cyl)
+    if kind == "schwarzschild" and (redshift or doppler):
+        M = pr[0, 2]
+        A = jnp.clip(1.0 - 2.0 * M / rr, 1e-3, 1.0)
+        sqA = jnp.sqrt(A)
+        if redshift:
+            g = sqA
+        if doppler:
+            v = jnp.clip(jnp.sqrt(M / rr) / sqA, 0.0, 0.99)
+            gamma = jax.lax.rsqrt(1.0 - v * v)
+            u_l = p_l * sqA
+            u_psi = b / rr
+            inv = jax.lax.rsqrt(u_l * u_l + u_psi * u_psi + 1e-30)
+            cos_xi = (u_psi * inv) * nz * spin_sign
+            g = g / (gamma * (1.0 - v * cos_xi))
+    trans = jnp.exp(-tau)
+    dtau = kappa * base
+    if blackbody:
+        # Shakura-Sunyaev T(rr), normalized to peak t_peak (disk.py:86-95)
+        sq = jnp.sqrt(r_in / rr)
+        ln_r = jnp.log(rr)
+        f = jnp.exp(-0.75 * ln_r + 0.25 * jnp.log(jnp.maximum(1.0 - sq,
+                                                              1e-20)))
+        t_scale = pr[0, 15]          # t_peak / f_peak, precomputed host-side
+        t_obs = g * t_scale * f
+        rel_sq = t_obs / t_peak
+        rel = rel_sq * rel_sq
+        rel = rel * rel                                    # (t_obs/t_peak)^4
+        # Planck chromaticity, log space (disk.py:blackbody_rgb semantics)
+        inv_T = 1.0 / jnp.maximum(t_obs, 1.0)
+        logs = []
+        for k_c, l5 in zip(_VOL_BB_K, _VOL_BB_L5):
+            x = k_c * inv_T
+            # ln(expm1 x) = x + ln(1 - e^-x); for huge x the log term is 0
+            log_denom = x + jnp.log(jnp.maximum(1.0 - jnp.exp(-x), 1e-30))
+            logs.append(l5 - log_denom)
+        m = jnp.maximum(logs[0], jnp.maximum(logs[1], logs[2]))
+        w = trans * base * rel
+        return (dtau, w * jnp.exp(logs[0] - m), w * jnp.exp(logs[1] - m),
+                w * jnp.exp(logs[2] - m))
+    # tint mode: grayscale energy (the tint color is applied at shade time)
+    emis = jnp.exp(emis_q * jnp.log(r_in / rr))
+    w = trans * base * emis * jnp.clip(g, 0.0, 4.0) ** 3
+    return dtau, w, w, w
+
+
+def _disk_vol_kernel(kind: str, blackbody: bool, redshift: bool,
+                     doppler: bool, max_steps: int, unroll: int,
+                     params_ref, l_ref, psi_ref, pl_ref, b_ref, c1_ref,
+                     c2_ref, nz_ref, ol_ref, opsi_ref, opl_ref, osign_ref,
+                     osteps_ref, otau_ref, oemr_ref, oemg_ref, oemb_ref):
+    deriv = _deriv_fns(kind)
+    dt = params_ref[0, 0]
+    R = params_ref[0, 1]
+    r_cap = params_ref[0, 5]
+    tau_max = params_ref[0, 11]
+
+    l = l_ref[:]
+    psi = psi_ref[:]
+    p_l = pl_ref[:]
+    b = b_ref[:]
+    c1 = c1_ref[:]
+    c2 = c2_ref[:]
+    nz = nz_ref[:]
+    b2 = b * b
+    one = jnp.ones_like(l)
+    zero = jnp.zeros_like(l)
+    sign = jnp.zeros_like(l)
+    steps = jnp.zeros_like(l)
+    u = jnp.cos(psi)
+    v = jnp.sin(psi)
+    tau = jnp.zeros_like(l)
+    emr = jnp.zeros_like(l)
+    emg = jnp.zeros_like(l)
+    emb = jnp.zeros_like(l)
+
+    def cond(c):
+        sign = c[9]
+        it = c[11]
+        return (it < max_steps) & jnp.any(sign == 0.0)
+
+    def body(c):
+        l, psi, p_l, u, v, tau, emr, emg, emb, sign, steps, it = c
+        for _ in range(unroll):
+            alive = jnp.where(sign == 0.0, one, zero)
+            dte = dt * alive
+            dl, dpsi, dpl = deriv(params_ref, l, p_l, b, b2)
+            l = l + dte * dl
+            psi = psi + dte * dpsi
+            p_l = p_l + dte * dpl
+            du = dte * dpsi
+            u, v = u - v * du, v + u * du
+            zq = c1 * u + c2 * v
+            dtau, dr_, dg_, db_ = _vol_emission(
+                kind, blackbody, redshift, doppler, params_ref,
+                l, p_l, b, zq, tau, nz)
+            emr = emr + dte * dr_
+            emg = emg + dte * dg_
+            emb = emb + dte * db_
+            tau = tau + dte * dtau
+            sign = sign + alive * (jnp.where(l > R, one, zero)
+                                   - jnp.where(l < -R, one, zero)
+                                   + 2.0 * jnp.where(l < r_cap, one, zero))
+            # tau_max freeze: OPAQUE_SIGN == CAPTURED == 2 (render/disk.py)
+            still = jnp.where(sign == 0.0, one, zero)
+            sign = sign + still * 2.0 * jnp.where(tau > tau_max, one, zero)
+            steps = steps + alive
+        return l, psi, p_l, u, v, tau, emr, emg, emb, sign, steps, \
+            it + unroll
+
+    out = lax.while_loop(cond, body, (l, psi, p_l, u, v, tau, emr, emg, emb,
+                                      sign, steps, jnp.int32(0)))
+    l, psi, p_l, _, _, tau, emr, emg, emb, sign, steps, _ = out
+    ol_ref[:] = l
+    opsi_ref[:] = psi
+    opl_ref[:] = p_l
+    osign_ref[:] = sign.astype(jnp.int32)
+    osteps_ref[:] = steps.astype(jnp.int32)
+    otau_ref[:] = tau
+    oemr_ref[:] = emr
+    oemg_ref[:] = emg
+    oemb_ref[:] = emb
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "blackbody", "redshift",
+                                             "doppler", "max_steps",
+                                             "tile_rows", "unroll",
+                                             "interpret"))
+def _disk_vol_arrays(kind, blackbody, redshift, doppler, params, l, psi, p_l,
+                     b, c1, c2, nz, *, max_steps, tile_rows, unroll,
+                     interpret=False):
+    n_rows = l.shape[0]
+    grid = (n_rows // tile_rows,)
+    dtype = l.dtype
+
+    def row_spec():
+        return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_disk_vol_kernel, kind, blackbody, redshift,
+                               doppler, max_steps, unroll)
+    f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
+    i = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ] + [row_spec()] * 7,
+        out_specs=[row_spec()] * 9,
+        out_shape=[f, f, f, i, i, f, f, f, f],
+        interpret=interpret,
+    )(params, l, psi, p_l, b, c1, c2, nz)
+
+
+def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
+                                        c1, c2, nz, *, dt, max_steps,
+                                        escape_radius, disk, tile_rows=32,
+                                        unroll=4, interpret=False):
+    """Pallas counterpart of render/disk.march_planar_disk_volumetric.
+
+    ``disk`` is a render.disk.DiskParams with volumetric=True; returns
+    (PlanarResult, tau, (em_r, em_g, em_b)).
+    """
+    while max_steps % unroll:        # exact step cap (see march_planar_pallas)
+        unroll //= 2
+    kind, params = _metric_kind_and_params(metric, dt, escape_radius,
+                                           rays.l.dtype)
+    h2 = disk.h_rel * disk.h_rel
+    inv_norm = 1.0 / (float(np.sqrt(2.0 * np.pi)) * disk.h_rel)
+    rp = (49.0 / 36.0) * disk.r_inner
+    f_peak = rp ** -0.75 * (1.0 / 7.0) ** 0.25
+    extra = [disk.r_inner, disk.r_outer, h2, inv_norm, disk.kappa,
+             disk.tau_max, disk.t_peak, disk.emissivity_index,
+             disk.spin_sign, disk.t_peak / f_peak]
+    params = jnp.concatenate(
+        [params[:, :6],
+         jnp.asarray([extra], params.dtype)], axis=1)     # (1, 16)
+
+    n = rays.l.reshape(-1).shape[0]
+    block = tile_rows * LANES
+    n_pad = -(-n // block) * block
+
+    def pad(a):
+        a = a.reshape(-1)
+        return jnp.concatenate([a, jnp.full((n_pad - n,), a[0], a.dtype)])
+
+    arrs = [pad(jnp.broadcast_to(a, rays.l.shape))
+            for a in (rays.l, rays.psi, rays.p_l, rays.b, c1, c2, nz)]
+    shape2 = (n_pad // LANES, LANES)
+    outs = _disk_vol_arrays(kind, disk.color_mode == "blackbody",
+                            disk.redshift, disk.doppler, params,
+                            *(a.reshape(shape2) for a in arrs),
+                            max_steps=max_steps, tile_rows=tile_rows,
+                            unroll=unroll, interpret=interpret)
+    outs = [a.reshape(-1)[:n].reshape(rays.l.shape) for a in outs]
+    l, psi, p_l, sign, steps, tau, emr, emg, emb = outs
+    return (PlanarResult(l, psi, p_l, sign, steps), tau, (emr, emg, emb))
 
 
 # ---------------------------------------------------------------------------

@@ -251,7 +251,7 @@ def march_planar_disk_volumetric(metric: Metric, rays: pl.PlanarRays, c1, c2,
     general = not pl._unit_lapse(metric)
     blackbody = params.color_mode == "blackbody"
     h2 = params.h_rel * params.h_rel
-    inv_norm = 1.0 / (np.sqrt(2.0 * np.pi) * params.h_rel)
+    inv_norm = float(1.0 / (np.sqrt(2.0 * np.pi) * params.h_rel))
     w_edge = params.r_outer - params.r_inner
 
     def step_emission(l, p_l, zq, r, tau):
@@ -328,7 +328,10 @@ def march_planar_disk_volumetric(metric: Metric, rays: pl.PlanarRays, c1, c2,
                          jnp.where(active & (l < -escape_radius), -1, sign))
         if r_cap is not None:
             sign = jnp.where(active & (l < r_cap), pl.CAPTURED, sign)
-        sign = jnp.where(active & (tau > params.tau_max), OPAQUE_SIGN, sign)
+        # escape/capture this step wins over the opacity freeze (kernel
+        # parity: ops/march_pallas.py:_disk_vol_kernel)
+        sign = jnp.where((sign == 0) & (tau > params.tau_max), OPAQUE_SIGN,
+                         sign)
         steps = steps + active.astype(jnp.int32)
         return l, psi, p_l, u, v, zq, tau, emr, emg, emb, sign, steps, it + 1
 
@@ -473,7 +476,13 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
     # photon plane normal z-component: n = e1 x e2 -> n_z = e1x e2y - e1y e2x
     nz = r_hat[0] * e2[1] - r_hat[1] * e2[0]
     vol = disk.volumetric
-    if vol:
+    if vol and backend == "pallas":
+        from curvis_tpu.ops.march_pallas import \
+            march_planar_disk_volumetric_pallas
+        res, tau, em = march_planar_disk_volumetric_pallas(
+            metric, rays, c1, c2, nz, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, disk=disk, interpret=interpret)
+    elif vol:
         res, tau, em = march_planar_disk_volumetric(
             metric, rays, c1, c2, nz, dt=dt, max_steps=max_steps,
             escape_radius=escape_radius, params=disk)

@@ -326,3 +326,44 @@ def test_volumetric_blackhole_disk_image(rng):
     inter_v = ((lum_v > 0.1) & (lum_v < 0.45)).mean()
     inter_t = ((lum_t > 0.1) & (lum_t < 0.45)).mean()
     assert inter_v > inter_t
+
+
+def test_volumetric_pallas_kernel_interpret_matches_while():
+    """The Pallas volumetric kernel (interpret mode) vs the XLA volumetric
+    march — identical per-step semantics, so f32 agreement should be tight
+    (smooth integrands, no chaotic-crossing amplification in tau/em)."""
+    from curvis_tpu.ops.march_pallas import \
+        march_planar_disk_volumetric_pallas
+    from curvis_tpu.render.disk import march_planar_disk_volumetric
+    import dataclasses as dc
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0, jnp.float32))
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 24, 12, dtype=jnp.float32)
+    from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
+    dx, dy, dz = _pixel_dirs_soa(cam, False)
+    (l, psi, p_l, b), r_hat, e2 = _spawn_planar_soa(metric, cam, dx, dy, dz)
+    c1 = jnp.broadcast_to(r_hat[2], l.shape).astype(jnp.float32)
+    c2 = e2[2].astype(jnp.float32)
+    nz = (r_hat[0] * e2[1] - r_hat[1] * e2[0]).astype(jnp.float32)
+    rays = pl.PlanarRays(*(a.astype(jnp.float32) for a in (l, psi, p_l, b)),
+                         jnp.zeros((1, 3), jnp.float32),
+                         jnp.zeros((1, 3), jnp.float32))
+    kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0)
+    for mode in ("tint", "blackbody"):
+        disk = DiskParams(r_inner=5.2, r_outer=13.0, volumetric=True,
+                          h_rel=0.08, kappa=3.0, color_mode=mode,
+                          t_peak=7000.0)
+        res_a, tau_a, em_a = march_planar_disk_volumetric(
+            metric, rays, c1, c2, nz, params=disk, **kw)
+        res_b, tau_b, em_b = march_planar_disk_volumetric_pallas(
+            metric, rays, c1, c2, nz, disk=disk, interpret=True,
+            tile_rows=8, **kw)
+        np.testing.assert_array_equal(np.asarray(res_a.sign),
+                                      np.asarray(res_b.sign))
+        np.testing.assert_allclose(np.asarray(tau_a), np.asarray(tau_b),
+                                   rtol=2e-3, atol=1e-5)
+        for ea, eb in zip(em_a, em_b):
+            np.testing.assert_allclose(np.asarray(ea), np.asarray(eb),
+                                       rtol=5e-3, atol=1e-5)
