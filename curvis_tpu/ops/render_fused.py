@@ -101,8 +101,11 @@ def _fused_kernel(kind: str, H: int, max_steps: int, unroll: int,
     ny = rz * dx - rx * dz
     nz = rx * dy - ry * dx
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-    deg = sin_a < 1e-12
-    nn = lax.rsqrt(jnp.where(deg, 1.0, nx * nx + ny * ny + nz * nz))
+    # gate on the computed cross norm, not sin_a (see render/fast.py: TPU
+    # FMA rounding can make them disagree at d ~ -r_hat -> rsqrt(0) NaN)
+    n2 = nx * nx + ny * ny + nz * nz
+    deg = n2 < 1e-12
+    nn = lax.rsqrt(jnp.where(deg, 1.0, n2))
     nx = jnp.where(deg, fx, nx * nn)
     ny = jnp.where(deg, fy, ny * nn)
     nz = jnp.where(deg, fz, nz * nn)

@@ -89,7 +89,10 @@ def spawn_planar(metric: Metric, camera_position, directions_world) -> PlanarRay
     n = jnp.cross(r_hat, d)                       # |n| = sin(alpha)
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
     # Degenerate (radial) rays: any perpendicular plane works since b = 0.
-    n_safe = jnp.where((sin_a < 1e-12)[..., None], _any_perpendicular(r_hat), n)
+    # gate on the computed cross norm, not sin_a (see render/fast.py: TPU
+    # FMA rounding can make them disagree at d ~ -r_hat -> 0/0 NaN)
+    n2 = jnp.sum(n * n, axis=-1)
+    n_safe = jnp.where((n2 < 1e-12)[..., None], _any_perpendicular(r_hat), n)
     n_hat = normalize(n_safe)
     e2 = jnp.cross(n_hat, r_hat)
     r0 = metric.r(l0)

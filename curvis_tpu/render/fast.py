@@ -66,9 +66,14 @@ def _spawn_planar_soa(metric: Metric, camera: Camera, dx, dy, dz):
     nz = rx * dy - ry * dx
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
     # Radial rays: any plane through r_hat works (b = 0) — use theta_hat.
+    # Degeneracy MUST be gated on the computed cross norm, not on sin_a:
+    # near d = -r_hat, TPU FMA rounding can give cos_a != +-1 (sin_a > 0)
+    # while the cross components cancel to exactly 0, and rsqrt(0) * 0 = NaN
+    # poisons the ray's plane basis (observed: 1 ray / 960x540 on v5e).
     fx, fy, fz = ct * cp, ct * sp, -st
-    deg = sin_a < 1e-12
-    nn = jax.lax.rsqrt(jnp.where(deg, 1.0, nx * nx + ny * ny + nz * nz))
+    n2 = nx * nx + ny * ny + nz * nz
+    deg = n2 < 1e-12
+    nn = jax.lax.rsqrt(jnp.where(deg, 1.0, n2))
     nx = jnp.where(deg, fx, nx * nn)
     ny = jnp.where(deg, fy, ny * nn)
     nz = jnp.where(deg, fz, nz * nn)

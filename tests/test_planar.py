@@ -245,3 +245,45 @@ def test_backends_agree_at_step_cap():
     w0 = pl.march_planar_while(metric, rays, max_steps=1900, **kw)
     w1 = pl.march_planar_while(metric, rays, max_steps=1901, **kw)
     assert int(w0.sign[0]) == 0 and int(w1.sign[0]) == 1
+
+
+def test_near_radial_spawn_always_finite():
+    """Planar-basis degeneracy must be gated on the computed cross norm.
+
+    On TPU, FMA rounding can produce cos_a != +-1 while the cross product
+    r_hat x d cancels to exactly 0 for a near-radial pixel (observed: one
+    NaN ray per 960x540 Schwarzschild frame on v5e) — rsqrt(0) * 0 = NaN
+    then poisons the ray's (e2, n_z) basis and every downstream volumetric
+    accumulator.  Sweep f32 directions within microradians of -r_hat
+    (including exactly anti-parallel) through every spawn path and require
+    finite bases everywhere.
+    """
+    from curvis_tpu.render.fast import _spawn_planar_soa
+    metric = EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
+    th, ph = np.float32(np.pi / 2 - 0.22), np.float32(0.0)
+    r_hat = np.array([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                      np.cos(th)], np.float32)
+    eps = np.concatenate([[0.0], np.geomspace(1e-9, 1e-3, 64)]
+                         ).astype(np.float32)
+    perp = np.array([0.0, 1.0, 0.0], np.float32)
+    d = -r_hat[None] + eps[:, None] * perp[None]
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    cam = cv.make_camera([0.0, 28.0, th, ph], -r_hat, [0.0, 0.0, 1.0],
+                         30.0, 43.0, 4, 4, dtype=jnp.float32)
+
+    # SoA spawn (render/fast.py + the fused kernel share this algebra)
+    (l, psi, p_l, b), rh, e2 = _spawn_planar_soa(
+        metric, cam, jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]),
+        jnp.asarray(d[:, 2]))
+    for a in (l, psi, p_l, b, *e2):
+        assert np.isfinite(np.asarray(a)).all()
+    # exactly-radial ray: theta_hat fallback plane, b = 0
+    nz = np.asarray(rh[0] * e2[1] - rh[1] * e2[0])
+    assert np.isfinite(nz).all()
+    assert abs(float(np.asarray(b)[0])) < 1e-6
+
+    # vectorized planar spawn (physics/planar.py)
+    rays = pl.spawn_planar(metric, jnp.asarray([0.0, 28.0, th, ph]),
+                           jnp.asarray(d))
+    for a in (rays.l, rays.psi, rays.p_l, rays.b, rays.r_hat, rays.e2):
+        assert np.isfinite(np.asarray(a)).all()
