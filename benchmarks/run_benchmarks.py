@@ -110,6 +110,19 @@ def main(argv=None):
                                doppler=True)).mean(),
            bh, cam_bh, bgp)
 
+    # 5a2. volumetric disk (DNGR-style per-step radiative transfer in the
+    #      march) — Pallas kernel, blackbody + chromatic Doppler
+    record(f"schwarzschild_voldisk_{res}x{res * 9 // 16}",
+           res * (res * 9 // 16),
+           lambda m, c, bp: render_blackhole_disk(
+               m, c, bp, dt=0.05, max_steps=20_000, escape_radius=60.0,
+               backend="pallas",
+               disk=DiskParams(r_inner=5.2, r_outer=13.0, volumetric=True,
+                               h_rel=0.08, kappa=3.0,
+                               color_mode="blackbody",
+                               t_peak=7000.0)).mean(),
+           bh, cam_bh, bgp)
+
     # 5b. Kerr black hole (the reference's "explicitly impossible" feature,
     #     README.md:111) — hand-inlined Pallas RK4 kernel
     from curvis_tpu.metrics.kerr import KerrMetric
@@ -128,6 +141,16 @@ def main(argv=None):
                m, c, bp, dt=0.1, max_steps=32_000,
                disk=DiskParams(r_inner=2.6, r_outer=12.0, doppler=True,
                                color_mode="blackbody", t_peak=8000.0)).mean(),
+           kerr, cam_k, bgp)
+    # 5c. Kerr VOLUMETRIC disk — the actual DNGR Gargantua configuration
+    #     (flared gas disk integrated through the frame-dragged march)
+    record("kerr_512x288_voldisk_rk4_12k", 512 * 288,
+           lambda m, c, bp: render_kerr(
+               m, c, bp, dt=0.08, max_steps=12_000, escape_radius=60.0,
+               disk=DiskParams(r_inner=2.6, r_outer=12.0, volumetric=True,
+                               h_rel=0.07, kappa=3.0,
+                               color_mode="blackbody",
+                               t_peak=6500.0)).mean(),
            kerr, cam_k, bgp)
 
     # Roofline anchor (VERDICT round-1 weak #8): march-kernel step

@@ -994,7 +994,70 @@ def _kerr_rhs(M, a, E, L, r, th, p_r, p_th):
     return dr, dth, dph, dpr, dpth
 
 
-def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool,
+def _kerr_vol_emission(blackbody: bool, beaming: bool, pr, r, th, b_ph, tau):
+    """Volumetric disk emission at a BL state — (dtau, demr, demg, demb).
+
+    Mirrors render/kerr.py:march_kerr_volumetric.step_emission (same clips
+    and guards); the vertical direction cosine is zq = cos(theta) exactly,
+    and the g-factor is the circular-orbit formula with rr^1.5 = rr sqrt(rr)
+    (no pow in Mosaic).  Scalars from the widened (1, 20) SMEM row."""
+    M = pr[0, 2]
+    a = pr[0, 3]
+    r_in = pr[0, 6]
+    r_out = pr[0, 7]
+    h2 = pr[0, 10]
+    inv_norm = pr[0, 11]
+    kappa = pr[0, 12]
+    t_peak = pr[0, 14]
+    emis_q = pr[0, 15]
+    s_spin = pr[0, 16]
+    t_scale = pr[0, 17]
+
+    ct = jnp.cos(th)
+    zq2 = ct * ct
+    s2 = jnp.clip(1.0 - zq2, 1e-12, 1.0)
+    r_cyl = r * jnp.sqrt(s2)
+    dens = jnp.exp(-zq2 / (2.0 * h2 * s2)) * (inv_norm / r_cyl)
+    w_edge = r_out - r_in
+    edge_in = jnp.clip((r_cyl - r_in) / (0.1 * w_edge), 0.0, 1.0)
+    edge_out = jnp.clip((r_out - r_cyl) / (0.3 * w_edge), 0.0, 1.0)
+    base = dens * edge_in * edge_out
+    rr = jnp.maximum(r_cyl, r_in)
+    if beaming:
+        sqM = jnp.sqrt(M)
+        r15 = rr * jnp.sqrt(rr)
+        omega = s_spin * sqM / (r15 + s_spin * a * sqM)
+        under = jnp.clip(1.0 - 3.0 * M / rr + 2.0 * s_spin * a * sqM / r15,
+                         1e-3, None)
+        g = jnp.sqrt(under) / jnp.clip(1.0 - omega * b_ph, 0.2, 5.0)
+    else:
+        g = jnp.ones_like(rr)
+    trans = jnp.exp(-tau)
+    dtau = kappa * base
+    if blackbody:
+        sq = jnp.sqrt(r_in / rr)
+        f = jnp.exp(-0.75 * jnp.log(rr)
+                    + 0.25 * jnp.log(jnp.maximum(1.0 - sq, 1e-20)))
+        t_obs = g * t_scale * f
+        rel = (t_obs / t_peak) ** 2
+        rel = rel * rel                                    # (t_obs/t_peak)^4
+        inv_T = 1.0 / jnp.maximum(t_obs, 1.0)
+        logs = []
+        for k_c, l5 in zip(_VOL_BB_K, _VOL_BB_L5):
+            x = k_c * inv_T
+            log_denom = x + jnp.log(jnp.maximum(1.0 - jnp.exp(-x), 1e-30))
+            logs.append(l5 - log_denom)
+        m = jnp.maximum(logs[0], jnp.maximum(logs[1], logs[2]))
+        w = trans * base * rel
+        return (dtau, w * jnp.exp(logs[0] - m), w * jnp.exp(logs[1] - m),
+                w * jnp.exp(logs[2] - m))
+    emis = jnp.exp(emis_q * jnp.log(r_in / rr))
+    w = trans * base * emis * jnp.clip(g, 0.0, 4.0) ** 3
+    return dtau, w, w, w
+
+
+def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
+                 blackbody: bool, beaming: bool,
                  params_ref, r_ref, th_ref, ph_ref, pr_ref, pth_ref,
                  E_ref, L_ref, *out_refs):
     dt = params_ref[0, 0]
@@ -1019,6 +1082,13 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool,
     ct_prev = jnp.cos(th)
     h1 = jnp.zeros_like(r)
     h2 = jnp.zeros_like(r)
+    if vol:
+        tau_max = params_ref[0, 13]
+        b_ph = L / E                       # per-ray impact parameter L/E
+        tau = jnp.zeros_like(r)
+        emr = jnp.zeros_like(r)
+        emg = jnp.zeros_like(r)
+        emb = jnp.zeros_like(r)
 
     def cond(c):
         return (c[-1] < max_steps) & jnp.any(c[5] == 0.0)
@@ -1026,7 +1096,11 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool,
     ax_u0 = params_ref[0, 8]
 
     def body(c):
-        r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2, it = c
+        if vol:
+            (r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2,
+             tau, emr, emg, emb, it) = c
+        else:
+            r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2, it = c
         for _ in range(unroll):
             alive = jnp.where(sign == 0.0, one, zero)
             # polar-axis step control: the theta-equation stiffens as
@@ -1081,17 +1155,39 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool,
             m_chk = (jnp.abs(r) + jnp.abs(th) + jnp.abs(ph)
                      + jnp.abs(p_r) + jnp.abs(p_th))
             ok = jnp.where(m_chk <= 1e8, one, zero)
+            if vol:
+                # emission at the post-step state, select-gated on the
+                # finiteness check (0 * NaN = NaN: a multiplicative mask
+                # cannot stop a blown-up state from poisoning tau/em)
+                dtau, dr_, dg_, db_ = _kerr_vol_emission(
+                    blackbody, beaming, params_ref, r, th, b_ph, tau)
+                gate = (alive * ok) > 0.5
+                emr = emr + jnp.where(gate, dte * dr_, zero)
+                emg = emg + jnp.where(gate, dte * dg_, zero)
+                emb = emb + jnp.where(gate, dte * db_, zero)
+                tau = tau + jnp.where(gate, dte * dtau, zero)
             sign = sign + alive * (ok * (jnp.where(r > R, one, zero)
                                          + 2.0 * jnp.where(r < r_cap, one,
                                                            zero))
                                    + 3.0 * (one - ok))
+            if vol:
+                # tau_max freeze: OPAQUE == CAPTURED == 2 (render/disk.py)
+                still = jnp.where(sign == 0.0, one, zero)
+                sign = sign + still * 2.0 * jnp.where(tau > tau_max, one,
+                                                      zero)
             steps = steps + alive
+        if vol:
+            return (r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2,
+                    tau, emr, emg, emb, it + unroll)
         return r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2, \
             it + unroll
 
-    out = lax.while_loop(cond, body, (r, th, ph, p_r, p_th, sign, steps,
-                                      ct_prev, h1, h2, jnp.int32(0)))
-    r, th, ph, p_r, p_th, sign, steps, _, h1, h2, _ = out
+    carry0 = (r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2)
+    if vol:
+        carry0 = carry0 + (tau, emr, emg, emb)
+    out = lax.while_loop(cond, body, carry0 + (jnp.int32(0),))
+    r, th, ph, p_r, p_th, sign, steps = out[:7]
+    h1, h2 = out[8], out[9]
     out_refs[0][:] = r
     out_refs[1][:] = th
     out_refs[2][:] = ph
@@ -1102,13 +1198,21 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool,
     if track_disk:
         out_refs[7][:] = h1
         out_refs[8][:] = h2
+    if vol:
+        tau, emr, emg, emb = out[10:14]
+        out_refs[7][:] = tau
+        out_refs[8][:] = emr
+        out_refs[9][:] = emg
+        out_refs[10][:] = emb
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "tile_rows",
-                                             "unroll", "track_disk",
+                                             "unroll", "track_disk", "vol",
+                                             "blackbody", "beaming",
                                              "interpret"))
 def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
-                      tile_rows, unroll, track_disk, interpret=False):
+                      tile_rows, unroll, track_disk, vol=False,
+                      blackbody=False, beaming=False, interpret=False):
     n_rows = r.shape[0]
     grid = (n_rows // tile_rows,)
     dtype = r.dtype
@@ -1117,15 +1221,22 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
         return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kerr_kernel, max_steps, unroll, track_disk)
+    kernel = functools.partial(_kerr_kernel, max_steps, unroll, track_disk,
+                               vol, blackbody, beaming)
     f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
     i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
-    out_shape = [f, f, f, f, f, i32, i32] + ([f, f] if track_disk else [])
+    out_shape = [f, f, f, f, f, i32, i32]
+    if track_disk:
+        out_shape += [f, f]
+    if vol:
+        out_shape += [f, f, f, f]            # tau, em_r, em_g, em_b
+    p_w = params.shape[1]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, p_w), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ] + [row_spec()] * 7,
         out_specs=[row_spec()] * len(out_shape),
         out_shape=out_shape,
@@ -1134,27 +1245,45 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
 
 
 def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
-                      capture_radius=None, disk=None, tile_rows=16,
-                      unroll=2, interpret=False, axis_u0=0.01):
+                      capture_radius=None, disk=None, vol_disk=None,
+                      tile_rows=16, unroll=2, interpret=False, axis_u0=0.01):
     # NB unroll=1 trips a Mosaic relayout bug on v5e ("Non-singleton logical
     # dimension is replicated in destination but not in source") in the
     # while-loop carry; unroll=2 compiles fine.
     """Pallas Kerr march with the autodiff marcher's contract.
 
     ``x0`` (N, 4) contravariant BL position, ``p0`` (N, 4) covariant
-    momentum; returns (x, p, sign, steps[, (h1, h2)]) with the final t
+    momentum; returns (x, p, sign, steps[, extra]) with the final t
     component zeroed (rendering never reads it).  ``disk=(r_in, r_out)``
-    additionally records the first two equatorial-crossing radii.
+    additionally records the first two equatorial-crossing radii (extra =
+    (h1, h2)).  ``vol_disk`` (a render.disk.DiskParams with
+    volumetric=True) instead accumulates per-step volumetric radiative
+    transfer through the flared gas disk (render/kerr.py:
+    march_kerr_volumetric semantics; extra = (tau, (em_r, em_g, em_b))).
     """
     while max_steps % unroll:        # exact step cap (see march_planar_pallas)
         unroll //= 2
     dtype = x0.dtype
     if capture_radius is None:
         capture_radius = metric.capture_radius
-    r_in, r_out = disk if disk is not None else (0.0, 0.0)
+    vol = vol_disk is not None
+    if vol:
+        r_in, r_out = vol_disk.r_inner, vol_disk.r_outer
+    else:
+        r_in, r_out = disk if disk is not None else (0.0, 0.0)
     vals = [dt, escape_radius, metric.m, metric.a, 0.0, capture_radius,
             r_in, r_out, axis_u0, 0.0]
-    params = jnp.stack([jnp.asarray(v, dtype) for v in vals]).reshape(1, 10)
+    if vol:
+        h2 = vol_disk.h_rel * vol_disk.h_rel
+        inv_norm = 1.0 / (float(np.sqrt(2.0 * np.pi)) * vol_disk.h_rel)
+        rp = (49.0 / 36.0) * vol_disk.r_inner
+        f_peak = rp ** -0.75 * (1.0 / 7.0) ** 0.25
+        vals += [h2, inv_norm, vol_disk.kappa, vol_disk.tau_max,
+                 vol_disk.t_peak, vol_disk.emissivity_index,
+                 vol_disk.spin_sign, vol_disk.t_peak / f_peak, 0.0, 0.0]
+    width = len(vals)
+    params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
+                       ).reshape(1, width)
 
     n = x0.shape[0]
     block = tile_rows * LANES
@@ -1167,10 +1296,13 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     arrs = [pad(v) for v in (x0[:, 1], x0[:, 2], x0[:, 3],
                              p0[:, 1], p0[:, 2], -p0[:, 0], p0[:, 3])]
     shape2 = (n_pad // LANES, LANES)
-    outs = _kerr_flat_arrays(params, *(a.reshape(shape2) for a in arrs),
-                             max_steps=max_steps, tile_rows=tile_rows,
-                             unroll=unroll, track_disk=disk is not None,
-                             interpret=interpret)
+    outs = _kerr_flat_arrays(
+        params, *(a.reshape(shape2) for a in arrs),
+        max_steps=max_steps, tile_rows=tile_rows, unroll=unroll,
+        track_disk=disk is not None and not vol, vol=vol,
+        blackbody=vol and vol_disk.color_mode == "blackbody",
+        beaming=vol and (vol_disk.redshift or vol_disk.doppler),
+        interpret=interpret)
     outs = [a.reshape(-1)[:n] for a in outs]
     r, th, ph, p_r, p_th, sign, steps = outs[:7]
     zero = jnp.zeros_like(r)
@@ -1178,6 +1310,8 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     E = -p0[:, 0]
     L = p0[:, 3]
     p = jnp.stack([-E, p_r, p_th, L], axis=-1)
+    if vol:
+        return x, p, sign, steps, (outs[7], (outs[8], outs[9], outs[10]))
     if disk is not None:
         return x, p, sign, steps, (outs[7], outs[8])
     return x, p, sign, steps
