@@ -13,6 +13,8 @@ from curvis_tpu.metrics.base import (
     EllisMetric,
     FlatSphericalMetric,
     InterstellarMetric,
+    ReissnerNordstromMetric,
+    SchwarzschildMetric,
     make_metric,
 )
 from curvis_tpu.camera.camera import Camera, make_camera
@@ -35,6 +37,8 @@ __all__ = [
     "FlatSphericalMetric",
     "InterstellarMetric",
     "MarchResult",
+    "ReissnerNordstromMetric",
+    "SchwarzschildMetric",
     "SphericalImage",
     "compute_trajectory",
     "load_spherical_image",

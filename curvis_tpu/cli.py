@@ -161,8 +161,8 @@ def image_main(args) -> int:
     kw = dict(dt=sim.ray_integration_step,
               max_steps=sim.ray_integration_max_iterations,
               escape_radius=sim.escape_radius, filtering=args.filtering)
-    from curvis_tpu.metrics.kerr import KerrMetric
-    if isinstance(metric, KerrMetric):
+    from curvis_tpu.metrics.kerr import KerrMetric, KerrNewmanMetric
+    if isinstance(metric, (KerrMetric, KerrNewmanMetric)):
         # Kerr has one exterior universe; bg2 is unused
         from curvis_tpu.render.kerr import render_kerr
         from curvis_tpu.render.disk import DiskParams
@@ -201,8 +201,8 @@ def video_main(args) -> int:
     from curvis_tpu.render.video import render_video_frames
     from curvis_tpu.render.disk import DiskParams
     vid_s = VideoSettings.from_toml(args.video_settings)
-    from curvis_tpu.metrics.kerr import KerrMetric
-    if isinstance(metric, KerrMetric):
+    from curvis_tpu.metrics.kerr import KerrMetric, KerrNewmanMetric
+    if isinstance(metric, (KerrMetric, KerrNewmanMetric)):
         args.renderer = "kerr"   # no symmetry reduction; bg2 unused
     elif args.disk:
         args.renderer = "disk"   # disk video mode

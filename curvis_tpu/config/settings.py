@@ -172,19 +172,30 @@ class MetricSettings:
     rho: float = 1.0
     m: float = 0.1
     a: float = 1e-4
+    q: float = 0.0
 
     def validate(self):
         if self.kind not in ("ellis", "interstellar", "schwarzschild",
-                             "kerr"):
+                             "kerr", "reissner-nordstrom", "rn",
+                             "kerr-newman", "kn"):
             raise SettingsError(f"unknown metric kind {self.kind!r}")
         if self.kind in ("ellis", "interstellar") and self.rho <= 0:
             raise SettingsError("rho must be positive")
         if self.kind == "interstellar" and (self.m <= 0 or self.a <= 0):
             raise SettingsError("m and a must be positive")
-        if self.kind in ("schwarzschild", "kerr") and self.m <= 0:
+        if self.kind in ("schwarzschild", "kerr", "reissner-nordstrom",
+                         "rn", "kerr-newman", "kn") and self.m <= 0:
             raise SettingsError("m must be positive")
         if self.kind == "kerr" and not (0 <= abs(self.a) < self.m):
             raise SettingsError("kerr requires |a| < m (sub-extremal)")
+        if self.kind in ("reissner-nordstrom", "rn") \
+                and abs(self.q) >= self.m:
+            raise SettingsError("reissner-nordstrom requires |q| < m "
+                                "(sub-extremal)")
+        if self.kind in ("kerr-newman", "kn") \
+                and self.a ** 2 + self.q ** 2 >= self.m ** 2:
+            raise SettingsError("kerr-newman requires a^2 + q^2 < m^2 "
+                                "(sub-extremal)")
         return self
 
     def make(self):
@@ -193,9 +204,14 @@ class MetricSettings:
             return make_metric("ellis", rho=self.rho)
         if self.kind == "schwarzschild":
             return make_metric("schwarzschild", m=self.m)
+        if self.kind in ("reissner-nordstrom", "rn"):
+            return make_metric("rn", m=self.m, q=self.q)
         if self.kind == "kerr":
             from curvis_tpu.metrics.kerr import make_kerr
             return make_kerr(m=self.m, a=self.a)
+        if self.kind in ("kerr-newman", "kn"):
+            from curvis_tpu.metrics.kerr import make_kerr_newman
+            return make_kerr_newman(m=self.m, a=self.a, q=self.q)
         return make_metric("interstellar", m=self.m, a=self.a, rho=self.rho)
 
     @classmethod

@@ -161,12 +161,77 @@ class SchwarzschildMetric:
         return 2.5 * self.m        # in (2M, 3M): capture set exact there
 
 
+@_register
+@dataclasses.dataclass(frozen=True)
+class ReissnerNordstromMetric:
+    """Reissner-Nordstrom (charged, non-rotating) black hole.
+
+    Line element (areal radius l = r, exterior chart):
+        ds^2 = -A dt^2 + dl^2/A + l^2 dOmega^2,
+        A(l) = 1 - 2M/l + Q^2/l^2
+    — static and spherically symmetric, so it runs through the same planar
+    reduction / `unit_lapse = False` branch as Schwarzschild
+    (physics/planar.py), Pallas kernels included.  Another metric family
+    outside the reference's fixed unit-lapse form (metrics.rs:49-68).
+
+    Analytic targets (tests/test_charged.py): horizon
+    r_+ = M + sqrt(M^2 - Q^2); photon sphere
+    r_ph = (3M + sqrt(9 M^2 - 8 Q^2)) / 2; shadow edge (critical impact
+    parameter) b_c = r_ph / sqrt(A(r_ph)).  Q -> 0 recovers Schwarzschild
+    (b_c -> 3 sqrt(3) M); the a -> 0 Kerr-Newman BL march is the
+    cross-formulation oracle.
+    """
+
+    m: jax.Array
+    q: jax.Array
+    unit_lapse = False
+
+    def r(self, l):
+        return l
+
+    def r_squared(self, l):
+        return l * l
+
+    def r_derivative(self, l):
+        return jnp.ones_like(l)
+
+    def lapse(self, l):
+        return 1.0 - (2.0 * self.m - self.q * self.q / l) / l
+
+    def lapse_deriv(self, l):
+        return (2.0 * self.m - 2.0 * self.q * self.q / l) / (l * l)
+
+    def radial_B(self, l):
+        return 1.0 / self.lapse(l)
+
+    @property
+    def horizon_radius(self):
+        return self.m + jnp.sqrt(jnp.maximum(self.m ** 2 - self.q ** 2, 0.0))
+
+    @property
+    def photon_sphere_radius(self):
+        return 0.5 * (3.0 * self.m
+                      + jnp.sqrt(9.0 * self.m ** 2 - 8.0 * self.q ** 2))
+
+    @property
+    def critical_impact_parameter(self):
+        r_ph = self.photon_sphere_radius
+        return r_ph / jnp.sqrt(self.lapse(r_ph))
+
+    @property
+    def capture_radius(self):
+        # midway between horizon and photon sphere: infall is irreversible
+        return 0.5 * (self.horizon_radius + self.photon_sphere_radius)
+
+
 _REGISTRY = {
     "ellis": EllisMetric,
     "interstellar": InterstellarMetric,
     "dneg": InterstellarMetric,
     "flat": FlatSphericalMetric,
     "schwarzschild": SchwarzschildMetric,
+    "reissner-nordstrom": ReissnerNordstromMetric,
+    "rn": ReissnerNordstromMetric,
 }
 
 
@@ -199,4 +264,13 @@ def make_metric(kind: str, **params) -> Metric:
         if m <= 0:
             raise ValueError("Schwarzschild metric requires m > 0.")
         return SchwarzschildMetric(m=jnp.asarray(m))
+    if cls is ReissnerNordstromMetric:
+        m = float(params.get("m", 1.0))
+        q = float(params.get("q", 0.5))
+        if m <= 0:
+            raise ValueError("Reissner-Nordstrom metric requires m > 0.")
+        if abs(q) >= m:
+            raise ValueError(
+                "Reissner-Nordstrom metric requires |q| < m (sub-extremal).")
+        return ReissnerNordstromMetric(m=jnp.asarray(m), q=jnp.asarray(q))
     return FlatSphericalMetric()

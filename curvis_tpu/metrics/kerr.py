@@ -18,6 +18,12 @@ the covariant metric is
 Horizon r_+ = M + sqrt(M^2 - a^2).  Equatorial photon-orbit critical impact
 parameters: b_pm = -/+ a + 6 M cos[(1/3) arccos(-/+ a/M)] (prograde/retro) —
 the validation targets for the tests.
+
+Kerr-Newman (charged + rotating) is the same Boyer-Lindquist form with
+    Delta -> r^2 - 2 M r + a^2 + Q^2,    2 M r -> 2 M r - Q^2
+everywhere the mass term appears coupled to Sigma; photons are uncharged, so
+their geodesics see the charge only through these two substitutions.  Both
+classes share the closed forms below via ``_bl_components``.
 """
 from __future__ import annotations
 
@@ -27,67 +33,79 @@ import jax
 import jax.numpy as jnp
 
 
+def _bl_pieces(m, a, q2, x):
+    """Common Boyer-Lindquist scalars: (r, sin^2 th (guarded), Sigma, Delta,
+    hmr = 2 M r - Q^2 — the 'effective mass' numerator)."""
+    r = x[..., 1]
+    th = x[..., 2]
+    ct = jnp.cos(th)
+    st2 = jnp.maximum(jnp.sin(th) ** 2, 1e-12)
+    sigma = r * r + a * a * ct * ct
+    delta = r * r - 2.0 * m * r + a * a + q2
+    hmr = 2.0 * m * r - q2
+    return r, st2, sigma, delta, hmr
+
+
+def _bl_metric(m, a, q2, x):
+    """Covariant g_{mu nu} -> (..., 4, 4) for Kerr(-Newman)."""
+    r, st2, sigma, delta, hmr = _bl_pieces(m, a, q2, x)
+    g_tt = -(1.0 - hmr / sigma)
+    g_rr = sigma / delta
+    g_thth = sigma
+    g_phph = (r * r + a * a + hmr * a * a * st2 / sigma) * st2
+    g_tph = -hmr * a * st2 / sigma
+    z = jnp.zeros_like(r)
+    row_t = jnp.stack([g_tt, z, z, g_tph], axis=-1)
+    row_r = jnp.stack([z, g_rr, z, z], axis=-1)
+    row_th = jnp.stack([z, z, g_thth, z], axis=-1)
+    row_ph = jnp.stack([g_tph, z, z, g_phph], axis=-1)
+    return jnp.stack([row_t, row_r, row_th, row_ph], axis=-2)
+
+
+def _bl_components(m, a, q2, x):
+    """The 5 independent contravariant components as SoA arrays
+    (g^tt, g^rr, g^thth, g^phph, g^tph) — avoids (N, 4, 4) layouts in
+    the hot march (TPU pads 4-wide minor dims to 128 lanes).
+    g^tph = -a (r^2 + a^2 - Delta) / (Delta Sigma), and
+    r^2 + a^2 - Delta = 2 M r - Q^2 = hmr for Kerr-Newman."""
+    r, st2, sigma, delta, hmr = _bl_pieces(m, a, q2, x)
+    A = (r * r + a * a) ** 2 - delta * a * a * st2
+    inv_ds = 1.0 / (delta * sigma)
+    g_tt = -A * inv_ds
+    g_rr = delta / sigma
+    g_thth = 1.0 / sigma
+    g_phph = (delta - a * a * st2) * inv_ds / st2
+    g_tph = -hmr * a * inv_ds
+    return g_tt, g_rr, g_thth, g_phph, g_tph
+
+
+def _bl_inverse_metric(m, a, q2, x):
+    """Contravariant g^{mu nu} -> (..., 4, 4) (closed form)."""
+    g_tt, g_rr, g_thth, g_phph, g_tph = _bl_components(m, a, q2, x)
+    z = jnp.zeros_like(g_tt)
+    row_t = jnp.stack([g_tt, z, z, g_tph], axis=-1)
+    row_r = jnp.stack([z, g_rr, z, z], axis=-1)
+    row_th = jnp.stack([z, z, g_thth, z], axis=-1)
+    row_ph = jnp.stack([g_tph, z, z, g_phph], axis=-1)
+    return jnp.stack([row_t, row_r, row_th, row_ph], axis=-2)
+
+
 @dataclasses.dataclass(frozen=True)
 class KerrMetric:
     m: jax.Array
     a: jax.Array
 
-    def _pieces(self, x):
-        r = x[..., 1]
-        th = x[..., 2]
-        ct = jnp.cos(th)
-        st2 = jnp.maximum(jnp.sin(th) ** 2, 1e-12)
-        sigma = r * r + self.a * self.a * ct * ct
-        delta = r * r - 2.0 * self.m * r + self.a * self.a
-        return r, st2, sigma, delta
-
     def metric(self, x):
         """Covariant g_{mu nu} -> (..., 4, 4)."""
-        r, st2, sigma, delta = self._pieces(x)
-        a, m = self.a, self.m
-        g_tt = -(1.0 - 2.0 * m * r / sigma)
-        g_rr = sigma / delta
-        g_thth = sigma
-        g_phph = (r * r + a * a + 2.0 * m * r * a * a * st2 / sigma) * st2
-        g_tph = -2.0 * m * a * r * st2 / sigma
-        z = jnp.zeros_like(r)
-        row_t = jnp.stack([g_tt, z, z, g_tph], axis=-1)
-        row_r = jnp.stack([z, g_rr, z, z], axis=-1)
-        row_th = jnp.stack([z, z, g_thth, z], axis=-1)
-        row_ph = jnp.stack([g_tph, z, z, g_phph], axis=-1)
-        return jnp.stack([row_t, row_r, row_th, row_ph], axis=-2)
+        return _bl_metric(self.m, self.a, 0.0, x)
 
     def inverse_metric(self, x):
         """Contravariant g^{mu nu} -> (..., 4, 4) (closed form)."""
-        r, st2, sigma, delta = self._pieces(x)
-        a, m = self.a, self.m
-        A = (r * r + a * a) ** 2 - delta * a * a * st2
-        g_tt = -A / (delta * sigma)
-        g_rr = delta / sigma
-        g_thth = 1.0 / sigma
-        g_phph = (delta - a * a * st2) / (delta * sigma * st2)
-        g_tph = -2.0 * m * a * r / (delta * sigma)
-        z = jnp.zeros_like(r)
-        row_t = jnp.stack([g_tt, z, z, g_tph], axis=-1)
-        row_r = jnp.stack([z, g_rr, z, z], axis=-1)
-        row_th = jnp.stack([z, z, g_thth, z], axis=-1)
-        row_ph = jnp.stack([g_tph, z, z, g_phph], axis=-1)
-        return jnp.stack([row_t, row_r, row_th, row_ph], axis=-2)
+        return _bl_inverse_metric(self.m, self.a, 0.0, x)
 
     def inverse_components(self, x):
-        """The 5 independent contravariant components as SoA arrays
-        (g^tt, g^rr, g^thth, g^phph, g^tph) — avoids (N, 4, 4) layouts in
-        the hot march (TPU pads 4-wide minor dims to 128 lanes)."""
-        r, st2, sigma, delta = self._pieces(x)
-        a, m = self.a, self.m
-        A = (r * r + a * a) ** 2 - delta * a * a * st2
-        inv_ds = 1.0 / (delta * sigma)
-        g_tt = -A * inv_ds
-        g_rr = delta / sigma
-        g_thth = 1.0 / sigma
-        g_phph = (delta - a * a * st2) * inv_ds / st2
-        g_tph = -2.0 * m * a * r * inv_ds
-        return g_tt, g_rr, g_thth, g_phph, g_tph
+        """SoA contravariant components (see ``_bl_components``)."""
+        return _bl_components(self.m, self.a, 0.0, x)
 
     @property
     def horizon_radius(self):
@@ -110,6 +128,45 @@ jax.tree_util.register_dataclass(KerrMetric, data_fields=["m", "a"],
                                  meta_fields=[])
 
 
+@dataclasses.dataclass(frozen=True)
+class KerrNewmanMetric:
+    """Kerr-Newman (charged, rotating) black hole — photons are uncharged,
+    so their geodesics are the Kerr flow with Delta -> Delta + Q^2 and
+    2 M r -> 2 M r - Q^2.  Another family beyond the reference's
+    spherically-symmetric architecture (README.md:111); renders through the
+    same BL marchers (autodiff RK4 and the Pallas kernel, which reads Q^2
+    from a params slot)."""
+
+    m: jax.Array
+    a: jax.Array
+    q: jax.Array
+
+    def metric(self, x):
+        """Covariant g_{mu nu} -> (..., 4, 4)."""
+        return _bl_metric(self.m, self.a, self.q * self.q, x)
+
+    def inverse_metric(self, x):
+        """Contravariant g^{mu nu} -> (..., 4, 4) (closed form)."""
+        return _bl_inverse_metric(self.m, self.a, self.q * self.q, x)
+
+    def inverse_components(self, x):
+        """SoA contravariant components (see ``_bl_components``)."""
+        return _bl_components(self.m, self.a, self.q * self.q, x)
+
+    @property
+    def horizon_radius(self):
+        return self.m + jnp.sqrt(jnp.maximum(
+            self.m ** 2 - self.a ** 2 - self.q ** 2, 0.0))
+
+    @property
+    def capture_radius(self):
+        return 1.05 * self.horizon_radius
+
+
+jax.tree_util.register_dataclass(KerrNewmanMetric,
+                                 data_fields=["m", "a", "q"], meta_fields=[])
+
+
 def make_kerr(m=1.0, a=0.6) -> KerrMetric:
     m, a = float(m), float(a)
     if m <= 0:
@@ -117,3 +174,14 @@ def make_kerr(m=1.0, a=0.6) -> KerrMetric:
     if not (0 <= abs(a) < m):
         raise ValueError("Kerr metric requires |a| < m (sub-extremal)")
     return KerrMetric(m=jnp.asarray(m), a=jnp.asarray(a))
+
+
+def make_kerr_newman(m=1.0, a=0.6, q=0.4) -> KerrNewmanMetric:
+    m, a, q = float(m), float(a), float(q)
+    if m <= 0:
+        raise ValueError("Kerr-Newman metric requires m > 0")
+    if a * a + q * q >= m * m:
+        raise ValueError(
+            "Kerr-Newman metric requires a^2 + q^2 < m^2 (sub-extremal)")
+    return KerrNewmanMetric(m=jnp.asarray(m), a=jnp.asarray(a),
+                            q=jnp.asarray(q))

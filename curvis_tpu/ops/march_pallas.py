@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from curvis_tpu.metrics.base import (EllisMetric, FlatSphericalMetric,
                                      InterstellarMetric, Metric,
+                                     ReissnerNordstromMetric,
                                      SchwarzschildMetric)
 from curvis_tpu.physics.planar import PlanarRays, PlanarResult
 
@@ -152,6 +153,22 @@ def _deriv_fns(kind: str):
             dpl = (-M * invl2) * (invA * invA + p_l * p_l) + b2 * invl2 * invl
             return dl, dpsi, dpl
         return fns
+    if kind == "rn":
+        # Reissner-Nordstrom: A = 1 - 2M/l + Q^2/l^2, -A'/2 = -(M - Q^2/l)/l^2
+        # (outside the outer horizon A < 1, so the sprint-phase speed bound
+        # sqrt(1 - A b^2/r^2) <= 1 still holds; capture sits above r_+)
+        def fns(pr, l, p_l, b, b2):
+            M, q2 = pr[0, 2], pr[0, 3]
+            invl = 1.0 / l
+            invl2 = invl * invl
+            A = 1.0 - (2.0 * M - q2 * invl) * invl
+            invA = 1.0 / A
+            dl = A * p_l
+            dpsi = b * invl2
+            dpl = (-(M - q2 * invl) * invl2) * (invA * invA + p_l * p_l) \
+                + b2 * invl2 * invl
+            return dl, dpsi, dpl
+        return fns
     shape = _shape_fns(kind)
 
     def fns(pr, l, p_l, b, b2):
@@ -184,6 +201,9 @@ def _metric_kind_and_params(metric: Metric, dt, escape_radius, dtype):
     if isinstance(metric, SchwarzschildMetric):
         return "schwarzschild", row([dt, escape_radius, metric.m],
                                     capture=metric.capture_radius)
+    if isinstance(metric, ReissnerNordstromMetric):
+        return "rn", row([dt, escape_radius, metric.m, metric.q * metric.q],
+                         capture=metric.capture_radius)
     raise NotImplementedError(
         f"pallas march: unsupported metric {type(metric).__name__}")
 
@@ -740,7 +760,7 @@ def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
     emis_q = pr[0, 13]
     spin_sign = pr[0, 14]
 
-    if kind == "schwarzschild":
+    if kind in ("schwarzschild", "rn"):
         r = l
     else:
         inv_r2, _ = _shape_fns(kind)(pr, l)
@@ -755,14 +775,20 @@ def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
     base = dens * edge_in * edge_out
     rr = jnp.maximum(r_cyl, r_in)
     g = jnp.ones_like(r_cyl)
-    if kind == "schwarzschild" and (redshift or doppler):
+    if kind in ("schwarzschild", "rn") and (redshift or doppler):
         M = pr[0, 2]
-        A = jnp.clip(1.0 - 2.0 * M / rr, 1e-3, 1.0)
+        if kind == "rn":
+            q2 = pr[0, 3]
+            A = jnp.clip(1.0 - (2.0 * M - q2 / rr) / rr, 1e-3, 1.0)
+            vsq = (M - q2 / rr) / rr       # r A'/2: circular-orbit speed^2
+        else:
+            A = jnp.clip(1.0 - 2.0 * M / rr, 1e-3, 1.0)
+            vsq = M / rr
         sqA = jnp.sqrt(A)
         if redshift:
             g = sqA
         if doppler:
-            v = jnp.clip(jnp.sqrt(M / rr) / sqA, 0.0, 0.99)
+            v = jnp.clip(jnp.sqrt(vsq) / sqA, 0.0, 0.99)
             gamma = jax.lax.rsqrt(1.0 - v * v)
             u_l = p_l * sqA
             u_psi = b / rr
@@ -965,15 +991,17 @@ def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
 # Capture at r < r_cap (sign 2), escape at r > R (sign 1), per-step masked.
 # ---------------------------------------------------------------------------
 
-def _kerr_rhs(M, a, E, L, r, th, p_r, p_th):
+def _kerr_rhs(M, a, q2, E, L, r, th, p_r, p_th):
     s = jnp.sin(th)
     c = jnp.cos(th)
-    u = jnp.maximum(s * s, 1e-12)       # axis guard (metrics/kerr.py:_pieces)
+    u = jnp.maximum(s * s, 1e-12)   # axis guard (metrics/kerr.py:_bl_pieces)
     invu = 1.0 / u
     ac = a * c
     sigma = r * r + ac * ac
     inv_sigma = 1.0 / sigma
-    delta = r * (r - 2.0 * M) + a * a
+    # Kerr-Newman: the charge enters the photon flow ONLY through Delta
+    # (dDelta/dr is unchanged); q2 = 0 folds back to Kerr bit-for-bit
+    delta = r * (r - 2.0 * M) + a * a + q2
     inv_delta = 1.0 / delta
     P = (r * r + a * a) * E - a * L
     G = L - a * E * u
@@ -1003,6 +1031,7 @@ def _kerr_vol_emission(blackbody: bool, beaming: bool, pr, r, th, b_ph, tau):
     (no pow in Mosaic).  Scalars from the widened (1, 20) SMEM row."""
     M = pr[0, 2]
     a = pr[0, 3]
+    q2 = pr[0, 4]
     r_in = pr[0, 6]
     r_out = pr[0, 7]
     h2 = pr[0, 10]
@@ -1024,11 +1053,13 @@ def _kerr_vol_emission(blackbody: bool, beaming: bool, pr, r, th, b_ph, tau):
     base = dens * edge_in * edge_out
     rr = jnp.maximum(r_cyl, r_in)
     if beaming:
-        sqM = jnp.sqrt(M)
-        r15 = rr * jnp.sqrt(rr)
-        omega = s_spin * sqM / (r15 + s_spin * a * sqM)
-        under = jnp.clip(1.0 - 3.0 * M / rr + 2.0 * s_spin * a * sqM / r15,
-                         1e-3, None)
+        # Kerr-Newman circular-orbit g, the exact algebraic form of
+        # render/kerr.py:_kerr_circular_g (q2 = 0 for Kerr)
+        sq = jnp.sqrt(jnp.maximum(M * rr - q2, 1e-12))
+        rr2 = rr * rr
+        omega = s_spin * sq / (rr2 + s_spin * a * sq)
+        under = jnp.clip(1.0 - (3.0 * M - 2.0 * q2 / rr) / rr
+                         + 2.0 * s_spin * a * sq / rr2, 1e-3, None)
         g = jnp.sqrt(under) / jnp.clip(1.0 - omega * b_ph, 0.2, 5.0)
     else:
         g = jnp.ones_like(rr)
@@ -1064,6 +1095,7 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
     R = params_ref[0, 1]
     M = params_ref[0, 2]
     a = params_ref[0, 3]
+    q2 = params_ref[0, 4]                # Kerr-Newman charge^2 (0 for Kerr)
     r_cap = params_ref[0, 5]
     r_in = params_ref[0, 6]
     r_out = params_ref[0, 7]
@@ -1111,14 +1143,14 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
             scale = jnp.clip((s_ax * s_ax + 1e-12)
                              / jnp.maximum(ax_u0, 1e-12), 1.0 / 16.0, 1.0)
             dte = dt * alive * scale
-            k1 = _kerr_rhs(M, a, E, L, r, th, p_r, p_th)
-            k2 = _kerr_rhs(M, a, E, L, r + 0.5 * dte * k1[0],
+            k1 = _kerr_rhs(M, a, q2, E, L, r, th, p_r, p_th)
+            k2 = _kerr_rhs(M, a, q2, E, L, r + 0.5 * dte * k1[0],
                            th + 0.5 * dte * k1[1], p_r + 0.5 * dte * k1[3],
                            p_th + 0.5 * dte * k1[4])
-            k3 = _kerr_rhs(M, a, E, L, r + 0.5 * dte * k2[0],
+            k3 = _kerr_rhs(M, a, q2, E, L, r + 0.5 * dte * k2[0],
                            th + 0.5 * dte * k2[1], p_r + 0.5 * dte * k2[3],
                            p_th + 0.5 * dte * k2[4])
-            k4 = _kerr_rhs(M, a, E, L, r + dte * k3[0], th + dte * k3[1],
+            k4 = _kerr_rhs(M, a, q2, E, L, r + dte * k3[0], th + dte * k3[1],
                            p_r + dte * k3[3], p_th + dte * k3[4])
             w = dte * (1.0 / 6.0)
             r1 = r + w * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
@@ -1271,7 +1303,8 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
         r_in, r_out = vol_disk.r_inner, vol_disk.r_outer
     else:
         r_in, r_out = disk if disk is not None else (0.0, 0.0)
-    vals = [dt, escape_radius, metric.m, metric.a, 0.0, capture_radius,
+    q = getattr(metric, "q", 0.0)        # Kerr-Newman charge (0 for Kerr)
+    vals = [dt, escape_radius, metric.m, metric.a, q * q, capture_radius,
             r_in, r_out, axis_u0, 0.0]
     if vol:
         h2 = vol_disk.h_rel * vol_disk.h_rel

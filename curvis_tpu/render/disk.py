@@ -273,7 +273,9 @@ def march_planar_disk_volumetric(metric: Metric, rays: pl.PlanarRays, c1, c2,
                 g = sqA
             if params.doppler:
                 M = metric.m
-                v = jnp.clip(jnp.sqrt(M / rr) / sqA, 0.0, 0.99)
+                q = getattr(metric, "q", None)      # Reissner-Nordstrom
+                vsq = (M - q * q / rr) / rr if q is not None else M / rr
+                v = jnp.clip(jnp.sqrt(vsq) / sqA, 0.0, 0.99)
                 gamma = jax.lax.rsqrt(1.0 - v * v)
                 u_l = p_l * sqA
                 u_psi = rays.b / rr
@@ -376,7 +378,9 @@ def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype):
             g = jnp.sqrt(A)
         if params.doppler:
             M = metric.m
-            v = jnp.sqrt(M / rr) / jnp.sqrt(A)
+            q = getattr(metric, "q", None)          # Reissner-Nordstrom
+            vsq = (M - q * q / rr) / rr if q is not None else M / rr
+            v = jnp.sqrt(vsq) / jnp.sqrt(A)
             v = jnp.clip(v, 0.0, 0.99)
             gamma = jax.lax.rsqrt(1.0 - v * v)
             # photon local direction components at the crossing

@@ -80,18 +80,26 @@ def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
     return x, p, sign, (h1, h2)
 
 
-def _kerr_circular_g(metric: KerrMetric, rr, b_photon, spin_sign):
+def _kerr_circular_g(metric, rr, b_photon, spin_sign):
     """g-factor seen through a photon with impact parameter b = L/E from
-    disk material on a prograde/retrograde circular equatorial orbit:
-        g = sqrt(1 - 3M/r + 2 s a sqrt(M) r^{-3/2}) / (1 - Omega_s b),
-        Omega_s = s sqrt(M) / (r^{3/2} + s a sqrt(M)).
-    Shared by the thin-crossing shader and the volumetric march."""
+    disk material on a prograde/retrograde circular equatorial orbit.  In
+    the Kerr-Newman family (charge Q, = 0 for Kerr) with
+    s = sqrt(M r - Q^2):
+        Omega_s = s_spin s / (r^2 + s_spin a s)
+        g = sqrt(1 - 3M/r + 2Q^2/r^2 + 2 s_spin a s / r^2) / (1 - Omega_s b)
+    (reduces to the familiar sqrt(1 - 3M/r + 2 s_spin a sqrt(M) r^{-3/2})
+    form at Q = 0).  Shared by the thin-crossing shader and the volumetric
+    march; the Pallas kernel (_kerr_vol_emission) mirrors this exact
+    algebraic form."""
     M, a = metric.m, metric.a
+    q = getattr(metric, "q", None)
+    q2 = q * q if q is not None else jnp.zeros_like(M)
     s = spin_sign
-    sqM = jnp.sqrt(M)
-    omega = s * sqM / (rr ** 1.5 + s * a * sqM)
-    under = jnp.clip(1.0 - 3.0 * M / rr + 2.0 * s * a * sqM * rr ** -1.5,
-                     1e-3, None)
+    sq = jnp.sqrt(jnp.maximum(M * rr - q2, 1e-12))
+    rr2 = rr * rr
+    omega = s * sq / (rr2 + s * a * sq)
+    under = jnp.clip(1.0 - (3.0 * M - 2.0 * q2 / rr) / rr
+                     + 2.0 * s * a * sq / rr2, 1e-3, None)
     return jnp.sqrt(under) / jnp.clip(1.0 - omega * b_photon, 0.2, 5.0)
 
 
