@@ -28,7 +28,7 @@ from curvis_tpu.integrate.march import MarchResult, march, compute_trajectory
 from curvis_tpu.render.direct import render_direct
 from curvis_tpu.render.scene import Scene
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Camera",

@@ -170,3 +170,54 @@ def march_hamiltonian(metric, x0, p0, *, dt, max_steps, escape_radius,
     x, p, sign, steps, _ = lax.while_loop(
         cond, body, (x0, p0, sign0, steps0, jnp.int32(0)))
     return HamiltonianResult(x, p, sign, steps)
+
+
+def march_hamiltonian_scan(metric, x0, p0, *, dt, max_steps, escape_radius,
+                           capture_radius=None, axis_u0=0.01,
+                           segment=None) -> HamiltonianResult:
+    """Differentiable general-metric march (two-level checkpointed scan).
+
+    Same per-step semantics as :func:`march_hamiltonian` (masking on
+    ``steps < max_steps`` as well as ``sign`` keeps the backends in
+    agreement at the step cap, like physics/planar.march_planar_scan), but
+    reverse-mode differentiable: ``lax.while_loop`` has no transpose, so
+    gradient flows — e.g. *recovering a black hole's spin from an image*
+    (tests/test_gradients.py, examples/inverse_problem.py) — route through
+    this fixed-trip-count scan with O(sqrt(steps)) rematerialization.
+    Gradients reach the metric parameter pytree, ``x0`` and ``p0``.
+    """
+    import math
+    dt = jnp.asarray(dt, x0.dtype)
+    if segment is None:
+        segment = max(1, int(math.sqrt(max_steps)))
+    n_seg = -(-max_steps // segment)
+    sign0 = jnp.zeros(x0.shape[:-1], jnp.int32)
+    steps0 = jnp.zeros(x0.shape[:-1], jnp.int32)
+
+    def one(c, _):
+        x, p, sign, steps = c
+        active = (sign == 0) & (steps < max_steps)
+        dte = dt * axis_dt_scale(x[..., 2], axis_u0)
+        x1, p1 = rk4_step_batched(metric, x, p, dte[..., None])
+        am = active[..., None]
+        x = jnp.where(am, x1, x)
+        p = jnp.where(am, p1, p)
+        r = x[..., 1]
+        m_chk = (jnp.abs(r) + jnp.abs(x[..., 2]) + jnp.abs(x[..., 3])
+                 + jnp.abs(p[..., 1]) + jnp.abs(p[..., 2]))
+        ok = m_chk <= 1e8
+        sign = jnp.where(active & ok & (r > escape_radius), 1, sign)
+        if capture_radius is not None:
+            sign = jnp.where(active & ok & (r < capture_radius), 2, sign)
+        sign = jnp.where(active & ~ok, 3, sign)
+        steps = steps + active.astype(jnp.int32)
+        return (x, p, sign, steps), None
+
+    @jax.checkpoint
+    def seg(c, _):
+        c, _ = lax.scan(one, c, None, length=segment)
+        return c, None
+
+    (x, p, sign, steps), _ = lax.scan(seg, (x0, p0, sign0, steps0), None,
+                                      length=n_seg)
+    return HamiltonianResult(x, p, sign, steps)

@@ -296,6 +296,14 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
             x, p, sign, _ = march_kerr_pallas(
                 metric, x0, p0, dt=dt, max_steps=max_steps,
                 escape_radius=escape_radius)
+        elif backend == "scan":
+            # reverse-differentiable march: grad(image) w.r.t. (m, a, q),
+            # camera pose — the spin-recovery inverse problem
+            res = ham.march_hamiltonian_scan(
+                metric, x0, p0, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius,
+                capture_radius=metric.capture_radius)
+            x, p, sign = res.x, res.p, res.sign
         else:
             res = ham.march_hamiltonian(metric, x0, p0, dt=dt,
                                         max_steps=max_steps,
@@ -304,7 +312,16 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
             x, p, sign = res.x, res.p, res.sign
         h1 = h2 = None
 
-    # readout: asymptotic direction from contravariant momentum
+    # readout: asymptotic direction from contravariant momentum.  Only
+    # escaped rays are shaded from (x, p); captured/blown-up rays are
+    # masked to black below, so substitute their (possibly NaN) states with
+    # the spawn state first — output-neutral, but keeps reverse-mode
+    # gradients NaN-free (the select's zero cotangent still multiplies the
+    # branch's partials: 0 * NaN would poison d(image)/d(metric) in the
+    # backend='scan' inverse problems).
+    esc = (sign == 1)[:, None]
+    x = jnp.where(esc, x, x0)
+    p = jnp.where(esc, p, p0)
     ginv = metric.inverse_metric(x)
     pup = jnp.einsum("nij,nj->ni", ginv, p)
     r = x[:, 1]

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Inverse rendering: recover spacetime parameters from images by gradient
+descent THROUGH the ray march — the axis the CPU reference cannot offer
+(its Rust tracer is not differentiable; /root/reference has no analogue).
+
+    python examples/inverse_problem.py [outdir]
+
+Two demos, both CPU f64 (deterministic; a TPU is not required):
+
+1. Ellis wormhole: recover the throat radius rho from a target image
+   (adjoint-capable planar march, tests/test_gradients.py pins the
+   gradients against finite differences).
+2. Kerr black hole: recover the SPIN from the frame-dragged lensing of
+   background stars — the camera is aimed so the shadow is outside the
+   field of view and the deflection field is a smooth function of a; AD
+   flows through 800 RK4 steps of the Boyer-Lindquist march
+   (physics/hamiltonian.py:march_hamiltonian_scan).
+
+Writes ``inverse_rho.png`` / ``inverse_spin.png``: target | start | recovered
+triptychs, and prints the descent trajectories.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    outdir = Path(argv[0]) if argv else Path(__file__).parent / "out"
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.render.kerr import render_kerr
+
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5, yy / h,
+                       0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+    bg_p = cv.make_spherical_image(smooth, dtype=jnp.float64)
+    bg_n = cv.make_spherical_image(smooth[::-1].copy(), dtype=jnp.float64)
+
+    def triptych(name, target, start, final):
+        """target | start | recovered | 10x|start-target| | 10x|final-target|
+        — the amplified difference panels make the sub-pixel lensing shift
+        (and its disappearance after recovery) visible."""
+        t, s, f_ = (np.asarray(a) for a in (target, start, final))
+        row = np.concatenate([t, s, f_, 10 * np.abs(s - t),
+                              10 * np.abs(f_ - t)], axis=1)
+        cv.save_image(np.clip(row, 0, 1), outdir / name)
+        print(f"wrote {outdir / name}  (target | start | recovered | "
+              f"10x diffs before/after)")
+
+    # ------------------------------------------------------------------
+    # 1. wormhole throat radius
+    # ------------------------------------------------------------------
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [1.0, 0.6, 0.3],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 48, 32,
+                         dtype=jnp.float64)
+
+    def render_rho(rho):
+        return cv.render_direct(cv.EllisMetric(rho=rho), cam, bg_p, bg_n,
+                                method="planar", filtering="bilinear",
+                                differentiable=True, dt=0.05, max_steps=2000,
+                                escape_radius=20.0)
+
+    rho_true, rho = jnp.asarray(1.6), jnp.asarray(1.0)
+    target = render_rho(rho_true)
+    start = render_rho(rho)
+    vg = jax.jit(jax.value_and_grad(
+        lambda r: jnp.mean((render_rho(r) - target) ** 2)))
+    for i in range(60):
+        loss, g = vg(rho)
+        rho = rho - jnp.clip(2e4 * g, -0.05, 0.05)
+        if i % 10 == 0:
+            print(f"rho iter {i:2d}: rho={float(rho):.4f} "
+                  f"loss={float(loss):.3e}")
+    print(f"recovered rho = {float(rho):.4f}  (true {float(rho_true)})")
+    triptych("inverse_rho.png", target, start, render_rho(rho))
+
+    # ------------------------------------------------------------------
+    # 2. black-hole spin from frame-dragged lensing
+    # ------------------------------------------------------------------
+    th = np.pi / 2 - 0.3
+    f = np.array([-np.sin(th), 1.3, -np.cos(th)])
+    f /= np.linalg.norm(f)
+    cam_k = cv.make_camera([0.0, 15.0, th, 0.0], list(f), [0.0, 0.0, 1.0],
+                           35.0, 43.0, 40, 24, dtype=jnp.float64)
+
+    def render_a(a):
+        return render_kerr(KerrMetric(m=jnp.asarray(1.0, jnp.float64), a=a),
+                           cam_k, bg_p, dt=0.1, max_steps=800,
+                           escape_radius=20.0, backend="scan")
+
+    a_true, a = jnp.asarray(0.85), jnp.asarray(0.2)
+    target = render_a(a_true)
+    start = render_a(a)
+    vg = jax.jit(jax.value_and_grad(
+        lambda s: jnp.mean((render_a(s) - target) ** 2)))
+    for i in range(40):
+        loss, g = vg(a)
+        a = jnp.clip(a - jnp.clip(2e2 * g, -0.08, 0.08), 0.0, 0.99)
+        if i % 8 == 0:
+            print(f"spin iter {i:2d}: a={float(a):.4f} "
+                  f"loss={float(loss):.3e}")
+    print(f"recovered spin a = {float(a):.4f}  (true {float(a_true)})")
+    triptych("inverse_spin.png", target, start, render_a(a))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -176,3 +176,84 @@ def test_adjoint_render_gradient(rng):
     g_scan = jax.grad(lambda r: loss(r, True))(jnp.asarray(1.0))
     g_adj = jax.grad(lambda r: loss(r, "adjoint"))(jnp.asarray(1.0))
     np.testing.assert_allclose(float(g_adj), float(g_scan), rtol=1e-3)
+
+
+def test_kerr_spin_gradient_matches_fd():
+    """Reverse-mode through the BL march (march_hamiltonian_scan): the
+    gradient of a Kerr image w.r.t. the SPIN matches finite differences.
+    The while-loop marcher has no transpose; backend='scan' is the
+    checkpointed differentiable path."""
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.render.kerr import render_kerr
+    h, w = 16, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5,
+                       yy / h, 0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+    bg = cv.make_spherical_image(smooth, dtype=jnp.float64)
+    th = np.pi / 2 - 0.3
+    cam = cv.make_camera([0.0, 15.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         35.0, 43.0, 16, 10, dtype=jnp.float64)
+
+    def loss(a):
+        metric = KerrMetric(m=jnp.asarray(1.0, jnp.float64), a=a)
+        img = render_kerr(metric, cam, bg, dt=0.1, max_steps=800,
+                          escape_radius=20.0, backend="scan")
+        wgt = jnp.linspace(0.5, 1.5, img.shape[0])[:, None, None]
+        return jnp.mean(img * wgt)
+
+    a0 = jnp.asarray(0.7, jnp.float64)
+    g = jax.grad(loss)(a0)
+    assert np.isfinite(float(g)) and abs(float(g)) > 1e-7
+    eps = 1e-5
+    fd = (loss(a0 + eps) - loss(a0 - eps)) / (2 * eps)
+    # shadow-edge pixels flip discretely under FD; the interior band is
+    # smooth — a few-percent envelope like the camera-pose test above
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-2)
+
+
+def test_inverse_rendering_recovers_kerr_spin():
+    """'Measure a black hole's spin from the lensing of background stars':
+    gradient descent on the spin through the differentiable BL march
+    recovers a_true from a target frame — no spherical symmetry, no
+    closed-form deflection map, just AD through 800 RK4 steps.
+
+    The camera is tilted so the SHADOW IS OUTSIDE the field of view: rays
+    skim the hole at moderate impact parameters, where the frame-dragged
+    deflection is a smooth monotone function of the spin and descent
+    converges cleanly.  (With the shadow in view the loss landscape is
+    microscopically fractal — photon-ring scattering is chaotic — which is
+    physics, not an AD defect; the FD-match test above covers that regime.)
+    """
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.render.kerr import render_kerr
+    h, w = 16, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5,
+                       yy / h, 0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+    bg = cv.make_spherical_image(smooth, dtype=jnp.float64)
+    th = np.pi / 2 - 0.3
+    f = np.array([-np.sin(th), 1.3, -np.cos(th)])
+    f /= np.linalg.norm(f)
+    cam = cv.make_camera([0.0, 15.0, th, 0.0], list(f), [0.0, 0.0, 1.0],
+                         35.0, 43.0, 20, 12, dtype=jnp.float64)
+
+    def render(a):
+        return render_kerr(KerrMetric(m=jnp.asarray(1.0, jnp.float64), a=a),
+                           cam, bg, dt=0.1, max_steps=800,
+                           escape_radius=20.0, backend="scan")
+
+    a_true = 0.85
+    target = render(jnp.asarray(a_true, jnp.float64))
+    assert float((target.sum(-1) == 0).mean()) == 0.0   # shadow out of view
+    vg = jax.jit(jax.value_and_grad(
+        lambda a: jnp.mean((render(a) - target) ** 2)))
+    a = jnp.asarray(0.2, jnp.float64)
+    loss0 = None
+    for _ in range(40):
+        loss, g = vg(a)
+        if loss0 is None:
+            loss0 = float(loss)
+        a = jnp.clip(a - jnp.clip(2e2 * g, -0.08, 0.08), 0.0, 0.99)
+    assert abs(float(a) - a_true) < 0.01, float(a)
+    assert float(vg(a)[0]) < 1e-3 * loss0
