@@ -221,3 +221,38 @@ def make_train_step(mesh: Mesh, *, dt, max_steps, escape_radius,
         return metric, camera, loss
 
     return train_step
+
+
+def render_kerr_sharded(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
+                        dt, max_steps, escape_radius=None, disk=None,
+                        filtering="bilinear"):
+    """Sharded Kerr/Kerr-Newman video rendering -> (F, H, W, 3).
+
+    Every stage of the BL pipeline (tetrad spawn, RK4 march, asymptotic
+    readout, disk shading) is per-ray, so F frames concatenate into one
+    (F*N, 4) bundle whose leading axis shards over the mesh's 'rays' axis —
+    the sharding constraint at the spawn output is the only annotation;
+    GSPMD propagates it through the whole march with no collectives in the
+    forward pass (render/kerr.py:render_kerr_frames_batched is the
+    single-device counterpart — same math, agreeing to fusion-order ulps)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from curvis_tpu.parallel.mesh import RAYS
+    from curvis_tpu.render.kerr import (_kerr_march_and_shade,
+                                        _spawn_kerr_rays)
+    cams = list(cameras)
+    W, H = cams[0].resolution_x, cams[0].resolution_y
+    if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
+        raise ValueError("all cameras in a batch must share a resolution")
+    if escape_radius is None:
+        escape_radius = 2.0 * max(float(c.position[1]) for c in cams)
+    bundles = [_spawn_kerr_rays(metric, c) for c in cams]
+    x0 = jnp.concatenate([b[0] for b in bundles])
+    p0 = jnp.concatenate([b[1] for b in bundles])
+    sh = NamedSharding(mesh, P(RAYS, None))
+    x0 = jax.lax.with_sharding_constraint(x0, sh)
+    p0 = jax.lax.with_sharding_constraint(p0, sh)
+    colors = _kerr_march_and_shade(
+        metric, x0, p0, bg, jnp.asarray(dt, x0.dtype), max_steps=max_steps,
+        escape_radius=escape_radius, disk=disk, filtering=filtering,
+        backend="xla")
+    return colors.reshape(len(cams), W, H, 3).transpose(0, 2, 1, 3)
