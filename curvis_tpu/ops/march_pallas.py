@@ -1278,10 +1278,12 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
 
 def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
                       capture_radius=None, disk=None, vol_disk=None,
-                      tile_rows=16, unroll=2, interpret=False, axis_u0=0.01):
+                      tile_rows=32, unroll=8, interpret=False, axis_u0=0.01):
     # NB unroll=1 trips a Mosaic relayout bug on v5e ("Non-singleton logical
     # dimension is replicated in destination but not in source") in the
-    # while-loop carry; unroll=2 compiles fine.
+    # while-loop carry; unroll=2 compiles fine.  Defaults from the measured
+    # v5e sweep (512x288 shadow, 32k steps): 32/8 = 58.8 ms vs 64.6 ms for
+    # the round-2 16/2 defaults; 64-row tiles regress (~66 ms).
     """Pallas Kerr march with the autodiff marcher's contract.
 
     ``x0`` (N, 4) contravariant BL position, ``p0`` (N, 4) covariant
