@@ -109,3 +109,41 @@ def pixel_rays_world(camera: Camera, *, center_pixels=False):
     v = pixel_rays_camera_space(camera, center_pixels=center_pixels)
     R = camera_rotation(camera)
     return v @ R.T
+
+
+def aberrate_directions(dx, dy, dz, velocity):
+    """Special-relativistic aberration of LOOK directions (the directions
+    backward-traced rays are marched along) from the camera's comoving
+    frame into the local static frame, SoA in/out.
+
+    ``velocity``: the camera's 3-velocity beta (|beta| < 1) in the same
+    orthonormal basis as the direction components (world/static frame).
+    Boosting the incoming photon's null 4-momentum (propagation n = -d)
+    gives, in terms of the look direction d:
+
+        d' = [ d/gamma - beta + (gamma/(gamma+1)) (beta . d) beta ]
+             / (1 - beta . d)
+
+    beta -> 0 reduces to d' = d; a comoving-frame pixel cone maps onto a
+    WIDER static-frame cone around the motion (the relativistic headlight
+    effect: the moving camera sees the sky bunched toward its velocity —
+    the DNGR camera-motion aberration, James et al. 2015 section A).
+
+    Returns (dx', dy', dz', delta) with delta = nu_received / nu_static =
+    gamma (1 + beta . d') the per-ray Doppler factor; received surface
+    brightness of the (frequency-flat-texture) background scales as
+    delta^3 by I_nu / nu^3 invariance.
+    """
+    beta = jnp.asarray(velocity, dx.dtype)
+    bx, by, bz = beta[0], beta[1], beta[2]
+    b2 = bx * bx + by * by + bz * bz
+    gamma = jax.lax.rsqrt(jnp.maximum(1.0 - b2, 1e-12))
+    bd = bx * dx + by * dy + bz * dz
+    coef = (gamma / (gamma + 1.0)) * bd - 1.0      # (g/(g+1))(b.d) - 1
+    inv_g = 1.0 / gamma
+    inv = 1.0 / (1.0 - bd)
+    nx = (dx * inv_g + coef * bx) * inv
+    ny = (dy * inv_g + coef * by) * inv
+    nz = (dz * inv_g + coef * bz) * inv
+    delta = gamma * (1.0 + bx * nx + by * ny + bz * nz)
+    return nx, ny, nz, delta

@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "self-obscuration; planar renderers only)")
         sp.add_argument("--disk-h", type=float, default=0.08,
                         help="volumetric disk scale height H / r")
+        sp.add_argument("--camera-velocity", type=float, nargs=3,
+                        default=None, metavar=("VX", "VY", "VZ"),
+                        help="camera 3-velocity (fraction of c, world "
+                             "frame): special-relativistic aberration + "
+                             "Doppler brightness of the received field "
+                             "(direct and kerr renderers)")
         sp.add_argument("--supersample", type=int, default=1,
                         help="k x k rays per pixel, box-filtered (direct "
                              "renderer anti-aliasing)")
@@ -170,7 +176,8 @@ def image_main(args) -> int:
                           max_steps=kw["max_steps"],
                           escape_radius=kw["escape_radius"],
                           disk=_disk_params(args) if args.disk else None,
-                          filtering=args.filtering)
+                          filtering=args.filtering,
+                          camera_velocity=args.camera_velocity)
     elif args.disk:
         from curvis_tpu.render.disk import DiskParams, render_blackhole_disk
         img = render_blackhole_disk(metric, camera, bgp,
@@ -187,7 +194,8 @@ def image_main(args) -> int:
         from curvis_tpu.render.fast import render_planar_fast
         img = render_planar_fast(metric, camera, bgp, bgn,
                                  stepper=args.stepper,
-                                 supersample=args.supersample, **kw)
+                                 supersample=args.supersample,
+                                 camera_velocity=args.camera_velocity, **kw)
     out = args.output_folder / f"{img_s.image_name}.png"
     cvt.save_image(np.asarray(img), out)
     print(f"saved {out}")

@@ -201,13 +201,25 @@ def render_frames_batched(metric: Metric, cameras, bg_positive: SphericalImage,
 
 def _render_planar_fast_impl(metric, camera, bg_positive, bg_negative, dt,
                              escape_radius, *, max_steps, filtering, backend,
-                             center_pixels, stepper):
+                             center_pixels, stepper, camera_velocity=None):
     dx, dy, dz = _pixel_dirs_soa(camera, center_pixels)
+    delta = None
+    if camera_velocity is not None:
+        # DNGR moving-camera physics: special-relativistic aberration of
+        # the pixel directions (camera/camera.py:aberrate_directions) +
+        # delta^3 surface-brightness scaling of the received field
+        from curvis_tpu.camera.camera import aberrate_directions
+        dx, dy, dz, delta = aberrate_directions(dx, dy, dz, camera_velocity)
     state, r_hat, e2 = _spawn_planar_soa(metric, camera, dx, dy, dz)
-    return _finish_render(metric, camera, bg_positive, bg_negative, state,
-                          r_hat, e2, dt=dt, max_steps=max_steps,
-                          escape_radius=escape_radius, filtering=filtering,
-                          backend=backend, stepper=stepper, n_frames=1)
+    img = _finish_render(metric, camera, bg_positive, bg_negative, state,
+                         r_hat, e2, dt=dt, max_steps=max_steps,
+                         escape_radius=escape_radius, filtering=filtering,
+                         backend=backend, stepper=stepper, n_frames=1)
+    if delta is not None:
+        W, H = camera.resolution_x, camera.resolution_y
+        boost = (delta ** 3).reshape(W, H).T[..., None]
+        img = jnp.clip(img * boost, 0.0, 1.0)
+    return img
 
 
 _render_planar_fast_jit = jax.jit(
@@ -220,7 +232,8 @@ def render_planar_fast(metric: Metric, camera: Camera,
                        bg_positive: SphericalImage,
                        bg_negative: SphericalImage, *, dt, max_steps,
                        escape_radius, filtering="nearest", backend="auto",
-                       center_pixels=False, stepper="euler", supersample=1):
+                       center_pixels=False, stepper="euler", supersample=1,
+                       camera_velocity=None):
     """(H, W, 3) image; SoA throughout.  Self-jitting: eager calls reuse a
     cached compiled bundle (eager op-by-op dispatch costs seconds over the
     remote-TPU tunnel); calls from inside jit simply inline.
@@ -243,17 +256,25 @@ def render_planar_fast(metric: Metric, camera: Camera,
         big = dataclasses.replace(camera,
                                   resolution_x=camera.resolution_x * k,
                                   resolution_y=camera.resolution_y * k)
+        if camera_velocity is not None:
+            camera_velocity = jnp.asarray(camera_velocity,
+                                          camera.position.dtype)
         img = _render_planar_fast_jit(metric, big, bg_positive, bg_negative,
                                       dt, escape_radius, max_steps=max_steps,
                                       filtering=filtering, backend=backend,
-                                      center_pixels=True, stepper=stepper)
+                                      center_pixels=True, stepper=stepper,
+                                      camera_velocity=camera_velocity)
         H, W = camera.resolution_y, camera.resolution_x
         return img.reshape(H, k, W, k, 3).mean(axis=(1, 3))
+    if camera_velocity is not None:
+        camera_velocity = jnp.asarray(camera_velocity,
+                                      camera.position.dtype)
     return _render_planar_fast_jit(metric, camera, bg_positive, bg_negative,
                                    dt, escape_radius, max_steps=max_steps,
                                    filtering=filtering, backend=backend,
                                    center_pixels=center_pixels,
-                                   stepper=stepper)
+                                   stepper=stepper,
+                                   camera_velocity=camera_velocity)
 
 
 def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,

@@ -207,7 +207,7 @@ def _kerr_disk_rgb(metric: KerrMetric, r_hit, b_photon, params: DiskParams,
 def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
                 dt=0.1, max_steps=20_000, escape_radius=None,
                 disk: DiskParams | None = None, filtering="bilinear",
-                backend="auto"):
+                backend="auto", camera_velocity=None):
     """(H, W, 3): Kerr shadow + lensed background (+ optional disk).
 
     Camera position is (t, r, theta, phi) in Boyer-Lindquist; pixel rays are
@@ -222,9 +222,13 @@ def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if _on_tpu() else "xla"
+    if camera_velocity is not None:
+        camera_velocity = jnp.asarray(camera_velocity,
+                                      camera.position.dtype)
     return _render_kerr_jit(metric, camera, bg, jnp.asarray(dt),
                             max_steps=max_steps, escape_radius=escape_radius,
-                            disk=disk, filtering=filtering, backend=backend)
+                            disk=disk, filtering=filtering, backend=backend,
+                            camera_velocity=camera_velocity)
 
 
 _render_kerr_jit = jax.jit(
@@ -233,30 +237,51 @@ _render_kerr_jit = jax.jit(
                      "backend"))
 
 
-def _spawn_kerr_rays(metric, camera):
+def _spawn_kerr_rays(metric, camera, velocity=None):
     """Per-pixel BL state bundle for one camera: (N, 4) x0, (N, 4) covariant
-    p0 via the asymptotic-frame pixel decomposition + static tetrad."""
+    p0 via the asymptotic-frame pixel decomposition + static tetrad.
+
+    ``velocity`` (world-frame 3-velocity beta of the camera relative to the
+    local static observer, |beta| < 1) applies special-relativistic
+    aberration to the pixel directions before the spawn — the DNGR
+    moving-camera physics — and switches the return to
+    (x0, p0, delta) with delta the per-ray received-frequency Doppler
+    factor (camera/camera.py:aberrate_directions)."""
     pos = camera.position
     dx_, dy_, dz_ = _pixel_dirs_soa(camera, False)
+    delta = None
+    if velocity is not None:
+        from curvis_tpu.camera.camera import aberrate_directions
+        dx_, dy_, dz_, delta = aberrate_directions(dx_, dy_, dz_, velocity)
     d_world = jnp.stack([dx_, dy_, dz_], axis=-1)
     F = frame_matrix(pos[2], pos[3])
     comps = d_world @ F                               # (N, 3) tetrad comps
     n = comps.shape[0]
     x0 = jnp.broadcast_to(pos, (n, 4))
     p0 = ham.spawn_photon(metric, x0, comps)
+    if velocity is not None:
+        return x0, p0, delta
     return x0, p0
 
 
 def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
-                      disk, filtering, backend):
+                      disk, filtering, backend, camera_velocity=None):
     pos = camera.position
     if escape_radius is None:
         escape_radius = 2.0 * pos[1]          # traced-safe
-    x0, p0 = _spawn_kerr_rays(metric, camera)
+    if camera_velocity is None:
+        x0, p0 = _spawn_kerr_rays(metric, camera)
+        delta = None
+    else:
+        x0, p0, delta = _spawn_kerr_rays(metric, camera, camera_velocity)
     colors = _kerr_march_and_shade(metric, x0, p0, bg, dt,
                                    max_steps=max_steps,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend)
+    if delta is not None:
+        # received surface brightness ~ delta^3 (I_nu/nu^3 invariance);
+        # applied to the whole received field (background + disk emission)
+        colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
     W, H = camera.resolution_x, camera.resolution_y
     return colors.reshape(W, H, 3).transpose(1, 0, 2)
 
