@@ -381,7 +381,8 @@ def render_kerr_frames_batched(metric: KerrMetric, cameras,
                                bg: SphericalImage, *, dt=0.1,
                                max_steps=20_000, escape_radius=None,
                                disk: DiskParams | None = None,
-                               filtering="bilinear", backend="auto"):
+                               filtering="bilinear", backend="auto",
+                               camera_velocities=None):
     """Render several Kerr camera poses in ONE device call -> (F, H, W, 3).
 
     Every stage of the Kerr pipeline (tetrad spawn, BL march, asymptotic
@@ -399,10 +400,16 @@ def render_kerr_frames_batched(metric: KerrMetric, cameras,
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if _on_tpu() else "xla"
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+    if camera_velocities is not None:
+        camera_velocities = jnp.asarray(camera_velocities,
+                                        cams[0].position.dtype)
+        if camera_velocities.shape != (len(cams), 3):
+            raise ValueError("camera_velocities must be (n_frames, 3)")
     return _render_kerr_frames_jit(
         metric, stacked, bg, jnp.asarray(dt, cams[0].position.dtype),
         n_frames=len(cams), max_steps=max_steps, escape_radius=escape_radius,
-        disk=disk, filtering=filtering, backend=backend)
+        disk=disk, filtering=filtering, backend=backend,
+        camera_velocities=camera_velocities)
 
 
 _render_kerr_frames_jit = jax.jit(
@@ -412,12 +419,16 @@ _render_kerr_frames_jit = jax.jit(
 
 
 def _render_kerr_frames_impl(metric, cams, bg, dt, *, n_frames, max_steps,
-                             escape_radius, disk, filtering, backend):
+                             escape_radius, disk, filtering, backend,
+                             camera_velocities=None):
     F = int(n_frames)
     if escape_radius is None:
         escape_radius = 2.0 * jnp.max(cams.position[:, 1])     # traced-safe
+    vels = ([None] * F if camera_velocities is None
+            else [camera_velocities[f] for f in range(F)])
     bundles = [_spawn_kerr_rays(metric,
-                                jax.tree_util.tree_map(lambda a: a[f], cams))
+                                jax.tree_util.tree_map(lambda a: a[f], cams),
+                                vels[f])
                for f in range(F)]
     x0 = jnp.concatenate([b[0] for b in bundles])
     p0 = jnp.concatenate([b[1] for b in bundles])
@@ -425,5 +436,8 @@ def _render_kerr_frames_impl(metric, cams, bg, dt, *, n_frames, max_steps,
                                    max_steps=max_steps,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend)
+    if camera_velocities is not None:
+        delta = jnp.concatenate([b[2] for b in bundles])
+        colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
     W, H = cams.resolution_x, cams.resolution_y    # static meta fields
     return colors.reshape(F, W, H, 3).transpose(0, 2, 1, 3)
