@@ -51,6 +51,31 @@ def _pixel_dirs_soa(camera: Camera, center_pixels=False):
     return dx.reshape(-1), dy.reshape(-1), dz.reshape(-1)
 
 
+def _dirs_for_pixel_coords(camera: Camera, px, py):
+    """World-space unit ray directions for arbitrary FLOAT pixel
+    coordinates (N,) px, py — same optics/convention as _pixel_dirs_soa
+    (integer coords = pixel corners; +0.5 = centers).  Used by the
+    edge-adaptive supersamplers to aim sub-pixel rays."""
+    dtype = camera.position.dtype
+    W, H = camera.resolution_x, camera.resolution_y
+    H_full = getattr(camera, "full_resolution_y", H)
+    wfrac = px.astype(dtype) / W - 0.5
+    hfrac = 0.5 - py.astype(dtype) / H_full
+    aspect = W / H_full
+    sh = jnp.sqrt(camera.sensor_diagonal ** 2 / (aspect * aspect + 1.0))
+    sw = aspect * sh
+    vx = jnp.broadcast_to(camera.focal_length, px.shape).astype(dtype)
+    vy = -sw * wfrac
+    vz = sh * hfrac
+    inv = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz)
+    vx, vy, vz = vx * inv, vy * inv, vz * inv
+    R = camera_rotation(camera)
+    dx = R[0, 0] * vx + R[0, 1] * vy + R[0, 2] * vz
+    dy = R[1, 0] * vx + R[1, 1] * vy + R[1, 2] * vz
+    dz = R[2, 0] * vx + R[2, 1] * vy + R[2, 2] * vz
+    return dx, dy, dz
+
+
 def _spawn_planar_soa(metric: Metric, camera: Camera, dx, dy, dz):
     """Planar decomposition with scalar camera geometry (physics/planar.py
     semantics, componentwise)."""

@@ -253,14 +253,22 @@ def _spawn_kerr_rays(metric, camera, velocity=None):
     if velocity is not None:
         from curvis_tpu.camera.camera import aberrate_directions
         dx_, dy_, dz_, delta = aberrate_directions(dx_, dy_, dz_, velocity)
+    x0, p0 = _spawn_from_dirs(metric, pos, dx_, dy_, dz_)
+    if velocity is not None:
+        return x0, p0, delta
+    return x0, p0
+
+
+def _spawn_from_dirs(metric, pos, dx_, dy_, dz_):
+    """BL state bundle for explicit world-frame look directions at ``pos``
+    — the shared tail of the pixel spawn, also aimed at sub-pixel
+    directions by the adaptive supersampler."""
     d_world = jnp.stack([dx_, dy_, dz_], axis=-1)
     F = frame_matrix(pos[2], pos[3])
     comps = d_world @ F                               # (N, 3) tetrad comps
     n = comps.shape[0]
     x0 = jnp.broadcast_to(pos, (n, 4))
     p0 = ham.spawn_photon(metric, x0, comps)
-    if velocity is not None:
-        return x0, p0, delta
     return x0, p0
 
 
@@ -441,3 +449,88 @@ def _render_kerr_frames_impl(metric, cams, bg, dt, *, n_frames, max_steps,
         colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
     W, H = cams.resolution_x, cams.resolution_y    # static meta fields
     return colors.reshape(F, W, H, 3).transpose(0, 2, 1, 3)
+
+
+def render_kerr_adaptive(metric: KerrMetric, camera: Camera,
+                         bg: SphericalImage, *, dt=0.1, max_steps=20_000,
+                         escape_radius=None, disk: DiskParams | None = None,
+                         filtering="bilinear", backend="auto",
+                         refine_frac=0.1, supersample=3,
+                         camera_velocity=None):
+    """Edge-adaptive antialiasing: base render + k x k supersampling of
+    ONLY the ``refine_frac`` highest-contrast pixels, selected by the
+    4-neighbor color gradient (lax.top_k — a static-shape second bundle,
+    the TPU-native version of 'refine where it aliases').
+
+    Shadow edges, photon rings and disk rims concentrate essentially all
+    aliasing (the reference documents these pixel-boundary artifacts as a
+    known limitation, README.md:108); full-frame supersampling pays k^2
+    everywhere, this pays 1 + refine_frac * k^2 (~1.9x at the defaults)
+    for the same visual result.  The refined pixels replace their corner
+    sample with the mean of k x k centered sub-rays."""
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if _on_tpu() else "xla"
+    W, H = camera.resolution_x, camera.resolution_y
+    n_refine = max(1, int(refine_frac * W * H))
+    if camera_velocity is not None:
+        camera_velocity = jnp.asarray(camera_velocity,
+                                      camera.position.dtype)
+    return _render_kerr_adaptive_jit(
+        metric, camera, bg, jnp.asarray(dt), max_steps=max_steps,
+        escape_radius=escape_radius, disk=disk, filtering=filtering,
+        backend=backend, n_refine=n_refine, supersample=int(supersample),
+        camera_velocity=camera_velocity)
+
+
+_render_kerr_adaptive_jit = jax.jit(
+    lambda *a, **k: _render_kerr_adaptive_impl(*a, **k),
+    static_argnames=("max_steps", "escape_radius", "disk", "filtering",
+                     "backend", "n_refine", "supersample"))
+
+
+def _render_kerr_adaptive_impl(metric, camera, bg, dt, *, max_steps,
+                               escape_radius, disk, filtering, backend,
+                               n_refine, supersample, camera_velocity):
+    base = _render_kerr_impl(metric, camera, bg, dt, max_steps=max_steps,
+                             escape_radius=escape_radius, disk=disk,
+                             filtering=filtering, backend=backend,
+                             camera_velocity=camera_velocity)   # (H, W, 3)
+    H, W, _ = base.shape
+    if escape_radius is None:
+        escape_radius = 2.0 * camera.position[1]
+    # contrast score: max |neighbor difference| over the 4-neighborhood
+    dx_im = jnp.abs(jnp.diff(base, axis=1)).max(-1)
+    dy_im = jnp.abs(jnp.diff(base, axis=0)).max(-1)
+    z_col = jnp.zeros((H, 1), base.dtype)
+    z_row = jnp.zeros((1, W), base.dtype)
+    score = jnp.maximum(
+        jnp.maximum(jnp.concatenate([dx_im, z_col], 1),
+                    jnp.concatenate([z_col, dx_im], 1)),
+        jnp.maximum(jnp.concatenate([dy_im, z_row], 0),
+                    jnp.concatenate([z_row, dy_im], 0)))
+    _, idx = lax.top_k(score.reshape(-1), n_refine)
+    iy = idx // W
+    ix = idx % W
+    k = supersample
+    off = (jnp.arange(k, dtype=base.dtype) + 0.5) / k
+    px = jnp.broadcast_to(ix[:, None, None].astype(base.dtype)
+                          + off[None, :, None], (n_refine, k, k)).reshape(-1)
+    py = jnp.broadcast_to(iy[:, None, None].astype(base.dtype)
+                          + off[None, None, :], (n_refine, k, k)).reshape(-1)
+    from curvis_tpu.render.fast import _dirs_for_pixel_coords
+    dxs, dys, dzs = _dirs_for_pixel_coords(camera, px, py)
+    delta = None
+    if camera_velocity is not None:
+        from curvis_tpu.camera.camera import aberrate_directions
+        dxs, dys, dzs, delta = aberrate_directions(dxs, dys, dzs,
+                                                   camera_velocity)
+    x0, p0 = _spawn_from_dirs(metric, camera.position, dxs, dys, dzs)
+    colors = _kerr_march_and_shade(metric, x0, p0, bg, dt,
+                                   max_steps=max_steps,
+                                   escape_radius=escape_radius, disk=disk,
+                                   filtering=filtering, backend=backend)
+    if delta is not None:
+        colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
+    refined = colors.reshape(n_refine, k * k, 3).mean(axis=1)
+    return base.at[iy, ix].set(refined)

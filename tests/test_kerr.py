@@ -413,3 +413,64 @@ def test_kerr_volumetric_a0_matches_planar_schwarzschild():
     # pointwise: only shadow-edge / photon-ring pixels may disagree
     frac = (np.abs(img_k - img_s).max(axis=-1) > 0.08).mean()
     assert frac < 0.03, frac
+
+
+def test_kerr_adaptive_antialiasing(rng):
+    """Edge-adaptive supersampler: refines at most refine_frac of the
+    pixels, leaves the rest bitwise-identical to the base render, targets
+    the contrast edges (shadow rim), and lowers total variation there."""
+    import curvis_tpu as cv
+    from curvis_tpu.render.kerr import render_kerr, render_kerr_adaptive
+    m = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
+                   a=jnp.asarray(0.9, jnp.float32))
+    th = np.pi / 2 - 0.2
+    cam = cv.make_camera([0.0, 20.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 48, 28, dtype=jnp.float32)
+    bg = cv.make_spherical_image(rng.random((16, 32, 3)).astype("float32"),
+                                 dtype=jnp.float32)
+    kw = dict(dt=0.1, max_steps=4000, escape_radius=45.0, backend="xla")
+    base = np.asarray(render_kerr(m, cam, bg, **kw))
+    ad = np.asarray(render_kerr_adaptive(m, cam, bg, refine_frac=0.15,
+                                         supersample=3, **kw))
+    assert ad.shape == base.shape
+    assert np.isfinite(ad).all()
+    changed = np.abs(ad - base).max(-1) > 0.0
+    assert changed.mean() <= 0.15 + 1e-9
+    # un-refined pixels are EXACTLY the base render (scatter touches only
+    # the top-k rows)
+    assert np.array_equal(ad[~changed], base[~changed])
+    # the shadow rim is the contrast maximum: refined set must include it
+    black = base.sum(-1) == 0
+    rim = black ^ np.roll(black, 1, axis=1)
+    rim[:, 0] = False
+    assert (changed & rim).sum() >= 0.5 * rim.sum()
+    # and antialiasing reduces total variation
+    tv = lambda im: (np.abs(np.diff(im, axis=0)).sum()
+                     + np.abs(np.diff(im, axis=1)).sum())
+    assert tv(ad) < tv(base)
+
+
+def test_kerr_adaptive_with_disk_and_velocity(rng):
+    """Adaptive path composes with the volumetric disk and a moving
+    camera (smoke + finiteness)."""
+    import curvis_tpu as cv
+    from curvis_tpu.render.disk import DiskParams
+    from curvis_tpu.render.kerr import render_kerr_adaptive
+    m = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
+                   a=jnp.asarray(0.8, jnp.float32))
+    th = np.pi / 2 - 0.25
+    cam = cv.make_camera([0.0, 20.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 24, 14, dtype=jnp.float32)
+    bg = cv.make_spherical_image(np.full((8, 16, 3), 0.05, np.float32),
+                                 dtype=jnp.float32)
+    disk = DiskParams(r_inner=3.0, r_outer=10.0, volumetric=True, h_rel=0.1,
+                      kappa=3.0, color_mode="blackbody", t_peak=7000.0)
+    img = np.asarray(render_kerr_adaptive(
+        m, cam, bg, dt=0.1, max_steps=3000, escape_radius=45.0,
+        backend="xla", disk=disk, refine_frac=0.2, supersample=2,
+        camera_velocity=[0.0, 0.3, 0.0]))
+    assert img.shape == (14, 24, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
