@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--supersample", type=int, default=1,
                         help="k x k rays per pixel, box-filtered (direct "
                              "renderer anti-aliasing)")
+        sp.add_argument("--adaptive-aa", type=float, default=0.0,
+                        metavar="FRAC",
+                        help="edge-adaptive antialiasing: re-render the "
+                             "FRAC highest-contrast pixels at 3x3 sub-rays "
+                             "(direct and kerr renderers; ~1+9*FRAC cost "
+                             "vs 9x for --supersample 3)")
         sp.add_argument("--f64", action="store_true",
                         help="double precision (CPU)")
         sp.add_argument("--bg1-orient", type=float, nargs=6, default=None,
@@ -172,12 +178,18 @@ def image_main(args) -> int:
         # Kerr has one exterior universe; bg2 is unused
         from curvis_tpu.render.kerr import render_kerr
         from curvis_tpu.render.disk import DiskParams
-        img = render_kerr(metric, camera, bgp, dt=max(0.05, kw["dt"]),
-                          max_steps=kw["max_steps"],
-                          escape_radius=kw["escape_radius"],
-                          disk=_disk_params(args) if args.disk else None,
-                          filtering=args.filtering,
-                          camera_velocity=args.camera_velocity)
+        kerr_kw = dict(dt=max(0.05, kw["dt"]), max_steps=kw["max_steps"],
+                       escape_radius=kw["escape_radius"],
+                       disk=_disk_params(args) if args.disk else None,
+                       filtering=args.filtering,
+                       camera_velocity=args.camera_velocity)
+        if args.adaptive_aa > 0:
+            from curvis_tpu.render.kerr import render_kerr_adaptive
+            img = render_kerr_adaptive(metric, camera, bgp,
+                                       refine_frac=args.adaptive_aa,
+                                       **kerr_kw)
+        else:
+            img = render_kerr(metric, camera, bgp, **kerr_kw)
     elif args.disk:
         from curvis_tpu.render.disk import DiskParams, render_blackhole_disk
         img = render_blackhole_disk(metric, camera, bgp,
@@ -192,10 +204,19 @@ def image_main(args) -> int:
             seam=args.seam, **kw)
     else:
         from curvis_tpu.render.fast import render_planar_fast
-        img = render_planar_fast(metric, camera, bgp, bgn,
-                                 stepper=args.stepper,
-                                 supersample=args.supersample,
-                                 camera_velocity=args.camera_velocity, **kw)
+        if args.adaptive_aa > 0:
+            from curvis_tpu.render.fast import render_planar_adaptive
+            img = render_planar_adaptive(metric, camera, bgp, bgn,
+                                         stepper=args.stepper,
+                                         refine_frac=args.adaptive_aa,
+                                         camera_velocity=args.camera_velocity,
+                                         **kw)
+        else:
+            img = render_planar_fast(metric, camera, bgp, bgn,
+                                     stepper=args.stepper,
+                                     supersample=args.supersample,
+                                     camera_velocity=args.camera_velocity,
+                                     **kw)
     out = args.output_folder / f"{img_s.image_name}.png"
     cvt.save_image(np.asarray(img), out)
     print(f"saved {out}")

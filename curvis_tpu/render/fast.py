@@ -304,7 +304,7 @@ def render_planar_fast(metric: Metric, camera: Camera,
 
 def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
                    e2, *, dt, max_steps, escape_radius, filtering, backend,
-                   stepper, n_frames, precomputed=None):
+                   stepper, n_frames, precomputed=None, as_image=True):
     """March + readout + shade + image assembly.  ``r_hat``/``e2`` components
     may be scalars (single frame) or (N,) arrays (frame batches).
     ``backend='precomputed'`` skips the march and shades an existing
@@ -375,7 +375,90 @@ def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
     # not-escaped (0) and captured (2, black-hole shadow) rays render black
     lit = (sign == 1) | (sign == -1)
     colors = jnp.where(lit[:, None], colors, jnp.zeros_like(colors))
+    if not as_image:
+        return colors
     W, H = camera.resolution_x, camera.resolution_y
     if n_frames == 1:
         return colors.reshape(W, H, 3).transpose(1, 0, 2)
     return colors.reshape(n_frames, W, H, 3).transpose(0, 2, 1, 3)
+
+
+def render_planar_adaptive(metric: Metric, camera: Camera,
+                           bg_positive: SphericalImage,
+                           bg_negative: SphericalImage, *, dt, max_steps,
+                           escape_radius, filtering="bilinear",
+                           backend="auto", stepper="euler", refine_frac=0.1,
+                           supersample=3, camera_velocity=None):
+    """Edge-adaptive antialiasing for the planar renderers: base render +
+    k x k sub-rays for the ``refine_frac`` highest-contrast pixels only
+    (lax.top_k -> one static-shape second bundle).  The reference documents
+    pixel-boundary artifacts at the wormhole rim as a known limitation
+    (README.md:108); full supersampling pays k^2 everywhere, this pays
+    1 + refine_frac k^2.  Non-refined pixels are bitwise the base render.
+    """
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if (_on_tpu() and stepper == "euler") else "tiled"
+    W, H = camera.resolution_x, camera.resolution_y
+    n_refine = max(1, int(refine_frac * W * H))
+    if camera_velocity is not None:
+        camera_velocity = jnp.asarray(camera_velocity,
+                                      camera.position.dtype)
+    return _render_planar_adaptive_jit(
+        metric, camera, bg_positive, bg_negative, jnp.asarray(dt),
+        escape_radius, max_steps=max_steps, filtering=filtering,
+        backend=backend, stepper=stepper, n_refine=n_refine,
+        supersample=int(supersample), camera_velocity=camera_velocity)
+
+
+_render_planar_adaptive_jit = jax.jit(
+    lambda *a, **k: _render_planar_adaptive_impl(*a, **k),
+    static_argnames=("max_steps", "filtering", "backend", "stepper",
+                     "n_refine", "supersample"))
+
+
+def _render_planar_adaptive_impl(metric, camera, bg_positive, bg_negative,
+                                 dt, escape_radius, *, max_steps, filtering,
+                                 backend, stepper, n_refine, supersample,
+                                 camera_velocity):
+    base = _render_planar_fast_impl(metric, camera, bg_positive, bg_negative,
+                                    dt, escape_radius, max_steps=max_steps,
+                                    filtering=filtering, backend=backend,
+                                    center_pixels=False, stepper=stepper,
+                                    camera_velocity=camera_velocity)
+    H, W, _ = base.shape
+    dx_im = jnp.abs(jnp.diff(base, axis=1)).max(-1)
+    dy_im = jnp.abs(jnp.diff(base, axis=0)).max(-1)
+    z_col = jnp.zeros((H, 1), base.dtype)
+    z_row = jnp.zeros((1, W), base.dtype)
+    score = jnp.maximum(
+        jnp.maximum(jnp.concatenate([dx_im, z_col], 1),
+                    jnp.concatenate([z_col, dx_im], 1)),
+        jnp.maximum(jnp.concatenate([dy_im, z_row], 0),
+                    jnp.concatenate([z_row, dy_im], 0)))
+    _, idx = jax.lax.top_k(score.reshape(-1), n_refine)
+    iy = idx // W
+    ix = idx % W
+    k = supersample
+    off = (jnp.arange(k, dtype=base.dtype) + 0.5) / k
+    px = jnp.broadcast_to(ix[:, None, None].astype(base.dtype)
+                          + off[None, :, None], (n_refine, k, k)).reshape(-1)
+    py = jnp.broadcast_to(iy[:, None, None].astype(base.dtype)
+                          + off[None, None, :], (n_refine, k, k)).reshape(-1)
+    dxs, dys, dzs = _dirs_for_pixel_coords(camera, px, py)
+    delta = None
+    if camera_velocity is not None:
+        from curvis_tpu.camera.camera import aberrate_directions
+        dxs, dys, dzs, delta = aberrate_directions(dxs, dys, dzs,
+                                                   camera_velocity)
+    state, r_hat, e2 = _spawn_planar_soa(metric, camera, dxs, dys, dzs)
+    # march + shade the sub-ray bundle through the same backend, flat colors
+    colors = _finish_render(metric, camera, bg_positive, bg_negative, state,
+                            r_hat, e2, dt=dt, max_steps=max_steps,
+                            escape_radius=escape_radius, filtering=filtering,
+                            backend=backend, stepper=stepper, n_frames=1,
+                            as_image=False)
+    if delta is not None:
+        colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
+    refined = colors.reshape(n_refine, k * k, 3).mean(axis=1)
+    return base.at[iy, ix].set(refined)

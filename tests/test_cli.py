@@ -103,3 +103,11 @@ def test_cli_video_two_frames(scene):
     assert len(frames) == 2
     img = np.asarray(Image.open(frames[0]))
     assert img.shape == (16, 24, 3)
+
+
+def test_cli_image_adaptive_aa(scene):
+    """--adaptive-aa routes through the edge-adaptive supersampler."""
+    assert main(_image_args(scene, "rho = 1.0\n", "--renderer", "direct",
+                            "--filtering", "bilinear",
+                            "--adaptive-aa", "0.1")) == 0
+    _out_image(scene)

@@ -151,3 +151,31 @@ def test_bilinear_pole_continuity():
                                    jnp.zeros(4, jnp.int32), u, v, 32, 16,
                                    "bilinear"))
     np.testing.assert_allclose(c, c2, atol=1e-12)
+
+
+def test_planar_adaptive_antialiasing(rng):
+    """Edge-adaptive planar supersampler: <= refine_frac pixels change,
+    the rest match the base render bitwise, and total variation drops
+    (the reference's documented rim-aliasing fix, README.md:108)."""
+    from curvis_tpu.render.fast import (render_planar_adaptive,
+                                        render_planar_fast)
+    metric = cv.EllisMetric(rho=jnp.asarray(1.0, jnp.float64))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.0, 0.0],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 48, 28,
+                         dtype=jnp.float64)
+    bgp = cv.make_spherical_image(rng.random((16, 32, 3)),
+                                  dtype=jnp.float64)
+    bgn = cv.make_spherical_image(rng.random((16, 32, 3)),
+                                  dtype=jnp.float64)
+    kw = dict(dt=0.05, max_steps=5000, escape_radius=30.0,
+              backend="tiled", filtering="bilinear")
+    base = np.asarray(render_planar_fast(metric, cam, bgp, bgn, **kw))
+    ad = np.asarray(render_planar_adaptive(metric, cam, bgp, bgn,
+                                           refine_frac=0.15, supersample=3,
+                                           **kw))
+    changed = np.abs(ad - base).max(-1) > 0
+    assert changed.mean() <= 0.15 + 1e-9
+    assert np.array_equal(ad[~changed], base[~changed])
+    tv = lambda im: (np.abs(np.diff(im, axis=0)).sum()
+                     + np.abs(np.diff(im, axis=1)).sum())
+    assert tv(ad) < tv(base)
