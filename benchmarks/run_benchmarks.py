@@ -142,6 +142,15 @@ def main(argv=None):
                disk=DiskParams(r_inner=2.6, r_outer=12.0, doppler=True,
                                color_mode="blackbody", t_peak=8000.0)).mean(),
            kerr, cam_k, bgp)
+    # 5b2. edge-adaptive antialiasing: the 10% highest-contrast pixels get
+    #      3x3 sub-rays (one extra bundle) — shadow-rim AA at ~1.9x the
+    #      base cost instead of 9x full supersampling
+    from curvis_tpu.render.kerr import render_kerr_adaptive
+    record("kerr_512x288_shadow_adaptive_aa", 512 * 288,
+           lambda m, c, bp: render_kerr_adaptive(
+               m, c, bp, dt=0.1, max_steps=32_000, refine_frac=0.1,
+               supersample=3).mean(),
+           kerr, cam_k, bgp)
     # 5c. Kerr VOLUMETRIC disk — the actual DNGR Gargantua configuration
     #     (flared gas disk integrated through the frame-dragged march)
     record("kerr_512x288_voldisk_rk4_12k", 512 * 288,
