@@ -1126,6 +1126,7 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
         return (c[-1] < max_steps) & jnp.any(c[5] == 0.0)
 
     ax_u0 = params_ref[0, 8]
+    far_r0 = params_ref[0, 9]          # far-field accel radius (1e30 = off)
 
     def body(c):
         if vol:
@@ -1142,7 +1143,10 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
             s_ax = jnp.sin(th)
             scale = jnp.clip((s_ax * s_ax + 1e-12)
                              / jnp.maximum(ax_u0, 1e-12), 1.0 / 16.0, 1.0)
-            dte = dt * alive * scale
+            # far-field acceleration (ham.far_dt_scale — same algebra, so
+            # XLA/pallas parity holds; disabled encodes as r/1e30 -> 1)
+            fscale = jnp.clip(r / jnp.maximum(far_r0, 1e-12), 1.0, 8.0)
+            dte = dt * alive * scale * fscale
             k1 = _kerr_rhs(M, a, q2, E, L, r, th, p_r, p_th)
             k2 = _kerr_rhs(M, a, q2, E, L, r + 0.5 * dte * k1[0],
                            th + 0.5 * dte * k1[1], p_r + 0.5 * dte * k1[3],
@@ -1278,7 +1282,8 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
 
 def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
                       capture_radius=None, disk=None, vol_disk=None,
-                      tile_rows=32, unroll=8, interpret=False, axis_u0=0.01):
+                      tile_rows=32, unroll=8, interpret=False, axis_u0=0.01,
+                      far_r0=None):
     # NB unroll=1 trips a Mosaic relayout bug on v5e ("Non-singleton logical
     # dimension is replicated in destination but not in source") in the
     # while-loop carry; unroll=2 compiles fine.  Defaults from the measured
@@ -1306,8 +1311,10 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     else:
         r_in, r_out = disk if disk is not None else (0.0, 0.0)
     q = getattr(metric, "q", 0.0)        # Kerr-Newman charge (0 for Kerr)
+    if far_r0 is None:
+        far_r0 = 1e30                    # disabled: r/1e30 clips to 1 exact
     vals = [dt, escape_radius, metric.m, metric.a, q * q, capture_radius,
-            r_in, r_out, axis_u0, 0.0]
+            r_in, r_out, axis_u0, far_r0]
     if vol:
         h2 = vol_disk.h_rel * vol_disk.h_rel
         inv_norm = 1.0 / (float(np.sqrt(2.0 * np.pi)) * vol_disk.h_rel)

@@ -79,15 +79,31 @@ def main(argv=None):
     print(f"wrote {out}")
 
     # the custom parameter is differentiable like any built-in one
-    # (checkpointed-scan march via differentiable=True)
-    small = cv.make_camera([0.0, 6.0, np.pi / 2, 0.0], [-1.0, 0.0, 0.0],
+    # (checkpointed-scan march via differentiable=True).  A smooth texture
+    # + row-weighted loss keeps the demo gradient geometry-sensitive (the
+    # plain mean of a sparse starfield is warp-insensitive).
+    h, w = 32, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5, yy / h,
+                       0.3 + 0.4 * np.cos(2 * np.pi * yy / h)],
+                      -1).astype(np.float32)
+    sm_p = cv.make_spherical_image(smooth, dtype=jnp.float32)
+    sm_n = cv.make_spherical_image(smooth[::-1].copy(), dtype=jnp.float32)
+    small = cv.make_camera([0.0, 6.0, np.pi / 2, 0.0], [-1.0, 0.35, 0.2],
                            [0.0, 0.0, 1.0], 15.0, 43.0, 48, 27,
                            dtype=jnp.float32)
-    g = jax.grad(lambda eps: jnp.mean(cv.render_direct(
-        dataclasses.replace(metric, eps=eps), small, bg_p, bg_n,
-        method="planar", differentiable=True, dt=0.05, max_steps=1500,
+    wgt = jnp.linspace(0.5, 1.5, 27)[:, None, None]
+
+    # bilinear filtering matters: the parity-default nearest lookup is
+    # piecewise constant in the escape direction, so its true gradient is
+    # zero almost everywhere
+    g = jax.grad(lambda eps: jnp.mean(wgt * cv.render_direct(
+        dataclasses.replace(metric, eps=eps), small, sm_p, sm_n,
+        method="planar", differentiable=True, filtering="bilinear",
+        dt=0.05, max_steps=1500,
         escape_radius=20.0)))(jnp.asarray(0.35, jnp.float32))
-    print(f"d(mean image)/d(eps) = {float(g):+.3e}")
+    print(f"d(weighted mean image)/d(eps) = {float(g):+.3e}")
+    assert float(g) != 0.0
     return 0
 
 
