@@ -383,6 +383,35 @@ def _finish_render(metric, camera, bg_positive, bg_negative, state, r_hat,
     return colors.reshape(n_frames, W, H, 3).transpose(0, 2, 1, 3)
 
 
+def _contrast_topk(base, n_refine):
+    """(iy, ix) of the ``n_refine`` highest-contrast pixels of an (H, W, 3)
+    image — contrast = max |4-neighbor color difference|.  Shared by the
+    planar and Kerr edge-adaptive supersamplers."""
+    H, W, _ = base.shape
+    dx_im = jnp.abs(jnp.diff(base, axis=1)).max(-1)
+    dy_im = jnp.abs(jnp.diff(base, axis=0)).max(-1)
+    z_col = jnp.zeros((H, 1), base.dtype)
+    z_row = jnp.zeros((1, W), base.dtype)
+    score = jnp.maximum(
+        jnp.maximum(jnp.concatenate([dx_im, z_col], 1),
+                    jnp.concatenate([z_col, dx_im], 1)),
+        jnp.maximum(jnp.concatenate([dy_im, z_row], 0),
+                    jnp.concatenate([z_row, dy_im], 0)))
+    _, idx = jax.lax.top_k(score.reshape(-1), n_refine)
+    return idx // W, idx % W
+
+
+def _subpixel_coords(iy, ix, k, n_refine, dtype):
+    """Flattened (n_refine * k * k,) float pixel coords of the centered
+    k x k sub-grid of each selected pixel."""
+    off = (jnp.arange(k, dtype=dtype) + 0.5) / k
+    px = jnp.broadcast_to(ix[:, None, None].astype(dtype)
+                          + off[None, :, None], (n_refine, k, k)).reshape(-1)
+    py = jnp.broadcast_to(iy[:, None, None].astype(dtype)
+                          + off[None, None, :], (n_refine, k, k)).reshape(-1)
+    return px, py
+
+
 def render_planar_adaptive(metric: Metric, camera: Camera,
                            bg_positive: SphericalImage,
                            bg_negative: SphericalImage, *, dt, max_steps,
@@ -426,25 +455,9 @@ def _render_planar_adaptive_impl(metric, camera, bg_positive, bg_negative,
                                     filtering=filtering, backend=backend,
                                     center_pixels=False, stepper=stepper,
                                     camera_velocity=camera_velocity)
-    H, W, _ = base.shape
-    dx_im = jnp.abs(jnp.diff(base, axis=1)).max(-1)
-    dy_im = jnp.abs(jnp.diff(base, axis=0)).max(-1)
-    z_col = jnp.zeros((H, 1), base.dtype)
-    z_row = jnp.zeros((1, W), base.dtype)
-    score = jnp.maximum(
-        jnp.maximum(jnp.concatenate([dx_im, z_col], 1),
-                    jnp.concatenate([z_col, dx_im], 1)),
-        jnp.maximum(jnp.concatenate([dy_im, z_row], 0),
-                    jnp.concatenate([z_row, dy_im], 0)))
-    _, idx = jax.lax.top_k(score.reshape(-1), n_refine)
-    iy = idx // W
-    ix = idx % W
+    iy, ix = _contrast_topk(base, n_refine)
     k = supersample
-    off = (jnp.arange(k, dtype=base.dtype) + 0.5) / k
-    px = jnp.broadcast_to(ix[:, None, None].astype(base.dtype)
-                          + off[None, :, None], (n_refine, k, k)).reshape(-1)
-    py = jnp.broadcast_to(iy[:, None, None].astype(base.dtype)
-                          + off[None, None, :], (n_refine, k, k)).reshape(-1)
+    px, py = _subpixel_coords(iy, ix, k, n_refine, base.dtype)
     dxs, dys, dzs = _dirs_for_pixel_coords(camera, px, py)
     delta = None
     if camera_velocity is not None:

@@ -522,29 +522,14 @@ def _render_kerr_adaptive_impl(metric, camera, bg, dt, *, max_steps,
                              filtering=filtering, backend=backend,
                              camera_velocity=camera_velocity,
                              far_accel=far_accel)               # (H, W, 3)
-    H, W, _ = base.shape
     if escape_radius is None:
         escape_radius = 2.0 * camera.position[1]
-    # contrast score: max |neighbor difference| over the 4-neighborhood
-    dx_im = jnp.abs(jnp.diff(base, axis=1)).max(-1)
-    dy_im = jnp.abs(jnp.diff(base, axis=0)).max(-1)
-    z_col = jnp.zeros((H, 1), base.dtype)
-    z_row = jnp.zeros((1, W), base.dtype)
-    score = jnp.maximum(
-        jnp.maximum(jnp.concatenate([dx_im, z_col], 1),
-                    jnp.concatenate([z_col, dx_im], 1)),
-        jnp.maximum(jnp.concatenate([dy_im, z_row], 0),
-                    jnp.concatenate([z_row, dy_im], 0)))
-    _, idx = lax.top_k(score.reshape(-1), n_refine)
-    iy = idx // W
-    ix = idx % W
+    from curvis_tpu.render.fast import (_contrast_topk,
+                                        _dirs_for_pixel_coords,
+                                        _subpixel_coords)
+    iy, ix = _contrast_topk(base, n_refine)
     k = supersample
-    off = (jnp.arange(k, dtype=base.dtype) + 0.5) / k
-    px = jnp.broadcast_to(ix[:, None, None].astype(base.dtype)
-                          + off[None, :, None], (n_refine, k, k)).reshape(-1)
-    py = jnp.broadcast_to(iy[:, None, None].astype(base.dtype)
-                          + off[None, None, :], (n_refine, k, k)).reshape(-1)
-    from curvis_tpu.render.fast import _dirs_for_pixel_coords
+    px, py = _subpixel_coords(iy, ix, k, n_refine, base.dtype)
     dxs, dys, dzs = _dirs_for_pixel_coords(camera, px, py)
     delta = None
     if camera_velocity is not None:
