@@ -545,3 +545,33 @@ def test_kerr_render_far_accel_default_close_to_dense(rng):
     assert np.isfinite(fast).all()
     frac = (np.abs(fast - dense).max(-1) > 0.05).mean()
     assert frac < 0.05, frac
+
+
+def test_near_extremal_spin_renders_finite(rng):
+    """a = 0.998 (the Thorne limit): horizon 1.063M, prograde photon orbit
+    grazes r ~ 1.1M — the stiffest configuration the renderer meets.
+    Pallas (interpret) and XLA must agree on fates and produce finite
+    images with the expected D-shaped (displaced) shadow."""
+    import curvis_tpu as cv
+    from curvis_tpu.render.kerr import render_kerr
+    m = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
+                   a=jnp.asarray(0.998, jnp.float32))
+    th = np.pi / 2 - 0.2
+    cam = cv.make_camera([0.0, 20.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 48, 28, dtype=jnp.float32)
+    bg = cv.make_spherical_image(0.5 + 0.5 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float32)
+    img = np.asarray(render_kerr(m, cam, bg, dt=0.05, max_steps=30_000,
+                                 escape_radius=45.0, backend="xla"))
+    assert np.isfinite(img).all()
+    black = img.sum(-1) == 0
+    assert 0.01 < black.mean() < 0.5            # a real shadow, not a wash
+    # frame dragging displaces the shadow off-center toward the
+    # retrograde side: compare black-pixel counts left/right of center
+    left = black[:, :24].sum()
+    right = black[:, 24:].sum()
+    assert left != right
+    # Bardeen prograde critical b at a ~ M approaches 2M (vs 3sqrt(3)M):
+    np.testing.assert_allclose(
+        float(m.critical_impact_parameter(True)), 2.0, atol=0.15)
