@@ -20,6 +20,9 @@ def main(argv=None):
                     default=Path(__file__).parent / "report.json")
     ap.add_argument("--quick", action="store_true",
                     help="smaller resolutions (CI/smoke)")
+    ap.add_argument("--only", default="",
+                    help="comma-separated substrings: run only matching "
+                         "configs, merging into the existing report")
     args = ap.parse_args(argv)
 
     import jax
@@ -50,8 +53,13 @@ def main(argv=None):
                   filtering="nearest")
     PARITY_MARCH = dict(dt=0.05, max_steps=40_000, escape_radius=100.0)
     report = {"device": str(jax.devices()[0]), "configs": {}}
+    only = [t for t in args.only.split(",") if t]
+    if only and args.out.exists():
+        report = json.loads(args.out.read_text())   # merge mode
 
     def record(name, n_rays, fn, *fargs):
+        if only and not any(t in name for t in only):
+            return
         t = time_fn(jax.jit(fn), *fargs)
         report["configs"][name] = {
             "secs": round(t, 4), "Mrays_per_s": round(n_rays / t / 1e6, 2)}
@@ -142,6 +150,18 @@ def main(argv=None):
                disk=DiskParams(r_inner=2.6, r_outer=12.0, doppler=True,
                                color_mode="blackbody", t_peak=8000.0)).mean(),
            kerr, cam_k, bgp)
+    # 5b1b. sustained Kerr (4 poses, ONE kernel launch): amortizes the
+    #       fixed ~25 ms tunnel dispatch out of the 43 ms single-frame time
+    from curvis_tpu.render.kerr import render_kerr_frames_batched
+    cams_k = [cv.make_camera([0.0, 30.0, th, 0.01 * k],
+                             [-np.sin(th), 0.0, -np.cos(th)],
+                             [0.0, 0.0, 1.0], 24.0, 43.0, 512, 288,
+                             dtype=jnp.float32) for k in range(4)]
+    record("kerr_512x288_shadow_sustained4", 4 * 512 * 288,
+           lambda m, cs, bp: render_kerr_frames_batched(
+               m, cs, bp, dt=0.1, max_steps=32_000).mean(),
+           kerr, cams_k, bgp)
+
     # 5b2. edge-adaptive antialiasing: the 10% highest-contrast pixels get
     #      3x3 sub-rays (one extra bundle) — shadow-rim AA at ~1.9x the
     #      base cost instead of 9x full supersampling
@@ -197,6 +217,12 @@ def main(argv=None):
     print(f"roofline: {gsteps:.1f} Gsteps/s "
           f"(>= {report['roofline']['vpu_utilization_lower_bound']*100:.0f}%"
           f" of the 4-ALU VPU bound)", flush=True)
+
+    if only and not any(t in "ellis_960x540_symmetric" for t in only):
+        args.out.parent.mkdir(parents=True, exist_ok=True)
+        args.out.write_text(json.dumps(report, indent=1))
+        print(f"wrote {args.out} (only={only})")
+        return 0
 
     # 6. symmetric renderer (the reference's production path) — HD frame.
     #    sampler='auto' -> the on-device refinement loop on TPU (whole frame
