@@ -111,3 +111,16 @@ def test_cli_image_adaptive_aa(scene):
                             "--filtering", "bilinear",
                             "--adaptive-aa", "0.1")) == 0
     _out_image(scene)
+
+
+def test_cli_image_camera_velocity(scene):
+    """--camera-velocity routes aberration through both renderer families."""
+    assert main(_image_args(scene, "rho = 1.0\n", "--renderer", "direct",
+                            "--filtering", "bilinear",
+                            "--camera-velocity", "0.3", "0", "0")) == 0
+    img_w = _out_image(scene)
+    assert np.isfinite(img_w).all()
+    args = _image_args(scene, 'kind = "kerr"\nm = 1.0\na = 0.8\n',
+                       "--camera-velocity", "0", "0.3", "0")
+    assert main(args) == 0
+    _out_image(scene)
