@@ -57,8 +57,11 @@ def main(argv=None):
     if only and args.out.exists():
         report = json.loads(args.out.read_text())   # merge mode
 
+    def want(name):
+        return not only or any(t in name for t in only)
+
     def record(name, n_rays, fn, *fargs):
-        if only and not any(t in name for t in only):
+        if not want(name):
             return
         t = time_fn(jax.jit(fn), *fargs)
         report["configs"][name] = {
@@ -185,40 +188,44 @@ def main(argv=None):
     # Roofline anchor (VERDICT round-1 weak #8): march-kernel step
     # throughput vs VPU peak, so "fast" is argued against hardware, not just
     # against the CPU reference proxy.
-    from curvis_tpu.ops.march_pallas import march_planar_pallas
-    from curvis_tpu.physics.planar import PlanarRays
-    from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
-    dxs, dys, dzs = _pixel_dirs_soa(cam(res, res), False)
-    (l_, ps_, pl_, b_), _, _ = _spawn_planar_soa(ellis, cam(res, res),
-                                                 dxs, dys, dzs)
-    rays_ = PlanarRays(l_, ps_, pl_, b_, jnp.zeros((1, 3), jnp.float32),
-                       jnp.zeros((1, 3), jnp.float32))
-    march_fn = jax.jit(lambda m, r: march_planar_pallas(
-        m, r, sort=False, **PARITY_MARCH).psi.mean())
-    t_march = time_fn(march_fn, ellis, rays_)
-    steps = np.asarray(jax.jit(lambda m, r: march_planar_pallas(
-        m, r, sort=False, **PARITY_MARCH).steps)(ellis, rays_))
-    gsteps = steps.sum() / t_march / 1e9
-    OPS_PER_STEP = 13          # Ellis sprint-phase step: RHS ~8 + Euler 5
-    VPU_BOUND_TOPS = 3.85      # UPPER bound: (8,128) lanes x 4 ALUs x 0.94GHz
-    report["roofline"] = {
-        "march_secs": round(float(t_march), 4),
-        "mean_steps_per_ray": round(float(steps.mean()), 1),
-        "Gsteps_per_s": round(float(gsteps), 2),
-        "vpu_ops_per_step_est": OPS_PER_STEP,
-        "vpu_utilization_lower_bound": round(
-            float(gsteps * OPS_PER_STEP * 1e9 / (VPU_BOUND_TOPS * 1e12)), 3),
-        "note": "Ellis parity march only (no spawn/shade).  Utilization is "
-                "quoted against the optimistic 4-ALU VPU bound (3.85 Tops "
-                "f32); against a 1-ALU bound the kernel is ALU-saturated.  "
-                "DNEG runs ~1.8x more VPU ops/step (pointwise atan+log that "
-                "the reference also pays) at ~2x the measured utilization.",
-    }
-    print(f"roofline: {gsteps:.1f} Gsteps/s "
-          f"(>= {report['roofline']['vpu_utilization_lower_bound']*100:.0f}%"
-          f" of the 4-ALU VPU bound)", flush=True)
+    run_roofline = want("roofline")
+    if run_roofline:
+        from curvis_tpu.ops.march_pallas import march_planar_pallas
+        from curvis_tpu.physics.planar import PlanarRays
+        from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
+        dxs, dys, dzs = _pixel_dirs_soa(cam(res, res), False)
+        (l_, ps_, pl_, b_), _, _ = _spawn_planar_soa(ellis, cam(res, res),
+                                                     dxs, dys, dzs)
+        rays_ = PlanarRays(l_, ps_, pl_, b_, jnp.zeros((1, 3), jnp.float32),
+                           jnp.zeros((1, 3), jnp.float32))
+        march_fn = jax.jit(lambda m, r: march_planar_pallas(
+            m, r, sort=False, **PARITY_MARCH).psi.mean())
+        t_march = time_fn(march_fn, ellis, rays_)
+        steps = np.asarray(jax.jit(lambda m, r: march_planar_pallas(
+            m, r, sort=False, **PARITY_MARCH).steps)(ellis, rays_))
+        gsteps = steps.sum() / t_march / 1e9
+        OPS_PER_STEP = 13          # Ellis sprint-phase step: RHS ~8 + Euler 5
+        VPU_BOUND_TOPS = 3.85      # UPPER bound: (8,128) lanes x 4 ALUs x 0.94GHz
+        report["roofline"] = {
+            "march_secs": round(float(t_march), 4),
+            "mean_steps_per_ray": round(float(steps.mean()), 1),
+            "Gsteps_per_s": round(float(gsteps), 2),
+            "vpu_ops_per_step_est": OPS_PER_STEP,
+            "vpu_utilization_lower_bound": round(
+                float(gsteps * OPS_PER_STEP * 1e9 / (VPU_BOUND_TOPS * 1e12)), 3),
+            "note": "Ellis parity march only (no spawn/shade).  Utilization is "
+                    "quoted against the optimistic 4-ALU VPU bound (3.85 Tops "
+                    "f32); against a 1-ALU bound the kernel is ALU-saturated.  "
+                    "DNEG runs ~1.8x more VPU ops/step (pointwise atan+log that "
+                    "the reference also pays) at ~2x the measured utilization.",
+        }
+        print(f"roofline: {gsteps:.1f} Gsteps/s "
+              f"(>= {report['roofline']['vpu_utilization_lower_bound']*100:.0f}%"
+              f" of the 4-ALU VPU bound)", flush=True)
 
-    if only and not any(t in "ellis_960x540_symmetric" for t in only):
+    sym_names = ("ellis_960x540_symmetric_hd_frame",
+                 "ellis_960x540_symmetric_video_batch4")
+    if not any(want(n) for n in sym_names):
         args.out.parent.mkdir(parents=True, exist_ok=True)
         args.out.write_text(json.dumps(report, indent=1))
         print(f"wrote {args.out} (only={only})")
@@ -236,18 +243,21 @@ def main(argv=None):
         materialize(img)
         return img
 
-    t0 = time.time()
-    sym_frame()
-    warm = time.time() - t0
-    t = float("inf")
-    for k in (1, 2, 3):
+    if want("ellis_960x540_symmetric_hd_frame"):
         t0 = time.time()
-        sym_frame(k)
-        t = min(t, time.time() - t0)
-    report["configs"]["ellis_960x540_symmetric_hd_frame"] = {
-        "secs": round(t, 3), "first_secs": round(warm, 3),
-        "note": "reference renders this config in 'seconds' single-thread"}
-    print(f"symmetric HD frame: {t:.2f} s (first {warm:.1f} s)", flush=True)
+        sym_frame()
+        warm = time.time() - t0
+        t = float("inf")
+        for k in (1, 2, 3):
+            t0 = time.time()
+            sym_frame(k)
+            t = min(t, time.time() - t0)
+        report["configs"]["ellis_960x540_symmetric_hd_frame"] = {
+            "secs": round(t, 3), "first_secs": round(warm, 3),
+            "note": "reference renders this config in 'seconds' "
+                    "single-thread"}
+        print(f"symmetric HD frame: {t:.2f} s (first {warm:.1f} s)",
+              flush=True)
 
     # 6b. symmetric VIDEO batch: 4 poses per dispatch via the lock-step
     #     frame-batched device sampler (render_symmetric_frames_batched) —
@@ -262,20 +272,21 @@ def main(argv=None):
         materialize(img)
         return img
 
-    t0 = time.time()
-    sym_batch()
-    warm_b = time.time() - t0
-    tb = float("inf")
-    for k0 in (10, 20, 30):
+    if want("ellis_960x540_symmetric_video_batch4"):
         t0 = time.time()
-        sym_batch(k0)
-        tb = min(tb, time.time() - t0)
-    report["configs"]["ellis_960x540_symmetric_video_batch4"] = {
-        "secs_per_frame": round(tb / 4, 3), "batch_secs": round(tb, 3),
-        "first_secs": round(warm_b, 3),
-        "note": "4 poses, one dispatch, lock-step adaptive refinement"}
-    print(f"symmetric video batch4: {tb:.2f} s -> {tb/4:.3f} s/frame "
-          f"(first {warm_b:.1f} s)", flush=True)
+        sym_batch()
+        warm_b = time.time() - t0
+        tb = float("inf")
+        for k0 in (10, 20, 30):
+            t0 = time.time()
+            sym_batch(k0)
+            tb = min(tb, time.time() - t0)
+        report["configs"]["ellis_960x540_symmetric_video_batch4"] = {
+            "secs_per_frame": round(tb / 4, 3), "batch_secs": round(tb, 3),
+            "first_secs": round(warm_b, 3),
+            "note": "4 poses, one dispatch, lock-step adaptive refinement"}
+        print(f"symmetric video batch4: {tb:.2f} s -> {tb/4:.3f} s/frame "
+              f"(first {warm_b:.1f} s)", flush=True)
 
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(report, indent=1))

@@ -1135,7 +1135,10 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
         else:
             r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2, it = c
         for _ in range(unroll):
-            alive = jnp.where(sign == 0.0, one, zero)
+            # the steps < max_steps term makes the iteration cap exact even
+            # when max_steps is not a multiple of unroll (the while cond
+            # rounds up; this gate is what stops each ray on time)
+            alive = jnp.where((sign == 0.0) & (steps < max_steps), one, zero)
             # polar-axis step control: the theta-equation stiffens as
             # 1/sin^2 near theta = 0/pi; shrink dt up to 16x inside the
             # sin^2(theta) < ax_u0 band (ax_u0 = 0 disables via the guarded
@@ -1157,13 +1160,14 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
             k4 = _kerr_rhs(M, a, q2, E, L, r + dte * k3[0], th + dte * k3[1],
                            p_r + dte * k3[3], p_th + dte * k3[4])
             w = dte * (1.0 / 6.0)
+            live = alive > 0.5
             r1 = r + w * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0])
-            th = th + w * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
-            ph = ph + w * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
-            p_r = p_r + w * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
-            p_th = p_th + w * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4])
+            th1 = th + w * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1])
+            ph1 = ph + w * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2])
+            pr1 = p_r + w * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3])
+            pth1 = p_th + w * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4])
             if track_disk:
-                ct = jnp.cos(th)
+                ct = jnp.cos(th1)
                 crossed = alive * jnp.where(ct_prev * ct < 0.0, one, zero)
                 den = jnp.abs(ct_prev) + jnp.abs(ct)
                 frac = jnp.abs(ct_prev) / jnp.maximum(den, 1e-30)
@@ -1177,8 +1181,18 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
                 # new = 0) would otherwise poison h via 0 * NaN
                 h1 = jnp.where(new1 > 0.5, r_hit, h1)
                 h2 = jnp.where(new2 > 0.5, r_hit, h2)
-                ct_prev = jnp.where(alive > 0.5, ct, ct_prev)
-            r = r1
+                ct_prev = jnp.where(live, ct, ct_prev)
+            # select-gated writeback, not unconditional assignment: a frozen
+            # ray (dte = 0) whose state sits where _kerr_rhs overflows
+            # (Delta underflowing near the horizon) would otherwise compute
+            # 0 * inf = NaN and overwrite its frozen exit state — the XLA
+            # marchers where-mask the state, so this keeps backend
+            # exit-state parity for captured rays (ADVICE round-2).
+            r = jnp.where(live, r1, r)
+            th = jnp.where(live, th1, th)
+            ph = jnp.where(live, ph1, ph)
+            p_r = jnp.where(live, pr1, p_r)
+            p_th = jnp.where(live, pth1, p_th)
             # blowup guard: horizon-skimming / polar-axis rays can go
             # inf/NaN in f32 — freeze them with sign 3 (rendered black) so
             # they stop burning steps; NaN compares false to everything, so
@@ -1286,9 +1300,12 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
                       far_r0=None):
     # NB unroll=1 trips a Mosaic relayout bug on v5e ("Non-singleton logical
     # dimension is replicated in destination but not in source") in the
-    # while-loop carry; unroll=2 compiles fine.  Defaults from the measured
-    # v5e sweep (512x288 shadow, 32k steps): 32/8 = 58.8 ms vs 64.6 ms for
-    # the round-2 16/2 defaults; 64-row tiles regress (~66 ms).
+    # while-loop carry; unroll=2 compiles fine — so unroll is clamped to
+    # >= 2 and the step cap is made exact by the per-ray steps < max_steps
+    # gate instead of shrinking unroll to a divisor (which would hit
+    # unroll=1 for any odd max_steps; ADVICE round-2).  Defaults from the
+    # measured v5e sweep (512x288 shadow, 32k steps): 32/8 = 58.8 ms vs
+    # 64.6 ms for the round-2 16/2 defaults; 64-row tiles regress (~66 ms).
     """Pallas Kerr march with the autodiff marcher's contract.
 
     ``x0`` (N, 4) contravariant BL position, ``p0`` (N, 4) covariant
@@ -1300,8 +1317,7 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     transfer through the flared gas disk (render/kerr.py:
     march_kerr_volumetric semantics; extra = (tau, (em_r, em_g, em_b))).
     """
-    while max_steps % unroll:        # exact step cap (see march_planar_pallas)
-        unroll //= 2
+    unroll = max(2, unroll)          # Mosaic relayout bug at unroll=1 (NB)
     dtype = x0.dtype
     if capture_radius is None:
         capture_radius = metric.capture_radius

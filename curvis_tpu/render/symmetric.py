@@ -167,10 +167,23 @@ def sample_deflection_function_device(metric: Metric, l0, *, dt, max_steps,
             max_iterations_sampling, thr1, thr2, capacity=capacity,
             march_width=march_width, dtype=dtype)
 
-    a, e, s, n = run(jnp.asarray(l0, dtype), threshold_1, threshold_2)
+    a, e, s, n, ovf = run(jnp.asarray(l0, dtype), threshold_1, threshold_2)
+    _warn_sampler_overflow(np.asarray(ovf))
     n = int(n)
     return (np.asarray(a[:n], np.float64), np.asarray(e[:n], np.float64),
             np.asarray(s[:n], np.float64))
+
+
+def _warn_sampler_overflow(ovf):
+    """Host-side overflow warning (sampling/device.py returns the flag; a
+    True means some refinement pass dropped points — the image is valid but
+    less refined than the thresholds asked for)."""
+    if np.any(ovf):
+        from curvis_tpu.utils.log import get_logger
+        get_logger().warning(
+            "device sampler hit its capacity/march_width limit; deflection "
+            "table is less refined than requested (raise capacity= / "
+            "march_width= or loosen the sampling thresholds)")
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -194,9 +207,10 @@ def _render_symmetric_device(metric, camera, bg_positive, bg_negative, dt,
             escape_radius=escape_radius, stepper=stepper,
             exact_escape_angle=exact_escape_angle)
 
-    alphas_s, angles_s, spaces_s, _ = doubly_sample_on_device(
+    alphas_s, angles_s, spaces_s, _, ovf = doubly_sample_on_device(
         march_fn, ALPHA_MIN, ALPHA_MAX, alpha_nums, max_iterations,
         thr1, thr2, capacity=capacity, march_width=march_width, dtype=dtype)
+    jax.debug.callback(_warn_sampler_overflow, ovf, ordered=False)
     return _reconstruct_image(metric, camera, bg_positive, bg_negative,
                               alphas_s, angles_s, spaces_s,
                               filtering=filtering, seam=seam,
@@ -230,10 +244,11 @@ def _render_symmetric_frames_device(metric, cams, bg_positive, bg_negative,
             escape_radius=escape_radius, stepper=stepper,
             exact_escape_angle=exact_escape_angle)
 
-    a, e, s, _ = doubly_sample_on_device_frames(
+    a, e, s, _, ovf = doubly_sample_on_device_frames(
         march_fn, ALPHA_MIN, ALPHA_MAX, alpha_nums, max_iterations,
         thr1, thr2, n_frames=F, capacity=capacity, march_width=M,
         dtype=cams.position.dtype)
+    jax.debug.callback(_warn_sampler_overflow, ovf, ordered=False)
     recon = jax.vmap(lambda cam, al, an, sp: _reconstruct_image(
         metric, cam, bg_positive, bg_negative, al, an, sp,
         filtering=filtering, seam=seam, center_pixels=center_pixels))

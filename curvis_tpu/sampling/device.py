@@ -32,8 +32,10 @@ as ONE flat (F*M,) bundle — one device dispatch for a whole video batch.
 Deviations from the host/reference (documented, not exercised in practice):
   - a pass on fewer than 3 points terminates instead of raising
     (panics don't exist inside jit; sampling.rs:156-158),
-  - points beyond ``capacity`` are silently dropped (default 4096 vs ~600
-    points for the default HD config).
+  - points beyond ``capacity`` are dropped and midpoints beyond
+    ``march_width`` are left unrefined (default 4096/512 vs ~600 points for
+    the default HD config); both raise the returned ``overflow`` flag so
+    callers can warn — no silent quality loss.
 """
 from __future__ import annotations
 
@@ -139,7 +141,12 @@ def _plan_pass(a, e, s, n, thr1, thr2, capacity, march_width):
     noff = jnp.cumsum(nneed) - nneed.astype(jnp.int32)
     midx = jnp.where(nneed, noff, M)
     march_a = jnp.zeros((M,), dtype).at[midx].set(na, mode="drop")
-    return na, ne, ns, nvalid, nneed, noff, march_a
+    # overflow: emitted points past ``capacity`` were dropped by the
+    # mode='drop' scatters, or midpoints past ``march_width`` will not be
+    # marched this pass (they are excluded from the merge, not kept as
+    # zeros) — either way the refinement silently degraded.
+    ovf = (jnp.sum(emit) > C) | (jnp.sum(nneed.astype(jnp.int32)) > M)
+    return na, ne, ns, nvalid, nneed, noff, march_a, ovf
 
 
 def _merge_pass(na, ne, ns, nvalid, nneed, noff, me, ms, capacity,
@@ -151,7 +158,13 @@ def _merge_pass(na, ne, ns, nvalid, nneed, noff, me, ms, capacity,
     g = jnp.clip(noff, 0, M - 1)
     ne = jnp.where(got, me[g], ne)
     ns = jnp.where(got, ms[g], ns)
-    fin = nvalid & jnp.isfinite(na) & jnp.isfinite(ne) & jnp.isfinite(ns)
+    # un-marched midpoints (nneed but beyond march_width) must NOT survive
+    # as valid points — their ne/ns still hold the 0.0 initialization, which
+    # the finiteness filter would accept, silently injecting zero samples
+    # into the deflection table.  Excluding them degrades overflow to
+    # "not refined", like the documented capacity drop.
+    fin = (nvalid & (~nneed | got)
+           & jnp.isfinite(na) & jnp.isfinite(ne) & jnp.isfinite(ns))
     return _compact(fin, (na, ne, ns), C)
 
 
@@ -177,10 +190,13 @@ def doubly_sample_on_device(march_fn, a_min, a_max, initial_points_number,
     ``a_min``/``a_max``/``initial_points_number``/``max_iterations`` must be
     static; ``thr1``/``thr2`` may be traced scalars.
 
-    Returns (alphas, escapes, spaces, n): (capacity,) buffers whose first n
-    slots are the sample set; the tail is a strictly-increasing epsilon
-    continuation of the last sample (safe under jnp.interp, never matched by
-    clamped queries).
+    Returns (alphas, escapes, spaces, n, overflow): (capacity,) buffers whose
+    first n slots are the sample set; the tail is a strictly-increasing
+    epsilon continuation of the last sample (safe under jnp.interp, never
+    matched by clamped queries).  ``overflow`` is a scalar bool: True when
+    any pass dropped points (emitted set exceeded ``capacity``, or more
+    midpoints than ``march_width`` were requested) — the result is still a
+    valid, merely less-refined sample set, but callers should warn.
     """
     C = int(capacity)
     M = int(march_width)
@@ -201,23 +217,24 @@ def doubly_sample_on_device(march_fn, a_min, a_max, initial_points_number,
         jnp.asarray(xs0, dtype), e0, s0, C)
 
     def cond(c):
-        _, _, _, n, it, done = c
+        _, _, _, n, it, done, _ = c
         return (it < max_iterations) & ~done & (n >= 3)
 
     def body(c):
-        a, e, s, n, it, _ = c
-        na, ne, ns, nvalid, nneed, noff, march_a = _plan_pass(
+        a, e, s, n, it, _, ovf = c
+        na, ne, ns, nvalid, nneed, noff, march_a, ovf_p = _plan_pass(
             a, e, s, n, thr1, thr2, C, M)
         me, ms = march_fn(march_a)
         (a_n, e_n, s_n), n_n = _merge_pass(na, ne, ns, nvalid, nneed, noff,
                                            me, ms, C, M)
-        return a_n, e_n, s_n, n_n, it + 1, n_n <= n
+        return a_n, e_n, s_n, n_n, it + 1, n_n <= n, ovf | ovf_p
 
-    a_buf, e_buf, s_buf, n, it, done = lax.while_loop(
-        cond, body, (a_buf, e_buf, s_buf, n, jnp.int32(0), jnp.asarray(False)))
+    a_buf, e_buf, s_buf, n, it, done, ovf = lax.while_loop(
+        cond, body, (a_buf, e_buf, s_buf, n, jnp.int32(0),
+                     jnp.asarray(False), jnp.asarray(False)))
 
     a_out, e_out, s_out = _epsilon_tail(a_buf, e_buf, s_buf, n, C)
-    return a_out, e_out, s_out, n
+    return a_out, e_out, s_out, n, ovf
 
 
 def doubly_sample_on_device_frames(march_fn, a_min, a_max,
@@ -233,7 +250,8 @@ def doubly_sample_on_device_frames(march_fn, a_min, a_max,
     (e.g. the camera's l0) is the caller's to encode in ``march_fn`` — see
     render/symmetric.py, which repeats l0 per lane.
 
-    Returns ((F, capacity) alphas, escapes, spaces, (F,) counts).  Each
+    Returns ((F, capacity) alphas, escapes, spaces, (F,) counts, (F,)
+    overflow flags — see :func:`doubly_sample_on_device`).  Each
     frame's refinement follows the exact single-frame control flow: a frame
     whose pass shrinks (or drops below 3 points) is frozen by `where` while
     the others continue, so per-frame refinement structure and counts are
@@ -266,13 +284,13 @@ def doubly_sample_on_device_frames(march_fn, a_min, a_max,
         lambda *args: _merge_pass(*args, C, M))
 
     def cond(c):
-        _, _, _, n, it, done = c
+        _, _, _, n, it, done, _ = c
         return (it < max_iterations) & jnp.any(~done & (n >= 3))
 
     def body(c):
-        a, e, s, n, it, done = c
+        a, e, s, n, it, done, ovf = c
         active = ~done & (n >= 3)
-        na, ne, ns, nvalid, nneed, noff, march_a = plan(a, e, s, n)
+        na, ne, ns, nvalid, nneed, noff, march_a, ovf_p = plan(a, e, s, n)
         me, ms = march_fn(march_a.reshape(F * M))
         (a2, e2, s2), n2 = merge(na, ne, ns, nvalid, nneed, noff,
                                  me.reshape(F, M), ms.reshape(F, M))
@@ -283,11 +301,12 @@ def doubly_sample_on_device_frames(march_fn, a_min, a_max,
         shrink = n2 <= n
         n = jnp.where(active, n2, n)
         done = done | (active & shrink)
-        return a, e, s, n, it + 1, done
+        return a, e, s, n, it + 1, done, ovf | (active & ovf_p)
 
-    a, e, s, n, it, done = lax.while_loop(
-        cond, body, (a, e, s, n, jnp.int32(0), jnp.zeros((F,), bool)))
+    a, e, s, n, it, done, ovf = lax.while_loop(
+        cond, body, (a, e, s, n, jnp.int32(0), jnp.zeros((F,), bool),
+                     jnp.zeros((F,), bool)))
 
     a_out, e_out, s_out = jax.vmap(
         lambda af, ef, sf, nf: _epsilon_tail(af, ef, sf, nf, C))(a, e, s, n)
-    return a_out, e_out, s_out, n
+    return a_out, e_out, s_out, n, ovf

@@ -204,6 +204,35 @@ def test_kerr_pallas_kernel_matches_autodiff():
     np.testing.assert_allclose(np.asarray(h2x), np.asarray(h2k), atol=1e-10)
 
 
+def test_kerr_pallas_odd_step_cap_exact():
+    """Odd max_steps keeps unroll >= 2 (Mosaic relayout bug at unroll=1) and
+    the per-ray steps gate makes the cap exact: capped rays stop at exactly
+    max_steps with sign 0, matching the XLA marcher ray for ray (ADVICE
+    round-2)."""
+    from curvis_tpu.ops.march_pallas import march_kerr_pallas
+    metric = make_kerr(m=1.0, a=0.9)
+    rng = np.random.default_rng(1)
+    n = 64
+    x0 = jnp.asarray(np.stack([np.zeros(n), np.full(n, 20.0),
+                               np.full(n, np.pi / 2 - 0.2),
+                               np.zeros(n)], -1))
+    dirs = rng.standard_normal((n, 3))
+    d = jnp.asarray(dirs / np.linalg.norm(dirs, axis=1, keepdims=True))
+    p0 = ham.spawn_photon(metric, x0, d)
+    kw = dict(dt=0.2, max_steps=333, escape_radius=40.0)    # odd cap
+    res = ham.march_hamiltonian(metric, x0, p0,
+                                capture_radius=float(metric.capture_radius),
+                                **kw)
+    _, _, sign_k, steps_k = march_kerr_pallas(metric, x0, p0, interpret=True,
+                                              tile_rows=1, unroll=8, **kw)
+    sign_k, steps_k = np.asarray(sign_k), np.asarray(steps_k)
+    np.testing.assert_array_equal(np.asarray(res.sign), sign_k)
+    np.testing.assert_array_equal(np.asarray(res.steps), steps_k)
+    capped = sign_k == 0
+    assert capped.any(), "config must leave some rays at the step cap"
+    assert (steps_k[capped] == 333).all()
+
+
 def test_kerr_pallas_bardeen_thresholds():
     """Physics oracle straight through the kernel: capture/escape flips at
     the Bardeen critical impact parameters (prograde AND retrograde)."""

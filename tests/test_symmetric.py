@@ -147,15 +147,50 @@ def test_device_sampler_control_flow_bitparity():
 
     ah, eh, sh = doubly_sample_function(-0.1 * np.pi, 1.1 * np.pi, 50, 30,
                                         1e-3, 1e-3, oracle_np)
-    ad, ed, sd, n = jax.jit(lambda: doubly_sample_on_device(
+    ad, ed, sd, n, ovf = jax.jit(lambda: doubly_sample_on_device(
         oracle_jnp, -0.1 * np.pi, 1.1 * np.pi, 50, 30, 1e-3, 1e-3,
         capacity=4096, march_width=256, dtype=jnp.float64))()
     n = int(n)
+    assert not bool(ovf)
     assert n == len(ah)
     np.testing.assert_array_equal(ah, np.asarray(ad)[:n])
     np.testing.assert_array_equal(eh, np.asarray(ed)[:n])
     np.testing.assert_array_equal(sh, np.asarray(sd)[:n])
     assert n > 60                      # refinement happened
+
+
+def test_device_sampler_overflow_flag_no_zero_injection():
+    """Overflow safety (ADVICE round-2 medium + VERDICT round-2 weak #6):
+    midpoints beyond march_width degrade to 'not refined' — they are never
+    kept with their 0.0 initialization — and both march_width and capacity
+    overflow raise the returned flag."""
+    import jax
+    from curvis_tpu.sampling.device import doubly_sample_on_device
+
+    def oracle(a):
+        # escape angle bounded away from 0 so an injected 0.0 is detectable
+        e = 5.0 + jnp.sin(7.0 * a) / (jnp.abs(a - 1.5) + 1e-3)
+        s = jnp.where(a > 1.5, 1.0, -1.0)
+        return e, s
+
+    # march_width far below the midpoint demand of the tight thresholds
+    # (the buffer grows each pass, so midpoint demand soon exceeds 8)
+    a, e, s, n, ovf = jax.jit(lambda: doubly_sample_on_device(
+        oracle, -0.1 * np.pi, 1.1 * np.pi, 8, 10, 1e-6, 1e-6,
+        capacity=4096, march_width=8, dtype=jnp.float64))()
+    n = int(n)
+    assert bool(ovf)
+    assert n >= 3
+    e_live = np.asarray(e)[:n]
+    s_live = np.asarray(s)[:n]
+    assert np.all(e_live != 0.0), "un-marched midpoints leaked as 0.0"
+    assert np.all(np.abs(s_live) == 1.0)
+
+    # capacity overflow raises the flag too
+    *_, ovf2 = jax.jit(lambda: doubly_sample_on_device(
+        oracle, -0.1 * np.pi, 1.1 * np.pi, 50, 10, 1e-6, 1e-6,
+        capacity=64, march_width=64, dtype=jnp.float64))()
+    assert bool(ovf2)
 
 
 def test_device_sampler_matches_host():
@@ -198,14 +233,14 @@ def test_device_sampler_frames_matches_single():
         l0_flat = jnp.repeat(jnp.asarray(l0s, jnp.float64), M)
         return compute_escape_angles(metric, l0_flat, a_flat, **kw)
 
-    ab, eb, sb, nb = jax.jit(lambda: doubly_sample_on_device_frames(
+    ab, eb, sb, nb, _ = jax.jit(lambda: doubly_sample_on_device_frames(
         march_flat, ALPHA_MIN, ALPHA_MAX, 60, 25, 1e-4, 1e-4,
         n_frames=len(l0s), capacity=1024, march_width=M,
         dtype=jnp.float64))()
     for f, l0 in enumerate(l0s):
         def march_one(a, l0=l0):
             return compute_escape_angles(metric, l0, a, **kw)
-        a1, e1, s1, n1 = jax.jit(lambda m=march_one: doubly_sample_on_device(
+        a1, e1, s1, n1, _ = jax.jit(lambda m=march_one: doubly_sample_on_device(
             m, ALPHA_MIN, ALPHA_MAX, 60, 25, 1e-4, 1e-4, capacity=1024,
             march_width=M, dtype=jnp.float64))()
         n = int(n1)
