@@ -11,9 +11,20 @@ measured stand-in is native/refbench.cc — a -O3 C++ port of the reference's
 exact inner loop (f64, single thread, same camera/metric/stepper), measured at
 2.0e4 rays/s on this machine (see BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Round-3 additions (VERDICT round-2 next-step #3):
+  * the timed loop runs >=5 repetitions and reports the MEDIAN with a
+    spread field, so round-over-round comparisons can tell drift from noise;
+  * on-chip Pallas-vs-XLA parity gates for every kernel family
+    (benchmarks/parity_gates.py) — catches Mosaic miscompiles that
+    interpret-mode CI cannot; CURVIS_BENCH_PARITY=0 skips;
+  * a differentiable-Kerr gradient-step timing (backend='scan' vs the
+    round-3 'adjoint' Pallas pair) — the inverse-problem speedup, VERDICT
+    next-step #1's 'Done' metric; CURVIS_BENCH_GRAD=0 skips.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 import json
+import os
 import sys
 import time
 
@@ -21,6 +32,49 @@ import numpy as np
 
 REFERENCE_PROXY_RAYS_PER_S = 2.0e4   # native/refbench.cc, 1024 res, this host
 RES = 1024
+REPS = 5
+
+
+def _grad_bench(jax, jnp, cv):
+    """Median wall-clock of one jitted Kerr spin value_and_grad step,
+    backend='scan' (checkpointed XLA, round 2) vs 'adjoint' (Pallas forward
+    + checkpointed-recompute Pallas backward, round 3)."""
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.render.kerr import render_kerr
+    h, w = 36, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5, yy / h,
+                       0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+    bg = cv.make_spherical_image(np.asarray(smooth, np.float32))
+    th = np.pi / 2 - 0.3
+    f = np.array([-np.sin(th), 1.3, -np.cos(th)])
+    f /= np.linalg.norm(f)
+    cam = cv.make_camera([0.0, 15.0, th, 0.0], list(f), [0.0, 0.0, 1.0],
+                         35.0, 43.0, w, h, dtype=jnp.float32)
+
+    def mk(backend):
+        def loss(a):
+            m = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
+            img = render_kerr(m, cam, bg, dt=0.1, max_steps=800,
+                              escape_radius=20.0, backend=backend)
+            return jnp.mean(img)
+        return jax.jit(jax.value_and_grad(loss))
+
+    out = {}
+    a0 = jnp.asarray(0.7, jnp.float32)
+    for backend in ("scan", "adjoint"):
+        fn = mk(backend)
+        v, g = fn(a0)
+        float(v), float(g)                      # compile + completion fence
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            v, g = fn(a0)
+            float(v), float(g)
+            ts.append(time.time() - t0)
+        out[backend + "_ms"] = round(float(np.median(ts)) * 1e3, 1)
+    out["speedup"] = round(out["scan_ms"] / out["adjoint_ms"], 1)
+    return out
 
 
 def main():
@@ -85,18 +139,40 @@ def main():
     float(render_batch(metric, cams, bgp, bgn))
 
     times = []
-    for _ in range(3):
+    for _ in range(REPS):
         t0 = time.time()
         float(render_batch(metric, cams, bgp, bgn))
         times.append(time.time() - t0)
-    secs = min(times)
+    secs = float(np.median(times))
+    spread_pct = 100.0 * (max(times) - min(times)) / secs
     mrays = FRAMES * RES * RES / secs / 1e6
-    print(json.dumps({
+
+    out = {
         "metric": "Mrays/s/chip (Ellis 1024^2, Euler dt=0.05, 40k steps)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays * 1e6 / REFERENCE_PROXY_RAYS_PER_S, 1),
-    }))
+        "median_over": REPS,
+        "spread_pct": round(spread_pct, 1),
+    }
+
+    if os.environ.get("CURVIS_BENCH_PARITY", "1") != "0":
+        sys.path.insert(0, str(pathlib.Path(__file__).parent / "benchmarks"))
+        from parity_gates import run_gates
+        parity = run_gates()
+        out["parity_ok"] = bool(all(v.get("ok") for v in parity.values()))
+        out["parity"] = {k: v.get("ok") for k, v in parity.items()}
+        if not out["parity_ok"]:
+            out["parity_detail"] = {k: v for k, v in parity.items()
+                                    if not v.get("ok")}
+
+    if os.environ.get("CURVIS_BENCH_GRAD", "1") != "0":
+        try:
+            out["kerr_grad"] = _grad_bench(jax, jnp, cv)
+        except Exception as e:                     # never kill the headline
+            out["kerr_grad"] = {"error": f"{type(e).__name__}: {e}"}
+
+    print(json.dumps(out))
     return 0
 
 

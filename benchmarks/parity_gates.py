@@ -1,0 +1,283 @@
+"""On-chip Pallas-vs-XLA parity gates for every kernel family.
+
+CI runs every kernel in interpret mode (CPU, f64) — that validates the
+*traced math* but not the Mosaic compile: a real miscompile (e.g. the
+unroll=1 relayout bug hit in round 1, NEXT.md) would sail through the test
+suite and only corrupt images on hardware.  These gates close that hole:
+each kernel family runs compiled on the attached chip against its XLA
+oracle on a small smooth bundle, and the comparison uses mismatch-fraction
+bounds (f32 on-chip vs f32 XLA; bitwise equality is impossible for
+chaos-adjacent rays — CLAUDE.md invariant).
+
+Called from bench.py (the driver-captured artifact) so every benched build
+carries a per-family parity verdict next to its throughput number.
+
+Families: euler (Ellis + DNEG shape paths), rk45, disk, volumetric,
+kerr, kn, adjoint (the checkpointed-recompute backward kernel pair of
+ops/ckpt_adjoint_pallas.py — gradient parity, Pallas vs XLA backward).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# CPU validation of the gate logic itself: CURVIS_GATES_INTERPRET=1 runs the
+# kernels in interpret mode (tests/test_parity_gates.py); on hardware leave
+# unset so the gates exercise the real Mosaic compiles.
+def _ipret():
+    return os.environ.get("CURVIS_GATES_INTERPRET", "") == "1"
+
+
+def _bundle(metric, cam_pos, face, res, dtype):
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.camera.camera import pixel_rays_world
+    from curvis_tpu.physics import planar as pl2
+    cam = cv.make_camera(cam_pos, face, [0.0, 0.0, 1.0], 15.0, 43.0,
+                         res[0], res[1], dtype=dtype)
+    rays = pl2.spawn_planar(metric, cam.position, pixel_rays_world(cam))
+    return pl2.PlanarRays(*(a.astype(jnp.float32) for a in rays))
+
+
+def _escape_mismatch(res_a, res_b, tol=1e-3):
+    """(sign-agreement fraction, fraction of escaped rays with |dpsi|>tol)."""
+    sa, sb = np.asarray(res_a.sign), np.asarray(res_b.sign)
+    agree = (sa == sb).mean()
+    esc = (sa == sb) & ((sa == 1) | (sa == -1))
+    if esc.sum() == 0:
+        return float(agree), 1.0
+    dpsi = np.abs(np.asarray(res_a.psi)[esc] - np.asarray(res_b.psi)[esc])
+    return float(agree), float((dpsi > tol).mean())
+
+
+def gate_euler(kind="ellis"):
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.metrics.base import EllisMetric, InterstellarMetric
+    from curvis_tpu.ops.march_pallas import march_planar_pallas
+    from curvis_tpu.physics import planar as pl2
+    if kind == "ellis":
+        metric = EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
+    else:
+        metric = InterstellarMetric(m=jnp.asarray(0.1, jnp.float32),
+                                    a=jnp.asarray(1e-4, jnp.float32),
+                                    rho=jnp.asarray(1.0, jnp.float32))
+    rays = _bundle(metric, [0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.0],
+                   (32, 16), jnp.float32)
+    kw = dict(dt=0.05, max_steps=8000, escape_radius=30.0)
+    a = jax.jit(lambda m, r: pl2.march_planar_while(m, r, **kw))(metric, rays)
+    b = jax.jit(lambda m, r: march_planar_pallas(m, r, sort=False, interpret=_ipret(), **kw))(
+        metric, rays)
+    agree, mm = _escape_mismatch(a, b, tol=1e-3 if kind == "ellis" else 1e-2)
+    return {"sign_agree": round(agree, 4), "psi_mismatch": round(mm, 4),
+            "ok": bool(agree >= 0.97 and mm <= 0.05)}
+
+
+def gate_rk45():
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.metrics.base import EllisMetric
+    from curvis_tpu.integrate.rk45 import march_planar_rk45
+    from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+    metric = EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
+    rays = _bundle(metric, [0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.0],
+                   (32, 16), jnp.float32)
+    kw = dict(escape_radius=50.0, rtol=1e-5, atol=1e-7)
+    a = jax.jit(lambda m, r: march_planar_rk45(m, r, **kw))(metric, rays)
+    b = jax.jit(lambda m, r: march_planar_rk45_pallas(m, r, interpret=_ipret(), **kw))(
+        metric, rays)
+    agree, mm = _escape_mismatch(a, b, tol=2e-3)
+    return {"sign_agree": round(agree, 4), "psi_mismatch": round(mm, 4),
+            "ok": bool(agree >= 0.97 and mm <= 0.05)}
+
+
+def _disk_setup():
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.metrics.base import SchwarzschildMetric
+    from curvis_tpu.physics import planar as pl2
+    from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0, jnp.float32))
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 24, 12, dtype=jnp.float32)
+    dx, dy, dz = _pixel_dirs_soa(cam, False)
+    (l, psi, p_l, b), r_hat, e2 = _spawn_planar_soa(metric, cam, dx, dy, dz)
+    c1 = jnp.broadcast_to(r_hat[2], l.shape).astype(jnp.float32)
+    c2 = e2[2].astype(jnp.float32)
+    nz = (r_hat[0] * e2[1] - r_hat[1] * e2[0]).astype(jnp.float32)
+    rays = pl2.PlanarRays(*(a.astype(jnp.float32) for a in (l, psi, p_l, b)),
+                          jnp.zeros((1, 3), jnp.float32),
+                          jnp.zeros((1, 3), jnp.float32))
+    return metric, rays, c1, c2, nz
+
+
+def gate_disk():
+    import jax
+    from curvis_tpu.ops.march_pallas import march_planar_disk_pallas
+    from curvis_tpu.render.disk import march_planar_disk
+    metric, rays, c1, c2, _ = _disk_setup()
+    kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0,
+              r_inner=5.2, r_outer=13.0)
+    res_a, (h1a, _), _ = jax.jit(
+        lambda m, r, a, b: march_planar_disk(m, r, a, b, **kw))(
+            metric, rays, c1, c2)
+    res_b, (h1b, _), _ = jax.jit(
+        lambda m, r, a, b: march_planar_disk_pallas(m, r, a, b, interpret=_ipret(), **kw))(
+            metric, rays, c1, c2)
+    sign_agree = float((np.asarray(res_a.sign) == np.asarray(res_b.sign))
+                       .mean())
+    hit_a, hit_b = np.asarray(h1a) > 0, np.asarray(h1b) > 0
+    hit_agree = float((hit_a == hit_b).mean())
+    both = hit_a & hit_b
+    rel = (np.abs(np.asarray(h1a)[both] - np.asarray(h1b)[both])
+           / np.maximum(np.asarray(h1a)[both], 1e-6)) if both.any() else \
+        np.zeros(1)
+    return {"sign_agree": round(sign_agree, 4),
+            "hit_agree": round(hit_agree, 4),
+            "hit_r_relmax": round(float(rel.max()), 5),
+            "ok": bool(sign_agree >= 0.97 and hit_agree >= 0.95
+                       and rel.max() < 1e-2)}
+
+
+def gate_volumetric():
+    import jax
+    from curvis_tpu.ops.march_pallas import \
+        march_planar_disk_volumetric_pallas
+    from curvis_tpu.render.disk import (DiskParams,
+                                        march_planar_disk_volumetric)
+    metric, rays, c1, c2, nz = _disk_setup()
+    kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0)
+    disk = DiskParams(r_inner=5.2, r_outer=13.0, volumetric=True,
+                      h_rel=0.08, kappa=3.0, color_mode="tint",
+                      t_peak=7000.0)
+    _, tau_a, _ = jax.jit(lambda m, r, a, b, n: march_planar_disk_volumetric(
+        m, r, a, b, n, params=disk, **kw))(metric, rays, c1, c2, nz)
+    _, tau_b, _ = jax.jit(
+        lambda m, r, a, b, n: march_planar_disk_volumetric_pallas(
+            m, r, a, b, n, disk=disk, interpret=_ipret(), **kw))(metric, rays, c1, c2, nz)
+    ta, tb = np.asarray(tau_a), np.asarray(tau_b)
+    rel = np.abs(ta - tb) / np.maximum(np.abs(ta), 1e-4)
+    mm = float((rel > 1e-2).mean())
+    return {"tau_mismatch": round(mm, 4), "ok": bool(mm <= 0.05)}
+
+
+def _kerr_bundle(metric):
+    import jax.numpy as jnp
+    from curvis_tpu.physics import hamiltonian as ham
+    rng = np.random.default_rng(0)
+    n = 128
+    ths = np.pi / 2 + 0.4 * rng.standard_normal(n)
+    x0 = jnp.asarray(np.stack([np.zeros(n), np.full(n, 30.0), ths,
+                               np.zeros(n)], -1), jnp.float32)
+    dirs = rng.standard_normal((n, 3))
+    dirs[:, 0] = -np.abs(dirs[:, 0]) - 0.5
+    d = jnp.asarray(dirs / np.linalg.norm(dirs, axis=1, keepdims=True),
+                    jnp.float32)
+    p0 = ham.spawn_photon(metric, x0, d)
+    return x0, p0
+
+
+def gate_kerr(charged=False):
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.metrics.kerr import KerrMetric, KerrNewmanMetric
+    from curvis_tpu.ops.march_pallas import march_kerr_pallas
+    from curvis_tpu.physics import hamiltonian as ham
+    if charged:
+        metric = KerrNewmanMetric(m=jnp.asarray(1.0, jnp.float32),
+                                  a=jnp.asarray(0.7, jnp.float32),
+                                  q=jnp.asarray(0.4, jnp.float32))
+    else:
+        metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
+                            a=jnp.asarray(0.9, jnp.float32))
+    x0, p0 = _kerr_bundle(metric)
+    kw = dict(dt=0.1, max_steps=20_000, escape_radius=60.0)
+    res = jax.jit(lambda m, x, p: ham.march_hamiltonian(
+        m, x, p, capture_radius=m.capture_radius, **kw))(metric, x0, p0)
+    x_k, _, sign_k, _ = jax.jit(lambda m, x, p: march_kerr_pallas(
+        m, x, p, interpret=_ipret(), **kw))(metric, x0, p0)
+    sa, sk = np.asarray(res.sign), np.asarray(sign_k)
+    agree = float((sa == sk).mean())
+    esc = (sa == sk) & (sa == 1)
+    if esc.sum():
+        dth = np.abs(np.asarray(res.x[:, 2])[esc]
+                     - np.asarray(x_k[:, 2])[esc])
+        mm = float((dth > 1e-2).mean())
+    else:
+        mm = 1.0
+    return {"sign_agree": round(agree, 4), "theta_mismatch": round(mm, 4),
+            "ok": bool(agree >= 0.95 and mm <= 0.05)}
+
+
+def gate_adjoint():
+    """Gradient parity of the checkpointed-recompute backward: the Pallas
+    kernel pair (compiled, on-chip) vs the XLA checkpointed scan — the gate
+    that interpret-mode CI cannot provide for ops/ckpt_adjoint_pallas.py."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.integrate.kerr_adjoint import march_kerr_adjoint
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.physics import hamiltonian as ham
+    rng = np.random.default_rng(1)
+    n = 128
+    th0 = np.pi / 2 - 0.3
+    pos = jnp.asarray(np.stack([np.zeros(n), np.full(n, 15.0),
+                                np.full(n, th0), np.zeros(n)], -1),
+                      jnp.float32)
+    dirs = np.stack([-np.ones(n), 1.3 + 0.3 * rng.standard_normal(n),
+                     0.3 * rng.standard_normal(n)], -1)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       jnp.float32)
+    kw = dict(dt=0.1, max_steps=512, escape_radius=25.0)
+
+    def loss(a, backend):
+        metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
+        p0 = ham.spawn_photon(metric, pos, dirs)
+        x, p, sign, _ = march_kerr_adjoint(metric, pos, p0, backend=backend,
+                                           **kw)
+        return jnp.mean(jnp.where(sign == 1,
+                                  jnp.sin(x[:, 3]) * p[:, 1]
+                                  + jnp.cos(x[:, 2]), 0.0))
+
+    a0 = jnp.asarray(0.8, jnp.float32)
+    gx = float(jax.jit(jax.grad(lambda a: loss(a, "xla")))(a0))
+    pk = "pallas_interpret" if _ipret() else "pallas"
+    gp = float(jax.jit(jax.grad(lambda a: loss(a, pk)))(a0))
+    rel = abs(gp - gx) / max(abs(gx), 1e-12)
+    return {"grad_xla": round(gx, 6), "grad_pallas": round(gp, 6),
+            "rel": round(rel, 6), "ok": bool(rel < 1e-2)}
+
+
+GATES = {
+    "euler_ellis": lambda: gate_euler("ellis"),
+    "euler_dneg": lambda: gate_euler("dneg"),
+    "rk45": gate_rk45,
+    "disk": gate_disk,
+    "volumetric": gate_volumetric,
+    "kerr": lambda: gate_kerr(False),
+    "kn": lambda: gate_kerr(True),
+    "adjoint": gate_adjoint,
+}
+
+
+def run_gates(only=None):
+    """Run every (or the named) gate; returns {family: result-dict}.  A
+    gate that raises is reported as ok=False with the error string — the
+    bench must never die on a parity probe."""
+    out = {}
+    for name, fn in GATES.items():
+        if only and name not in only:
+            continue
+        try:
+            out[name] = fn()
+        except Exception as e:                       # pragma: no cover
+            out[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    print(json.dumps(run_gates(), indent=1))

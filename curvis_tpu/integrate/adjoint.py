@@ -1,23 +1,35 @@
-"""O(1)-memory gradients through the ray march: custom VJP via reverse-time
-re-integration (the adjoint method).
+"""Bounded-memory gradients through the planar ray march: custom VJP whose
+backward is checkpointed recompute (integrate/ckpt.py).
 
-The checkpointed-scan backend (physics/planar.march_planar_scan) is exact but
-stores O(sqrt(steps)) copies of the ray state.  This module exploits that the
-planar geodesic flow is a smooth recurrence: the backward pass *re-integrates
-the trajectory in reverse* — solving y_k from y_{k+1} by fixed-point
-iteration of y = y_{k+1} - dt f(y), whose fixed point is the *exact*
-forward-Euler predecessor — while pulling the adjoint through each step with
-`jax.vjp` of the step function.  Memory is O(state), independent of step
-count; with 5 reversal iterations the gradient matches the exact
-checkpointed-scan adjoint to ~1e-6 relative (validated in tests).
+The plain checkpointed-scan backend (physics/planar.march_planar_scan) is
+exact but its *forward* already runs at XLA scan speed: every loss
+evaluation pays max_steps trips with the carry streamed through HBM.  This
+module keeps the production forward — the Pallas Euler kernel on TPU
+(ops/march_pallas.march_planar_pallas, sprint phase, early tile exit), the
+masked while-loop elsewhere — and pays the scan-like cost only in the
+backward pass, which re-marches the trajectory from the spawn state in
+segments and pulls the cotangent through each segment with ``jax.vjp`` of
+the masked segment map (exact discrete gradients; see integrate/ckpt.py for
+why this beats reverse-time replay).  On TPU the backward runs as the
+Pallas kernel pair in ops/ckpt_adjoint_pallas.py — checkpoints stream
+through HBM, segment VJPs stay VMEM-resident, built on the forward kernels'
+exact _deriv_fns algebra so the recomputed map is the marched map.
 
 Per-ray escape freezing is respected: on backward step j, only rays whose
 forward march was still active at step j (j < steps_i) participate; frozen
 rays carry their adjoint unchanged — matching the forward masking exactly.
+Captured rays (sign 2, Schwarzschild/RN) are excluded: capture is a
+discrete event, and their frozen states sit where the step math can
+overflow (the masked recompute still evaluates it); the renderers mask
+them to black, so their pixel gradients flow through that select's other
+branch.
+
+Gradients flow to the metric parameter pytree, the spawn state and ``b``.
 
 Reference context: the Rust implementation is not differentiable at all;
 SURVEY.md section 7 lists the "backward pass through a 40k-step recurrence"
-as a hard part, solved here without trajectory storage.
+as a hard part, solved here with O(max_steps/segment) checkpoints instead
+of trajectory storage.
 """
 from __future__ import annotations
 
@@ -27,11 +39,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from curvis_tpu.integrate.ckpt import ckpt_adjoint_backward
 from curvis_tpu.physics.planar import (PlanarRays, PlanarResult, planar_rhs)
 
-# Fixed-point iterations of the implicit step reversal; each contracts the
-# replay error by ~dt * L_f (~0.15 near the throat at dt=0.05).
-_REVERSAL_ITERS = 5
+# Pallas backward segment length: 32 Euler steps re-marched per VJP pull.
+_PALLAS_SEG = 32
 
 
 def _step(metric, y, b, dt):
@@ -41,14 +53,49 @@ def _step(metric, y, b, dt):
     return (l + dt * dl, psi + dt * dpsi, p_l + dt * dpl)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def march_planar_adjoint(metric, state, b, dt, max_steps, escape_radius):
-    """Differentiable planar march with adjoint backward pass.
+def _step_theta(dt, theta, y):
+    """integrate/ckpt.py step contract: theta = (metric, b)."""
+    metric, b = theta
+    return _step(metric, y, b, dt)
 
-    ``state``: (l, psi, p_l) arrays; returns (l, psi, p_l, sign, steps).
-    Gradients flow to ``metric`` (parameter pytree), ``state`` and ``b``.
-    """
-    return _forward(metric, state, b, dt, max_steps, escape_radius)[0]
+
+class _ParamRow:
+    """Duck-typed SMEM row whose metric-parameter slots (2, 3, 4) hold
+    per-lane ARRAYS — lets ops/march_pallas._deriv_fns compute per-ray
+    derivatives for jax.vjp without duplicating the metric algebra."""
+
+    def __init__(self, p0, p1, p2):
+        self._v = {2: p0, 3: p1, 4: p2}
+
+    def __getitem__(self, key):
+        return self._v[key[1]]
+
+
+_PLANAR_MAKE_STEP = {}
+
+
+def _planar_make_step(kind):
+    """Cached (so the Pallas jit cache keys stably) make_step builder for
+    the checkpoint kernels: theta = (p0, p1, p2, b) per-lane, SMEM row =
+    [dt, 0, ...]."""
+    fn = _PLANAR_MAKE_STEP.get(kind)
+    if fn is not None:
+        return fn
+    from curvis_tpu.ops.march_pallas import _deriv_fns
+    deriv = _deriv_fns(kind)
+
+    def make_step(params_ref):
+        dt = params_ref[0, 0]
+
+        def step(theta, y):
+            p0, p1, p2, b = theta
+            l, psi, p_l = y
+            dl, dpsi, dpl = deriv(_ParamRow(p0, p1, p2), l, p_l, b, b * b)
+            return l + dt * dl, psi + dt * dpsi, p_l + dt * dpl
+        return step
+
+    _PLANAR_MAKE_STEP[kind] = make_step
+    return make_step
 
 
 def _forward(metric, state, b, dt, max_steps, escape_radius):
@@ -77,71 +124,125 @@ def _forward(metric, state, b, dt, max_steps, escape_radius):
 
     (l, psi, p_l), sign, steps, _ = lax.while_loop(
         cond, body, ((l, psi, p_l), sign0, steps0, jnp.int32(0)))
-    out = (l, psi, p_l, sign, steps)
-    return out, None
+    return (l, psi, p_l, sign, steps)
 
 
-def _fwd(metric, state, b, dt, max_steps, escape_radius):
-    out, _ = _forward(metric, state, b, dt, max_steps, escape_radius)
-    # residuals: final state + per-ray step counts + inputs
-    return out, (metric, b, dt, out)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _march_core(max_steps, escape_radius, backend, segment, metric, state,
+                b, dt):
+    out, _ = _march_fwd(max_steps, escape_radius, backend, segment,
+                        metric, state, b, dt)
+    return out
 
 
-def _bwd(max_steps, escape_radius, res, cot):
-    metric, b, dt, out = res
-    l, psi, p_l, sign, steps = out
-    cot_l, cot_psi, cot_pl, _cot_sign, _cot_steps = cot
+def _march_fwd(max_steps, escape_radius, backend, segment, metric, state,
+               b, dt):
+    if backend.startswith("pallas"):
+        from curvis_tpu.ops.march_pallas import march_planar_pallas
+        l, psi, p_l = state
+        rays = PlanarRays(l=l, psi=psi, p_l=p_l, b=b,
+                          r_hat=jnp.zeros((1, 3), l.dtype),
+                          e2=jnp.zeros((1, 3), l.dtype))
+        res = march_planar_pallas(metric, rays, dt=dt, max_steps=max_steps,
+                                  escape_radius=escape_radius, sort=False,
+                                  interpret=backend.endswith("interpret"))
+        out = (res.l, res.psi, res.p_l, res.sign, res.steps)
+    else:
+        out = _forward(metric, state, b, dt, max_steps, escape_radius)
+    return out, (metric, state, b, dt, out[3], out[4])
 
-    zero_metric = jax.tree_util.tree_map(jnp.zeros_like, metric)
-    lam = (cot_l, cot_psi, cot_pl)          # adjoint of the final state
-    g_b = jnp.zeros_like(b)
 
-    n_total = jnp.max(steps)
+def _march_bwd(max_steps, escape_radius, backend, segment, res, cot):
+    metric, state0, b, dt, sign, steps = res
+    cot3 = cot[:3]
 
-    def cond(c):
-        j = c[0]
-        return j > 0
+    smooth = sign != 2                       # captured rays excluded
+    cot3 = tuple(jnp.where(smooth, c, 0.0) for c in cot3)
+    steps_eff = jnp.where(smooth, steps, 0)
 
-    def body(c):
-        j, y, lam, g_metric, g_b = c
-        jm1 = j - 1
-        active = jm1 < steps                 # ray was marched at step j-1
-        # --- reverse the step: solve y_{j-1} from y_j by fixed-point
-        # iteration of y = y_j - dt f(y).  The fixed point IS the exact
-        # forward-Euler predecessor (y_j = y* + dt f(y*)); each iteration
-        # contracts the error by ~dt * L_f
-        y_prev = y
-        for _ in range(_REVERSAL_ITERS):
-            y_step = _step(metric, y_prev, b, dt)
-            y_prev = tuple(yj - (ys - yp) for yj, ys, yp in
-                           zip(y, y_step, y_prev))
-        y_prev = tuple(jnp.where(active, yp, yj) for yp, yj in zip(y_prev, y))
-        # --- pull the adjoint through step(y_{j-1}) -> y_j; frozen rays'
-        # lambdas are zeroed going in so parameter grads only accumulate
-        # contributions from steps that actually ran
-        lam_m = tuple(jnp.where(active, li, jnp.zeros_like(li))
-                      for li in lam)
-        _, pullback = jax.vjp(lambda m, yy, bb: _step(m, yy, bb, dt),
-                              metric, y_prev, b)
-        d_metric, d_y, d_b = pullback(lam_m)
-        lam = tuple(jnp.where(active, dyi, li) for dyi, li in zip(d_y, lam))
-        g_metric = jax.tree_util.tree_map(lambda g, d: g + d, g_metric,
-                                          d_metric)
-        g_b = g_b + jnp.where(active, d_b, 0.0)
-        return jm1, y_prev, lam, g_metric, g_b
+    if backend.startswith("pallas"):
+        from curvis_tpu.ops.ckpt_adjoint_pallas import (
+            ckpt_adjoint_backward_pallas)
+        from curvis_tpu.ops.march_pallas import _metric_kind_and_params
+        dtype = state0[0].dtype
+        kind, row = _metric_kind_and_params(metric, dt, escape_radius, dtype)
+        one = jnp.ones_like(state0[0])
+        theta = (row[0, 2] * one, row[0, 3] * one, row[0, 4] * one, b)
+        lam, g = ckpt_adjoint_backward_pallas(
+            _planar_make_step(kind), row, tuple(state0), theta,
+            steps_eff.astype(dtype), cot3, max_steps=max_steps, seg=segment,
+            interpret=backend.endswith("interpret"))
+        g012 = (jnp.sum(g[0]), jnp.sum(g[1]), jnp.sum(g[2]))
+        g_metric = _planar_metric_grads(metric, g012)
+        g_b = g[3]
+    else:
+        step_fn = partial(_step_theta, dt)
+        (g_metric, g_b), lam = ckpt_adjoint_backward(
+            step_fn, (metric, b), tuple(state0), steps_eff, cot3,
+            max_steps=max_steps, segment=segment)
 
-    _, _, lam, g_metric, g_b = lax.while_loop(
-        cond, body, (n_total, (l, psi, p_l), lam, zero_metric, g_b))
     return g_metric, lam, g_b, jnp.zeros_like(dt)
 
 
-march_planar_adjoint.defvjp(_fwd, _bwd)
+def _planar_metric_grads(metric, g012):
+    """Map the SMEM param-slot cotangents (slots 2-4 of the row built by
+    ops/march_pallas._metric_kind_and_params) back onto the metric pytree's
+    fields."""
+    import dataclasses
+    from curvis_tpu.metrics.base import (EllisMetric, FlatSphericalMetric,
+                                         InterstellarMetric,
+                                         ReissnerNordstromMetric,
+                                         SchwarzschildMetric)
+    g0, g1, g2 = g012
+    zero_m = jax.tree_util.tree_map(jnp.zeros_like, metric)
+    cast = lambda g, ref: jnp.asarray(g, jnp.result_type(ref))  # noqa: E731
+    if isinstance(metric, EllisMetric):
+        return dataclasses.replace(zero_m, rho=cast(g0, metric.rho))
+    if isinstance(metric, InterstellarMetric):
+        return dataclasses.replace(zero_m, m=cast(g0, metric.m),
+                                   a=cast(g1, metric.a),
+                                   rho=cast(g2, metric.rho))
+    if isinstance(metric, FlatSphericalMetric):
+        return zero_m
+    if isinstance(metric, SchwarzschildMetric):
+        return dataclasses.replace(zero_m, m=cast(g0, metric.m))
+    if isinstance(metric, ReissnerNordstromMetric):
+        # slot 1 carries q^2 (see _metric_kind_and_params): chain rule
+        return dataclasses.replace(zero_m, m=cast(g0, metric.m),
+                                   q=cast(2.0 * metric.q * g1, metric.q))
+    raise NotImplementedError(
+        f"planar pallas adjoint: unsupported metric {type(metric).__name__}")
+
+
+_march_core.defvjp(_march_fwd, _march_bwd)
+
+
+def march_planar_adjoint(metric, state, b, dt, max_steps, escape_radius,
+                         backend="xla", segment=None):
+    """Differentiable planar march with the checkpointed-recompute backward.
+
+    ``state``: (l, psi, p_l) arrays; returns (l, psi, p_l, sign, steps).
+    Gradients flow to ``metric`` (parameter pytree), ``state`` and ``b``.
+    ``backend='pallas'`` runs forward AND backward as Pallas kernels;
+    'xla' (default) is the scan-based pair.  ``segment`` is the backward
+    recompute length (default: 32 on Pallas, ~sqrt(max_steps) on XLA)."""
+    if segment is None:
+        segment = (_PALLAS_SEG if backend.startswith("pallas")
+                   else max(1, int(max_steps ** 0.5)))
+    return _march_core(max_steps, escape_radius, backend, int(segment),
+                       metric, state, b, dt)
 
 
 def march_planar_adjoint_rays(metric, rays: PlanarRays, *, dt, max_steps,
-                              escape_radius) -> PlanarResult:
-    """PlanarRays-facing wrapper with the standard result contract."""
+                              escape_radius, backend="auto",
+                              segment=None) -> PlanarResult:
+    """PlanarRays-facing wrapper with the standard result contract.
+    ``backend='auto'`` picks the Pallas kernel pair on TPU."""
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if _on_tpu() else "xla"
     l, psi, p_l, sign, steps = march_planar_adjoint(
         metric, (rays.l, rays.psi, rays.p_l), rays.b,
-        jnp.asarray(dt, rays.l.dtype), max_steps, escape_radius)
+        jnp.asarray(dt, rays.l.dtype), max_steps, escape_radius,
+        backend=backend, segment=segment)
     return PlanarResult(l, psi, p_l, sign, steps)

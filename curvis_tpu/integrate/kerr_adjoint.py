@@ -1,0 +1,265 @@
+"""Pallas-speed gradients through the Kerr/Kerr-Newman BL march.
+
+The checkpointed-scan backend (physics/hamiltonian.march_hamiltonian_scan)
+is exact but pays three structural costs: its *forward* already runs at XLA
+scan speed (always ``max_steps`` trips, carry streamed through HBM), it
+differentiates the autodiff-Hamiltonian RHS (4-momentum marched numerically,
+~3x the FLOPs of the hand-inlined 5-state form), and the whole loss pipeline
+re-runs it.  This module gives the same gradients at kernel speed via a
+``jax.custom_vjp`` pair on the 5-state Boyer-Lindquist system (r, theta,
+phi, p_r, p_theta; E = -p_t and L = p_phi exactly conserved):
+
+  - **forward** = the production marcher itself: the hand-inlined Pallas
+    Kerr kernel on TPU (ops/march_pallas.march_kerr_pallas), the masked XLA
+    while-loop elsewhere — both stop at max(per-ray steps), not max_steps.
+  - **backward** = checkpointed recompute (integrate/ckpt.py /
+    ops/ckpt_adjoint_pallas.py): the trajectory is re-marched from the spawn
+    state in segments whose start states stream through HBM, and the
+    cotangent is pulled back segment-by-segment with ``jax.vjp`` of the
+    masked segment map, VMEM-resident on TPU.  Because the recomputed
+    trajectory IS the forward trajectory, the result is the **exact**
+    discrete gradient — valid even for strongly-lensed photon-ring rays
+    (where round-2's reverse-time replay diverged: the step's local
+    Lipschitz constant times dt exceeds 1 near the hole, so fixed-point
+    step inversion fails for exactly the rays that carry the signal).
+
+Gradients flow to the metric parameter pytree (m, a, q), ``x0`` and ``p0``.
+Only smooth fates participate: escaped (sign 1) and step-capped (sign 0)
+rays.  Captured (2) and blown-up (3) rays are excluded — capture is a
+discrete event with no useful derivative, their exit states can sit where
+the RHS overflows (Delta -> 0 near the horizon, and the masked recompute
+still *evaluates* the step there), and the renderer masks them to black
+anyway (render/kerr.py substitutes the spawn state before readout, so their
+pixel gradients flow through that select's other branch).
+
+Reference context: the Rust reference is not differentiable at all and
+cannot represent Kerr (README.md:111); this is the round-2 'differentiable
+spin recovery' made chip-fast (VERDICT round-2 next-step #1).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from curvis_tpu.integrate.ckpt import ckpt_adjoint_backward
+from curvis_tpu.ops.march_pallas import _kerr_rhs
+from curvis_tpu.physics import hamiltonian as ham
+
+# Pallas backward segment length: 16 RK4 steps re-marched per VJP pull —
+# checkpoint HBM traffic ~ n_rays * 5 * max_steps/16 floats each way.
+_PALLAS_SEG = 16
+
+
+def _q2_of(metric):
+    q = getattr(metric, "q", None)
+    if q is None:
+        return jnp.zeros_like(metric.m)
+    return q * q
+
+
+def _step5_theta(dt, axis_u0, far_r0, theta, y):
+    """One unmasked RK4 step of the 5-state BL system with the production
+    dt scaling (polar-axis shrink + far-field growth evaluated at the step's
+    start state — the identical rule to every other Kerr marcher).  ``theta
+    = (M, a, q2, E, L)`` may be scalars or per-ray arrays."""
+    M, a, q2, E, L = theta
+    r, th, ph, p_r, p_th = y
+    dte = dt * ham.axis_dt_scale(th, axis_u0) * ham.far_dt_scale(r, far_r0)
+    k1 = _kerr_rhs(M, a, q2, E, L, r, th, p_r, p_th)
+    k2 = _kerr_rhs(M, a, q2, E, L, r + 0.5 * dte * k1[0],
+                   th + 0.5 * dte * k1[1], p_r + 0.5 * dte * k1[3],
+                   p_th + 0.5 * dte * k1[4])
+    k3 = _kerr_rhs(M, a, q2, E, L, r + 0.5 * dte * k2[0],
+                   th + 0.5 * dte * k2[1], p_r + 0.5 * dte * k2[3],
+                   p_th + 0.5 * dte * k2[4])
+    k4 = _kerr_rhs(M, a, q2, E, L, r + dte * k3[0], th + dte * k3[1],
+                   p_r + dte * k3[3], p_th + dte * k3[4])
+    w = dte * (1.0 / 6.0)
+    return (r + w * (k1[0] + 2.0 * (k2[0] + k3[0]) + k4[0]),
+            th + w * (k1[1] + 2.0 * (k2[1] + k3[1]) + k4[1]),
+            ph + w * (k1[2] + 2.0 * (k2[2] + k3[2]) + k4[2]),
+            p_r + w * (k1[3] + 2.0 * (k2[3] + k3[3]) + k4[3]),
+            p_th + w * (k1[4] + 2.0 * (k2[4] + k3[4]) + k4[4]))
+
+
+def step5(metric, y, E, L, dt, axis_u0, far_r0):
+    """Metric-pytree front door to :func:`_step5_theta` (tests, oracles)."""
+    return _step5_theta(dt, axis_u0, far_r0,
+                        (metric.m, metric.a, _q2_of(metric), E, L), y)
+
+
+def _kerr_make_step(params_ref):
+    """SMEM-row step builder for the Pallas checkpoint kernels: row =
+    [dt, axis_u0, far_r0, 0, ...] (the differentiated parameters travel in
+    ``theta`` per-lane so the VJP yields their cotangents)."""
+    dt = params_ref[0, 0]
+    axis_u0 = params_ref[0, 1]
+    far_r0 = params_ref[0, 2]
+
+    def step(theta, y):
+        return _step5_theta(dt, axis_u0, far_r0, theta, y)
+    return step
+
+
+def _forward_xla(metric, x0, p0, dt, max_steps, escape_radius, axis_u0,
+                 far_r0):
+    """Masked while-loop forward on the SoA 5-state — the same per-step
+    semantics as physics/hamiltonian.march_hamiltonian (escape / capture /
+    blowup sign codes, per-ray step counts), using the hand-inlined RHS so
+    the map is identical to the backward recompute's step."""
+    E = -p0[:, 0]
+    L = p0[:, 3]
+    cap = metric.capture_radius
+    theta = (metric.m, metric.a, _q2_of(metric), E, L)
+    y0 = (x0[:, 1], x0[:, 2], x0[:, 3], p0[:, 1], p0[:, 2])
+    sign0 = jnp.zeros(x0.shape[0], jnp.int32)
+    steps0 = jnp.zeros(x0.shape[0], jnp.int32)
+
+    def cond(c):
+        _, sign, _, it = c
+        return (it < max_steps) & jnp.any(sign == 0)
+
+    def body(c):
+        y, sign, steps, it = c
+        active = sign == 0
+        y1 = _step5_theta(dt, axis_u0, far_r0, theta, y)
+        y = tuple(jnp.where(active, a1, a0) for a0, a1 in zip(y, y1))
+        r, th, ph, p_r, p_th = y
+        m_chk = (jnp.abs(r) + jnp.abs(th) + jnp.abs(ph)
+                 + jnp.abs(p_r) + jnp.abs(p_th))
+        ok = m_chk <= 1e8
+        sign = jnp.where(active & ok & (r > escape_radius), 1, sign)
+        sign = jnp.where(active & ok & (r < cap), 2, sign)
+        sign = jnp.where(active & ~ok, 3, sign)
+        steps = steps + active.astype(jnp.int32)
+        return y, sign, steps, it + 1
+
+    y, sign, steps, _ = lax.while_loop(cond, body,
+                                       (y0, sign0, steps0, jnp.int32(0)))
+    return y, sign, steps
+
+
+def _pack(y, E, L):
+    r, th, ph, p_r, p_th = y
+    zero = jnp.zeros_like(r)
+    x = jnp.stack([zero, r, th, ph], axis=-1)
+    p = jnp.stack([-E, p_r, p_th, L], axis=-1)
+    return x, p
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _march_core(max_steps, axis_u0, segment, backend, metric, x0, p0, dt,
+                escape_radius, far_r0):
+    out, _ = _march_fwd(max_steps, axis_u0, segment, backend, metric, x0,
+                        p0, dt, escape_radius, far_r0)
+    return out
+
+
+def _march_fwd(max_steps, axis_u0, segment, backend, metric, x0, p0, dt,
+               escape_radius, far_r0):
+    if backend.startswith("pallas"):
+        from curvis_tpu.ops.march_pallas import march_kerr_pallas
+        x, p, sign, steps = march_kerr_pallas(
+            metric, x0, p0, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, axis_u0=axis_u0, far_r0=far_r0,
+            interpret=backend.endswith("interpret"))
+    else:
+        y, sign, steps = _forward_xla(metric, x0, p0, dt, max_steps,
+                                      escape_radius, axis_u0, far_r0)
+        x, p = _pack(y, -p0[:, 0], p0[:, 3])
+    out = (x, p, sign, steps)
+    res = (metric, x0, p0, dt, far_r0, sign, steps)
+    return out, res
+
+
+def _march_bwd(max_steps, axis_u0, segment, backend, res, cot):
+    metric, x0, p0, dt, far_r0, sign, steps = res
+    cot_x, cot_p, _, _ = cot
+    E = -p0[:, 0]
+    L = p0[:, 3]
+    q2 = _q2_of(metric)
+    dtype = x0.dtype
+
+    # spawn state is the recompute's start — always a benign point, so the
+    # masked step evaluation is NaN-safe for excluded (steps_eff = 0) rays
+    y0 = (x0[:, 1], x0[:, 2], x0[:, 3], p0[:, 1], p0[:, 2])
+    smooth = (sign == 0) | (sign == 1)
+    cot5 = (cot_x[:, 1], cot_x[:, 2], cot_x[:, 3], cot_p[:, 1], cot_p[:, 2])
+    cot5 = tuple(jnp.where(smooth, c, 0.0) for c in cot5)
+    steps_eff = jnp.where(smooth, steps, 0)
+
+    if backend.startswith("pallas"):
+        from curvis_tpu.ops.ckpt_adjoint_pallas import (
+            ckpt_adjoint_backward_pallas)
+        one = jnp.ones_like(y0[0])
+        theta = (metric.m * one, metric.a * one, q2 * one, E, L)
+        params = jnp.stack([jnp.asarray(v, dtype)
+                            for v in (dt, axis_u0, far_r0, 0.0)]
+                           ).reshape(1, 4)
+        lam, g = ckpt_adjoint_backward_pallas(
+            _kerr_make_step, params, y0, theta, steps_eff.astype(dtype),
+            cot5, max_steps=max_steps, seg=segment,
+            interpret=backend.endswith("interpret"))
+        g_m, g_a, g_q2 = (jnp.sum(g[0]), jnp.sum(g[1]), jnp.sum(g[2]))
+        gE, gL = g[3], g[4]
+    else:
+        theta = (metric.m, metric.a, q2, E, L)
+        step_fn = partial(_step5_theta, dt, axis_u0, far_r0)
+        d_theta, lam = ckpt_adjoint_backward(
+            step_fn, theta, y0, steps_eff, cot5, max_steps=max_steps,
+            segment=segment)
+        g_m, g_a, g_q2, gE, gL = d_theta
+
+    g_metric = _metric_grads(metric, g_m, g_a, g_q2)
+    # conserved components reach p0 two ways: the identity maps
+    # p_out[:,0] = p0[:,0] and p_out[:,3] = p0[:,3] (exact for every fate —
+    # t/phi momenta are never marched), plus the per-step E/L sensitivity
+    # accumulated above (E = -p0[:,0], L = p0[:,3])
+    g_x0 = jnp.stack([jnp.zeros_like(lam[0]), lam[0], lam[1], lam[2]],
+                     axis=-1)
+    g_p0 = jnp.stack([cot_p[:, 0] - gE, lam[3], lam[4],
+                      cot_p[:, 3] + gL], axis=-1)
+    zero = jnp.zeros_like(dt)      # dt / escape_radius / far_r0 are control
+    return g_metric, g_x0, g_p0, zero, zero, zero   # knobs, not parameters
+
+
+def _metric_grads(metric, g_m, g_a, g_q2):
+    """Scalar (m, a, q^2) cotangents -> metric pytree cotangent."""
+    import dataclasses
+    q = getattr(metric, "q", None)
+    fields = {"m": jnp.asarray(g_m, jnp.result_type(metric.m)),
+              "a": jnp.asarray(g_a, jnp.result_type(metric.a))}
+    if q is not None:
+        fields["q"] = jnp.asarray(2.0 * q * g_q2, jnp.result_type(q))
+    return dataclasses.replace(metric, **fields)
+
+
+_march_core.defvjp(_march_fwd, _march_bwd)
+
+
+def march_kerr_adjoint(metric, x0, p0, *, dt, max_steps, escape_radius,
+                       axis_u0=0.01, far_r0=None, backend="auto",
+                       segment=None):
+    """Differentiable Kerr/KN BL march: production forward + exact
+    checkpointed-recompute backward (module docstring).  Same contract as
+    march_kerr_pallas / march_hamiltonian: (x, p, sign, steps) with the
+    final t components zeroed.  ``backend='auto'`` picks Pallas on TPU, XLA
+    elsewhere; ``segment`` is the backward recompute length (default: 16 on
+    Pallas, ~sqrt(max_steps) on XLA)."""
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if _on_tpu() else "xla"
+    if segment is None:
+        segment = (_PALLAS_SEG if backend.startswith("pallas")
+                   else max(1, int(max_steps ** 0.5)))
+    dtype = x0.dtype
+    dt = jnp.asarray(dt, dtype)
+    if far_r0 is None:
+        far_r0 = jnp.asarray(1e30, dtype)
+    return _march_core(max_steps, float(axis_u0), int(segment), backend,
+                       metric, x0, p0, dt,
+                       jnp.asarray(escape_radius, dtype),
+                       jnp.asarray(far_r0, dtype))

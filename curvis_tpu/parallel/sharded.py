@@ -225,7 +225,8 @@ def make_train_step(mesh: Mesh, *, dt, max_steps, escape_radius,
 
 def render_kerr_sharded(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
                         dt, max_steps, escape_radius=None, disk=None,
-                        filtering="bilinear", far_accel=True):
+                        filtering="bilinear", far_accel=True,
+                        backend="xla"):
     """Sharded Kerr/Kerr-Newman video rendering -> (F, H, W, 3).
 
     Every stage of the BL pipeline (tetrad spawn, RK4 march, asymptotic
@@ -254,5 +255,38 @@ def render_kerr_sharded(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
     colors = _kerr_march_and_shade(
         metric, x0, p0, bg, jnp.asarray(dt, x0.dtype), max_steps=max_steps,
         escape_radius=escape_radius, disk=disk, filtering=filtering,
-        backend="xla", far_accel=far_accel)
+        backend=backend, far_accel=far_accel)
     return colors.reshape(len(cams), W, H, 3).transpose(0, 2, 1, 3)
+
+
+def make_kerr_train_step(mesh: Mesh, *, dt, max_steps, escape_radius,
+                         lr=0.05):
+    """Differentiable Kerr/KN training step across the ray-sharded mesh:
+    render (backend='adjoint': the checkpointed-recompute custom VJP of
+    integrate/kerr_adjoint.py, which GSPMD partitions transparently — on a
+    CPU/virtual mesh it runs the XLA pair) -> L2 loss vs target frames ->
+    grads w.r.t. the metric pytree (m, a, q) -> SGD update.  The loss mean
+    over the sharded ray axis makes GSPMD psum the parameter gradients
+    across devices — the spin-recovery inverse problem at cluster scale
+    (dryrun phase 4).
+
+    On real multi-chip hardware the Pallas adjoint pair additionally wants
+    a shard_map wrapper (GSPMD does not partition pallas_call); the XLA
+    pair used here is the same discrete gradient (tests pin them to 1e-15).
+    """
+
+    def loss_fn(metric, cams, bg, target):
+        imgs = render_kerr_sharded(metric, cams, bg, mesh, dt=dt,
+                                   max_steps=max_steps,
+                                   escape_radius=escape_radius,
+                                   backend="adjoint")
+        return jnp.mean((imgs - target) ** 2)
+
+    def train_step(metric, cams, bg, target):
+        loss, g_metric = jax.value_and_grad(loss_fn)(metric, cams, bg,
+                                                     target)
+        metric = jax.tree_util.tree_map(lambda p, g: p - lr * g, metric,
+                                        g_metric)
+        return metric, loss
+
+    return train_step

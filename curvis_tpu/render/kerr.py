@@ -353,12 +353,23 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
                 escape_radius=escape_radius, far_r0=far_r0)
         elif backend == "scan":
             # reverse-differentiable march: grad(image) w.r.t. (m, a, q),
-            # camera pose — the spin-recovery inverse problem
+            # camera pose — the spin-recovery inverse problem.  Exact
+            # discrete gradients, O(sqrt(steps)) remat memory, always runs
+            # max_steps trips; prefer backend='adjoint' for speed.
             res = ham.march_hamiltonian_scan(
                 metric, x0, p0, dt=dt, max_steps=max_steps,
                 escape_radius=escape_radius,
                 capture_radius=metric.capture_radius, far_r0=far_r0)
             x, p, sign = res.x, res.p, res.sign
+        elif backend == "adjoint":
+            # Pallas-speed differentiable march: Pallas forward (on TPU) +
+            # checkpointed-recompute backward (integrate/kerr_adjoint.py) —
+            # the production inverse-problem path; exact discrete gradients
+            # (matches backend='scan' to machine precision)
+            from curvis_tpu.integrate.kerr_adjoint import march_kerr_adjoint
+            x, p, sign, _ = march_kerr_adjoint(
+                metric, x0, p0, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius, far_r0=far_r0)
         else:
             res = ham.march_hamiltonian(metric, x0, p0, dt=dt,
                                         max_steps=max_steps,

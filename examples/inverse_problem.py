@@ -3,46 +3,75 @@
 descent THROUGH the ray march — the axis the CPU reference cannot offer
 (its Rust tracer is not differentiable; /root/reference has no analogue).
 
-    python examples/inverse_problem.py [outdir]
+    python examples/inverse_problem.py [outdir] [--tpu]
 
-Two demos, both CPU f64 (deterministic; a TPU is not required):
+Two demos; CPU f64 by default (deterministic; a TPU is not required).
+``--tpu`` runs on the attached chip in f32 with the round-3 Pallas adjoint
+pair (forward = production kernels, backward = checkpointed recompute,
+integrate/kerr_adjoint.py) — the same recoveries at chip speed; per-step
+wall clock is printed either way.
 
 1. Ellis wormhole: recover the throat radius rho from a target image
-   (adjoint-capable planar march, tests/test_gradients.py pins the
-   gradients against finite differences).
+   (adjoint planar march; tests/test_gradients.py pins the gradients
+   against finite differences and the checkpointed scan).
 2. Kerr black hole: recover the SPIN from the frame-dragged lensing of
    background stars — the camera is aimed so the shadow is outside the
    field of view and the deflection field is a smooth function of a; AD
    flows through 800 RK4 steps of the Boyer-Lindquist march
-   (physics/hamiltonian.py:march_hamiltonian_scan).
+   (backend='adjoint'; 'scan' gives the identical gradients to machine
+   precision, physics/hamiltonian.py:march_hamiltonian_scan).
 
 Writes ``inverse_rho.png`` / ``inverse_spin.png``: target | start | recovered
 triptychs, and prints the descent trajectories.
 """
 import sys
+import time
 from pathlib import Path
 
 import numpy as np
 
 
 def main(argv=None):
+    argv = list(argv or [])
+    use_tpu = "--tpu" in argv
+    if use_tpu:
+        argv.remove("--tpu")
     outdir = Path(argv[0]) if argv else Path(__file__).parent / "out"
     outdir.mkdir(parents=True, exist_ok=True)
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    if not use_tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import curvis_tpu as cv
     from curvis_tpu.metrics.kerr import KerrMetric
     from curvis_tpu.render.kerr import render_kerr
 
+    fdt = jnp.float32 if use_tpu else jnp.float64
+    print(f"mode: {'TPU f32, Pallas adjoint pair' if use_tpu else 'CPU f64'}")
+
+    def timed_steps(vg, x, step, iters, report):
+        """Descent loop with median per-step wall clock (value fetched as a
+        scalar each iteration, so the timing includes device completion)."""
+        ts = []
+        for i in range(iters):
+            t0 = time.time()
+            loss, g = vg(x)
+            loss = float(loss)
+            ts.append(time.time() - t0)
+            x = step(x, g, i)
+            if i % report == 0:
+                print(f"  iter {i:2d}: loss={loss:.3e}")
+        print(f"  median grad-step: {np.median(ts)*1e3:.1f} ms")
+        return x
+
     h, w = 64, 128
     yy, xx = np.mgrid[0:h, 0:w]
     smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5, yy / h,
                        0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
-    bg_p = cv.make_spherical_image(smooth, dtype=jnp.float64)
-    bg_n = cv.make_spherical_image(smooth[::-1].copy(), dtype=jnp.float64)
+    bg_p = cv.make_spherical_image(smooth, dtype=fdt)
+    bg_n = cv.make_spherical_image(smooth[::-1].copy(), dtype=fdt)
 
     def triptych(name, target, start, final):
         """target | start | recovered | 10x|start-target| | 10x|final-target|
@@ -60,25 +89,24 @@ def main(argv=None):
     # ------------------------------------------------------------------
     cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [1.0, 0.6, 0.3],
                          [0.0, 0.0, 1.0], 15.0, 43.0, 48, 32,
-                         dtype=jnp.float64)
+                         dtype=fdt)
 
     def render_rho(rho):
         return cv.render_direct(cv.EllisMetric(rho=rho), cam, bg_p, bg_n,
                                 method="planar", filtering="bilinear",
-                                differentiable=True, dt=0.05, max_steps=2000,
-                                escape_radius=20.0)
+                                differentiable="adjoint", dt=0.05,
+                                max_steps=2000, escape_radius=20.0)
 
-    rho_true, rho = jnp.asarray(1.6), jnp.asarray(1.0)
+    render_rho = jax.jit(render_rho)     # never render eagerly on the TPU
+    rho_true, rho = jnp.asarray(1.6, fdt), jnp.asarray(1.0, fdt)
     target = render_rho(rho_true)
     start = render_rho(rho)
     vg = jax.jit(jax.value_and_grad(
         lambda r: jnp.mean((render_rho(r) - target) ** 2)))
-    for i in range(60):
-        loss, g = vg(rho)
-        rho = rho - jnp.clip(2e4 * g, -0.05, 0.05)
-        if i % 10 == 0:
-            print(f"rho iter {i:2d}: rho={float(rho):.4f} "
-                  f"loss={float(loss):.3e}")
+    print("wormhole throat recovery:")
+    rho = timed_steps(vg, rho,
+                      lambda x, g, i: x - jnp.clip(2e4 * g, -0.05, 0.05),
+                      60, 10)
     print(f"recovered rho = {float(rho):.4f}  (true {float(rho_true)})")
     triptych("inverse_rho.png", target, start, render_rho(rho))
 
@@ -89,24 +117,24 @@ def main(argv=None):
     f = np.array([-np.sin(th), 1.3, -np.cos(th)])
     f /= np.linalg.norm(f)
     cam_k = cv.make_camera([0.0, 15.0, th, 0.0], list(f), [0.0, 0.0, 1.0],
-                           35.0, 43.0, 40, 24, dtype=jnp.float64)
+                           35.0, 43.0, 40, 24, dtype=fdt)
 
     def render_a(a):
-        return render_kerr(KerrMetric(m=jnp.asarray(1.0, jnp.float64), a=a),
+        return render_kerr(KerrMetric(m=jnp.asarray(1.0, fdt), a=a),
                            cam_k, bg_p, dt=0.1, max_steps=800,
-                           escape_radius=20.0, backend="scan")
+                           escape_radius=20.0, backend="adjoint")
 
-    a_true, a = jnp.asarray(0.85), jnp.asarray(0.2)
+    render_a = jax.jit(render_a)
+    a_true, a = jnp.asarray(0.85, fdt), jnp.asarray(0.2, fdt)
     target = render_a(a_true)
     start = render_a(a)
     vg = jax.jit(jax.value_and_grad(
         lambda s: jnp.mean((render_a(s) - target) ** 2)))
-    for i in range(40):
-        loss, g = vg(a)
-        a = jnp.clip(a - jnp.clip(2e2 * g, -0.08, 0.08), 0.0, 0.99)
-        if i % 8 == 0:
-            print(f"spin iter {i:2d}: a={float(a):.4f} "
-                  f"loss={float(loss):.3e}")
+    print("spin recovery:")
+    a = timed_steps(vg, a,
+                    lambda x, g, i: jnp.clip(
+                        x - jnp.clip(2e2 * g, -0.08, 0.08), 0.0, 0.99),
+                    40, 8)
     print(f"recovered spin a = {float(a):.4f}  (true {float(a_true)})")
     triptych("inverse_spin.png", target, start, render_a(a))
 
@@ -124,19 +152,20 @@ def main(argv=None):
         f2 /= np.linalg.norm(f2)
         cams2.append(cv.make_camera([0.0, 15.0, th, 0.0], list(f2),
                                     [0.0, 0.0, 1.0], 35.0, 43.0, 40, 24,
-                                    dtype=jnp.float64))
+                                    dtype=fdt))
 
     def render_ma(m_, a_, cam2):
         return render_kerr(KerrMetric(m=m_, a=a_), cam2, bg_p, dt=0.1,
                            max_steps=800, escape_radius=20.0,
-                           backend="scan")
+                           backend="adjoint")
 
-    m_true2, a_true2 = jnp.asarray(1.0), jnp.asarray(0.85)
+    render_ma = jax.jit(render_ma)
+    m_true2, a_true2 = jnp.asarray(1.0, fdt), jnp.asarray(0.85, fdt)
     targets = [render_ma(m_true2, a_true2, c) for c in cams2]
     vg2 = jax.jit(jax.value_and_grad(lambda prm: sum(
         jnp.mean((render_ma(prm[0], prm[1], c) - t) ** 2)
         for c, t in zip(cams2, targets))))
-    prm = jnp.asarray([0.7, 0.3])
+    prm = jnp.asarray([0.7, 0.3], fdt)
     for i in range(80):
         loss, g = vg2(prm)
         cap = 0.05 * (0.93 ** max(0, i - 15))

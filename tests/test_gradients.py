@@ -298,3 +298,157 @@ def test_joint_mass_spin_recovery_two_viewpoints():
                          jnp.clip(p[1], 0.0, 0.99 * p[0])])
     assert abs(float(p[0]) - 1.0) < 0.02, np.asarray(p)
     assert abs(float(p[1]) - 0.85) < 0.05, np.asarray(p)
+
+
+# ---------------------------------------------------------------------------
+# Round-3: Pallas-speed gradients (VERDICT round-2 next-step #1) — the
+# adjoint pair whose forward is the production Pallas kernel and whose
+# backward is the checkpointed-recompute kernel pair (interpret-mode here;
+# the on-chip Mosaic compile is exercised by bench.py's parity gates).
+# ---------------------------------------------------------------------------
+
+def _kerr_smooth_scene():
+    """Camera aimed so the shadow is OUT of view (the inverse-problem
+    regime: smooth monotone frame-dragged lensing, no photon-ring chaos)."""
+    h, w = 16, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5,
+                       yy / h, 0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+    bg = cv.make_spherical_image(smooth, dtype=jnp.float64)
+    th = np.pi / 2 - 0.3
+    f = np.array([-np.sin(th), 1.3, -np.cos(th)])
+    f /= np.linalg.norm(f)
+    cam = cv.make_camera([0.0, 15.0, th, 0.0], list(f), [0.0, 0.0, 1.0],
+                         35.0, 43.0, 20, 12, dtype=jnp.float64)
+    return cam, bg
+
+
+def test_kerr_adjoint_matches_scan_smooth_regime():
+    """march_kerr_adjoint (checkpointed-recompute backward) == the exact
+    checkpointed-scan gradients to machine precision (both differentiate
+    exact RK4 of the same flow; E/L conservation is exact in each), and
+    matches finite differences through its own forward."""
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.render.kerr import render_kerr
+    cam, bg = _kerr_smooth_scene()
+
+    def loss(a, backend):
+        m = KerrMetric(m=jnp.asarray(1.0, jnp.float64), a=a)
+        img = render_kerr(m, cam, bg, dt=0.1, max_steps=800,
+                          escape_radius=20.0, backend=backend)
+        wgt = jnp.linspace(0.5, 1.5, img.shape[0])[:, None, None]
+        return jnp.mean(img * wgt)
+
+    a0 = jnp.asarray(0.7, jnp.float64)
+    g_scan = jax.grad(lambda a: loss(a, "scan"))(a0)
+    g_adj = jax.grad(lambda a: loss(a, "adjoint"))(a0)
+    np.testing.assert_allclose(float(g_adj), float(g_scan), rtol=1e-8)
+    eps = 1e-5
+    fd = (loss(a0 + eps, "adjoint") - loss(a0 - eps, "adjoint")) / (2 * eps)
+    np.testing.assert_allclose(float(g_adj), float(fd), rtol=1e-3)
+
+
+def test_kerr_adjoint_pallas_backward_matches_xla():
+    """The Pallas checkpointed-recompute kernel pair (interpret) computes
+    the identical adjoint to the XLA backward — Kerr and Kerr-Newman (q
+    gradient)."""
+    from curvis_tpu.integrate.kerr_adjoint import march_kerr_adjoint
+    from curvis_tpu.metrics.kerr import KerrMetric, KerrNewmanMetric
+    from curvis_tpu.physics import hamiltonian as ham
+    rng = np.random.default_rng(0)
+    n = 48
+    th0 = np.pi / 2 - 0.3
+    pos = jnp.stack([jnp.zeros(n), jnp.full(n, 15.0), jnp.full(n, th0),
+                     jnp.zeros(n)], -1)
+    dirs = np.stack([-np.ones(n), 1.3 + 0.3 * rng.standard_normal(n),
+                     0.3 * rng.standard_normal(n)], -1)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+    KWk = dict(dt=0.1, max_steps=600, escape_radius=25.0)
+
+    def mkloss(backend, mk):
+        def loss(v):
+            metric = mk(v)
+            p0 = ham.spawn_photon(metric, pos, dirs)
+            x, p, sign, _ = march_kerr_adjoint(metric, pos, p0,
+                                               backend=backend, **KWk)
+            return jnp.mean(jnp.where(sign == 1,
+                                      jnp.sin(x[:, 3]) * p[:, 1]
+                                      + jnp.cos(x[:, 2]), 0.0))
+        return loss
+
+    mk_kerr = lambda a: KerrMetric(m=jnp.asarray(1.0), a=a)        # noqa
+    gx = jax.grad(mkloss("xla", mk_kerr))(jnp.asarray(0.8))
+    gp = jax.grad(mkloss("pallas_interpret", mk_kerr))(jnp.asarray(0.8))
+    np.testing.assert_allclose(float(gp), float(gx), rtol=1e-12)
+
+    mk_kn = lambda q: KerrNewmanMetric(m=jnp.asarray(1.0),         # noqa
+                                       a=jnp.asarray(0.6), q=q)
+    gxq = jax.grad(mkloss("xla", mk_kn))(jnp.asarray(0.4))
+    gpq = jax.grad(mkloss("pallas_interpret", mk_kn))(jnp.asarray(0.4))
+    np.testing.assert_allclose(float(gpq), float(gxq), rtol=1e-12)
+
+
+def test_kerr_adjoint_chaotic_regime_is_finite():
+    """With the shadow IN view (photon-ring rays, capture boundary in
+    frame), the adjoint gradient stays finite: captured rays are excluded
+    from the backward (renderer masks them anyway) and escaped rays'
+    recompute never touches an overflowing state."""
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.render.kerr import render_kerr
+    h, w = 16, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5, yy / h,
+                       0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+    bg = cv.make_spherical_image(smooth, dtype=jnp.float64)
+    th = np.pi / 2 - 0.3
+    cam = cv.make_camera([0.0, 15.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         35.0, 43.0, 16, 10, dtype=jnp.float64)
+
+    def loss(a):
+        m = KerrMetric(m=jnp.asarray(1.0, jnp.float64), a=a)
+        img = render_kerr(m, cam, bg, dt=0.1, max_steps=800,
+                          escape_radius=20.0, backend="adjoint")
+        return jnp.mean(img)
+
+    g = jax.grad(loss)(jnp.asarray(0.7, jnp.float64))
+    assert np.isfinite(float(g))
+
+
+def test_planar_adjoint_pallas_pair_matches_scan(rng):
+    """Planar Pallas forward + Pallas checkpointed-recompute backward
+    (interpret) vs the exact checkpointed scan, Ellis and DNEG.  Forward
+    values agree to ~1e-10 (the DNEG kernel's _atan_poly vs jnp.arctan
+    keeps this from being bitwise); gradients to 1e-6."""
+    from curvis_tpu.camera.camera import pixel_rays_world
+    from curvis_tpu.integrate.adjoint import march_planar_adjoint_rays
+    from curvis_tpu.metrics.base import InterstellarMetric
+    from curvis_tpu.physics import planar as pl
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.35, 0.2],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 16, 10,
+                         dtype=jnp.float64)
+
+    def mkloss(marcher, mk):
+        def loss(v, l_shift):
+            metric = mk(v)
+            rays = pl.spawn_planar(metric, cam.position,
+                                   pixel_rays_world(cam))
+            rays = rays._replace(l=rays.l + l_shift)
+            res = marcher(metric, rays, **KW)
+            beta = res.psi + jnp.arctan2(rays.b / metric.r(res.l), res.p_l)
+            return jnp.mean(jnp.where(res.sign != 0, jnp.sin(beta), 0.0))
+        return loss
+
+    pallas_marcher = lambda m, r, **k: march_planar_adjoint_rays(   # noqa
+        m, r, backend="pallas_interpret", **k)
+    for mk, v in [(lambda r: EllisMetric(rho=r), 1.0),
+                  (lambda m: InterstellarMetric(m=m, a=jnp.asarray(1e-4),
+                                                rho=jnp.asarray(1.0)), 0.1)]:
+        args = (jnp.asarray(v), jnp.asarray(0.0))
+        g1 = jax.value_and_grad(mkloss(pl.march_planar_scan, mk),
+                                argnums=(0, 1))(*args)
+        g2 = jax.value_and_grad(mkloss(pallas_marcher, mk),
+                                argnums=(0, 1))(*args)
+        np.testing.assert_allclose(float(g1[0]), float(g2[0]), rtol=1e-8)
+        for a, b in zip(g1[1], g2[1]):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
