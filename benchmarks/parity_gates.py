@@ -212,6 +212,34 @@ def gate_kerr(charged=False):
             "ok": bool(agree >= 0.95 and mm <= 0.05)}
 
 
+def gate_table():
+    """User-metric kernel path (metrics/table.py): the Chebyshev-table
+    Pallas march (kind 'cheb{K}', compiled) vs the XLA while marcher
+    evaluating the *same* TabulatedMetric — identical polynomials, so any
+    disagreement is a Mosaic compile issue, not fit error."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.metrics.table import tabulate_metric
+    from curvis_tpu.ops.march_pallas import march_planar_pallas
+    from curvis_tpu.physics import planar as pl2
+
+    def r_fn(l):
+        rho = 1.0 + 0.35 * jnp.tanh(l / 1.4)     # asymmetric Bell wormhole
+        return jnp.sqrt(rho * rho + l * l)
+
+    tab, _ = tabulate_metric(r_fn, degree=16, tol=5e-4)
+    tab = jax.tree.map(lambda a: a.astype(jnp.float32), tab)
+    rays = _bundle(tab, [0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.0],
+                   (32, 16), jnp.float32)
+    kw = dict(dt=0.05, max_steps=8000, escape_radius=30.0)
+    a = jax.jit(lambda m, r: pl2.march_planar_while(m, r, **kw))(tab, rays)
+    b = jax.jit(lambda m, r: march_planar_pallas(
+        m, r, sort=False, interpret=_ipret(), **kw))(tab, rays)
+    agree, mm = _escape_mismatch(a, b, tol=1e-3)
+    return {"sign_agree": round(agree, 4), "psi_mismatch": round(mm, 4),
+            "ok": bool(agree >= 0.97 and mm <= 0.05)}
+
+
 def gate_adjoint():
     """Gradient parity of the checkpointed-recompute backward: the Pallas
     kernel pair (compiled, on-chip) vs the XLA checkpointed scan — the gate
@@ -259,6 +287,7 @@ GATES = {
     "volumetric": gate_volumetric,
     "kerr": lambda: gate_kerr(False),
     "kn": lambda: gate_kerr(True),
+    "table": gate_table,
     "adjoint": gate_adjoint,
 }
 

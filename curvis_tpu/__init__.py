@@ -17,6 +17,7 @@ from curvis_tpu.metrics.base import (
     SchwarzschildMetric,
     make_metric,
 )
+from curvis_tpu.metrics.table import TabulatedMetric, tabulate_metric
 from curvis_tpu.camera.camera import Camera, make_camera
 from curvis_tpu.env.spherical_image import (
     SphericalImage,
@@ -40,6 +41,7 @@ __all__ = [
     "ReissnerNordstromMetric",
     "SchwarzschildMetric",
     "SphericalImage",
+    "TabulatedMetric",
     "compute_trajectory",
     "load_spherical_image",
     "make_camera",
@@ -48,4 +50,5 @@ __all__ = [
     "march",
     "render_direct",
     "save_image",
+    "tabulate_metric",
 ]

@@ -63,12 +63,32 @@ def _atan_poly(x):
     return sign * (base + poly)
 
 
-def _shape_fns(kind: str):
+def _shape_fns(kind: str, cheb_off: int = 10):
     """Inlined (r2, r_deriv_over_r3) for each metric family.
 
     Returns f(params, l) -> (r2, dr_over_r3) where dr_over_r3 = r'(l)/r(l)^3,
-    the only combination the planar RHS needs.  params is a (1, 8) SMEM row.
+    the only combination the planar RHS needs.  params is the SMEM row.
+
+    ``kind='cheb{K}'`` is the USER-METRIC path (metrics/table.py): degree-K
+    Chebyshev tables of the compactified shape remainders, appended to the
+    row at slot ``cheb_off`` (each kernel family passes where its own
+    extras end) — Clenshaw evaluation, ~8 + 4K VPU ops per step.
     """
+    if kind.startswith("cheb"):
+        from curvis_tpu.metrics.table import poly_eval
+        K = int(kind[4:-1])
+        basis = "horner" if kind.endswith("h") else "clenshaw"
+
+        def fns(pr, l):
+            s2 = pr[0, 2]
+            w = 1.0 / jnp.sqrt(l * l + s2)
+            t = l * w
+            w2 = w * w
+            c1 = [pr[0, cheb_off + i] for i in range(K + 1)]
+            c2 = [pr[0, cheb_off + K + 1 + i] for i in range(K + 1)]
+            return (w2 * poly_eval(c1, t, basis),
+                    w2 * w * poly_eval(c2, t, basis))
+        return fns
     if kind == "ellis":
         def fns(pr, l):
             rho = pr[0, 2]
@@ -134,7 +154,7 @@ _LN1P9 = (0.9999999869643131, -0.4999985080344714, 0.3332909904746662,
           -0.003214036352274929)
 
 
-def _deriv_fns(kind: str):
+def _deriv_fns(kind: str, cheb_off: int = 10):
     """Full planar derivative triple f(pr, l, p_l, b, b2) -> (dl, dpsi, dpl).
 
     Unit-lapse metrics (the reference family) use the shape-function form;
@@ -169,7 +189,7 @@ def _deriv_fns(kind: str):
                 + b2 * invl2 * invl
             return dl, dpsi, dpl
         return fns
-    shape = _shape_fns(kind)
+    shape = _shape_fns(kind, cheb_off)
 
     def fns(pr, l, p_l, b, b2):
         inv, dr_r3 = shape(pr, l)
@@ -204,6 +224,18 @@ def _metric_kind_and_params(metric: Metric, dt, escape_radius, dtype):
     if isinstance(metric, ReissnerNordstromMetric):
         return "rn", row([dt, escape_radius, metric.m, metric.q * metric.q],
                          capture=metric.capture_radius)
+    from curvis_tpu.metrics.table import TabulatedMetric
+    if isinstance(metric, TabulatedMetric):
+        # user-defined metric via Chebyshev table (metrics/table.py): the
+        # base row carries s^2 in the metric-param slot; the coefficient
+        # tail rides after slot 10 (wrappers that splice their own extras
+        # into 6:10 re-append params[:, 10:], keeping the tail's offset a
+        # per-kernel constant — see _shape_fns cheb_off)
+        base = row([dt, escape_radius, metric.s * metric.s])
+        tail = jnp.concatenate([metric.c1, metric.c2]).astype(dtype)
+        suffix = "h" if metric.basis == "horner" else "c"
+        return (f"cheb{metric.degree}{suffix}",
+                jnp.concatenate([base, tail.reshape(1, -1)], axis=1))
     raise NotImplementedError(
         f"pallas march: unsupported metric {type(metric).__name__}")
 
@@ -318,7 +350,8 @@ def _march_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, tile_rows,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             row_spec(), row_spec(), row_spec(), row_spec(),
         ],
         out_specs=[row_spec()] * 5,
@@ -522,7 +555,8 @@ def _rk45_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, max_iters,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             row_spec(), row_spec(), row_spec(), row_spec(),
         ],
         out_specs=[row_spec()] * 5,
@@ -540,7 +574,8 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
                                            rays.l.dtype)
     params = jnp.concatenate(
         [params[:, :6],
-         jnp.asarray([[rtol, atol, dt_max, 0.0]], params.dtype)], axis=1)
+         jnp.asarray([[rtol, atol, dt_max, 0.0]], params.dtype),
+         params[:, 10:]], axis=1)
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES
@@ -689,7 +724,8 @@ def _disk_flat_arrays(kind, params, l, psi, p_l, b, c1, c2, *, max_steps,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 10), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ] + [row_spec()] * 6,
         out_specs=[row_spec()] * 9,
         out_shape=[f, f, f, i, i, f, f, f, f],
@@ -707,7 +743,8 @@ def march_planar_disk_pallas(metric: Metric, rays: PlanarRays, c1, c2, *, dt,
                                            rays.l.dtype)
     params = jnp.concatenate(
         [params[:, :6],
-         jnp.asarray([[r_inner, r_outer, 0.0, 0.0]], params.dtype)], axis=1)
+         jnp.asarray([[r_inner, r_outer, 0.0, 0.0]], params.dtype),
+         params[:, 10:]], axis=1)
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES
@@ -957,7 +994,8 @@ def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
              disk.spin_sign, disk.t_peak / f_peak]
     params = jnp.concatenate(
         [params[:, :6],
-         jnp.asarray([extra], params.dtype)], axis=1)     # (1, 16)
+         jnp.asarray([extra], params.dtype),
+         params[:, 10:]], axis=1)                         # (1, 16) + cheb tail
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES

@@ -1,0 +1,184 @@
+"""User-defined metrics at kernel speed: the Chebyshev tabulation path
+(metrics/table.py + ops/march_pallas kind 'cheb{K}{h|c}').
+
+The reference's whole extensibility surface is a 3-method trait
+(/root/reference/src/metrics.rs:42-44); these tests pin that an arbitrary
+user r(l) reaches every backend INCLUDING the Pallas kernels (VERDICT
+round-2 next-step #2), with measured fit accuracy and cross-backend parity.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import curvis_tpu as cv
+from curvis_tpu.camera.camera import pixel_rays_world
+from curvis_tpu.metrics.base import EllisMetric, InterstellarMetric, _register
+from curvis_tpu.metrics.table import tabulate_metric
+from curvis_tpu.physics import planar as pl
+
+
+@_register
+@dataclasses.dataclass(frozen=True)
+class BellWormhole:
+    """Asymmetric smooth wormhole: rho(l) = rho0 (1 + eps tanh(l/w)) — the
+    examples/custom_metric.py spacetime."""
+    rho0: jax.Array
+    eps: jax.Array
+    w: jax.Array
+
+    def _rho(self, l):
+        return self.rho0 * (1.0 + self.eps * jnp.tanh(l / self.w))
+
+    def r(self, l):
+        return jnp.sqrt(self.r_squared(l))
+
+    def r_squared(self, l):
+        rho = self._rho(l)
+        return rho * rho + l * l
+
+    def r_derivative(self, l):
+        rho = self._rho(l)
+        sech2 = 1.0 - jnp.tanh(l / self.w) ** 2
+        drho = self.rho0 * self.eps * sech2 / self.w
+        return (rho * drho + l) / self.r(l)
+
+
+def _bell():
+    return BellWormhole(rho0=jnp.asarray(1.0), eps=jnp.asarray(0.35),
+                        w=jnp.asarray(1.5))
+
+
+def test_fit_accuracy_ellis_spectral():
+    """Analytic metrics converge spectrally: Ellis at degree 14 fits to
+    ~1e-13 (the table is exact for practical purposes)."""
+    tab, rep = tabulate_metric(EllisMetric(rho=jnp.asarray(1.0)), degree=14)
+    assert rep["err_inv_rel"] < 1e-10 and rep["err_dr3_rel"] < 1e-10
+    l = jnp.linspace(-20.0, 20.0, 101)
+    np.testing.assert_allclose(np.asarray(tab.r(l)),
+                               np.sqrt(1.0 + np.asarray(l) ** 2), rtol=1e-5)
+
+
+def test_fit_reports_basis_and_meets_tol():
+    tab, rep = tabulate_metric(_bell(), degree=20)
+    assert rep["basis"] in ("horner", "clenshaw")
+    assert tab.basis == rep["basis"]
+    assert max(rep["err_inv_rel"], rep["err_dr3_rel"]) < 1e-4
+
+
+def test_fit_raises_on_insufficient_degree_and_r_zero():
+    with pytest.raises(ValueError, match="exceeds tol"):
+        tabulate_metric(_bell(), degree=8)
+    # DNEG's C^1 throat kink defeats a global polynomial — explicit failure,
+    # not silent inaccuracy (DNEG has its own hand-written kernel kind)
+    with pytest.raises(ValueError, match="exceeds tol"):
+        tabulate_metric(InterstellarMetric(m=jnp.asarray(0.5),
+                                           a=jnp.asarray(0.3),
+                                           rho=jnp.asarray(1.0)), degree=16)
+    with pytest.raises(ValueError, match="wormhole-class"):
+        tabulate_metric(lambda l: jnp.abs(l), degree=8)   # flat: r(0)=0
+
+
+def test_callable_front_door():
+    """A bare r(l) lambda works (derivative via autodiff)."""
+    tab, rep = tabulate_metric(lambda l: jnp.sqrt(1.0 + l * l), degree=14)
+    assert rep["err_inv_rel"] < 1e-10        # this IS Ellis rho=1
+
+
+def _march_all_backends(metric, kw):
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.05],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 24, 12,
+                         dtype=jnp.float64)
+    rays = pl.spawn_planar(metric, cam.position, pixel_rays_world(cam))
+    rays32 = pl.PlanarRays(*(a.astype(jnp.float32) for a in rays))
+    from curvis_tpu.ops.march_pallas import march_planar_pallas
+    a = pl.march_planar_while(metric, rays32, **kw)
+    b = march_planar_pallas(metric, rays32, interpret=True, sort=False,
+                            tile_rows=8, **kw)
+    return a, b
+
+
+@pytest.mark.parametrize("basis", ["clenshaw", "horner"])
+def test_pallas_kernel_matches_xla_on_table(basis):
+    """The cheb kernel kind == the XLA while-march on the SAME table
+    (identical polynomial algebra, f32): signs equal, psi to f32 march
+    accumulation error."""
+    tab, _ = tabulate_metric(_bell(), degree=20, basis=basis)
+    kw = dict(dt=0.05, max_steps=4000, escape_radius=20.0)
+    a, b = _march_all_backends(tab, kw)
+    np.testing.assert_array_equal(np.asarray(a.sign), np.asarray(b.sign))
+    esc = np.abs(np.asarray(a.sign)) == 1
+    assert np.abs(np.asarray(a.psi) - np.asarray(b.psi))[esc].max() < 1e-4
+
+
+def test_table_matches_original_metric():
+    """Marching the table == marching the user's exact r(l) (XLA both) to
+    the fit tolerance: the tabulation is faithful, not just self-consistent."""
+    bell = _bell()
+    tab, _ = tabulate_metric(bell, degree=20)
+    kw = dict(dt=0.05, max_steps=4000, escape_radius=20.0)
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.05],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 24, 12,
+                         dtype=jnp.float64)
+    rays = pl.spawn_planar(bell, cam.position, pixel_rays_world(cam))
+    res_e = pl.march_planar_while(bell, rays, **kw)
+    rays_t = pl.spawn_planar(tab, cam.position, pixel_rays_world(cam))
+    res_t = pl.march_planar_while(tab, rays_t, **kw)
+    agree = (np.asarray(res_e.sign) == np.asarray(res_t.sign))
+    assert agree.mean() > 0.97
+    esc = agree & (np.abs(np.asarray(res_e.sign)) == 1)
+    dpsi = np.abs(np.asarray(res_e.psi) - np.asarray(res_t.psi))[esc]
+    assert np.median(dpsi) < 1e-3 and (dpsi > 1e-2).mean() < 0.05
+
+
+def test_render_and_gradient_through_table():
+    """Full render with a TabulatedMetric + jax.grad w.r.t. the COEFFICIENT
+    table through the adjoint backward (the 'optimize the spacetime shape'
+    axis — no named parameters needed)."""
+    tab, _ = tabulate_metric(_bell(), degree=16, tol=1e-3)
+    rng = np.random.default_rng(0)
+    bg = cv.make_spherical_image(rng.random((16, 32, 3)), dtype=jnp.float64)
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.2, 0.1],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 16, 10,
+                         dtype=jnp.float64)
+    tab64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), tab)
+
+    def loss(t):
+        img = cv.render_direct(t, cam, bg, bg, method="planar",
+                               filtering="bilinear",
+                               differentiable="adjoint", dt=0.05,
+                               max_steps=2000, escape_radius=15.0)
+        return jnp.mean(img ** 2)
+
+    v, g = jax.value_and_grad(loss)(tab64)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g.c1)).all()
+    assert float(jnp.abs(g.c1).max()) > 0      # gradient actually flows
+    # FD check on one coefficient
+    eps = 1e-6
+    k = 2
+    bump = tab64.c1.at[k].add(eps)
+    v2 = loss(dataclasses.replace(tab64, c1=bump))
+    fd = (float(v2) - float(v)) / eps
+    np.testing.assert_allclose(float(g.c1[k]), fd, rtol=1e-3, atol=1e-12)
+
+
+def test_rk45_kernel_supports_table():
+    """The adaptive RK45 kernel takes the cheb kind through its spliced
+    param row (tail preservation)."""
+    from curvis_tpu.integrate.rk45 import march_planar_rk45
+    from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+    tab, _ = tabulate_metric(EllisMetric(rho=jnp.asarray(1.0)), degree=12)
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.0],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 16, 8,
+                         dtype=jnp.float64)
+    rays = pl.spawn_planar(tab, cam.position, pixel_rays_world(cam))
+    rays = pl.PlanarRays(*(a.astype(jnp.float32) for a in rays))
+    kw = dict(escape_radius=50.0, rtol=1e-5, atol=1e-7)
+    a = march_planar_rk45(tab, rays, **kw)
+    b = march_planar_rk45_pallas(tab, rays, interpret=True, tile_rows=8,
+                                 **kw)
+    np.testing.assert_array_equal(np.asarray(a.sign), np.asarray(b.sign))
+    assert np.abs(np.asarray(a.psi) - np.asarray(b.psi)).max() < 1e-3
