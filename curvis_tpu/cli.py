@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="equirect background for the negative-l side")
         sp.add_argument("output_folder", type=Path, nargs="?",
                         default=Path.cwd())
+        sp.add_argument("--settings", type=Path, default=None,
+                        help="ONE all-in-one TOML with [image] [video] "
+                             "[camera] [simulation] [metric] sections (any "
+                             "subset; the reference's wishlist item). "
+                             "Per-category flags below override their "
+                             "section.")
         sp.add_argument("-m", "--metric-settings", type=Path, default=None)
         sp.add_argument("-c", "--camera-settings", type=Path, default=None)
         sp.add_argument("-s", "--simulation-settings", type=Path,
@@ -155,17 +161,29 @@ def _load_common(args):
         from curvis_tpu.env.spherical_image import SphericalImage
         bgn = SphericalImage(texture=bgn.texture[:, ::-1],
                              rotation=bgn.rotation)
-    metric = MetricSettings.from_toml(args.metric_settings).make()
-    camera_s = CameraSettings.from_toml(args.camera_settings)
-    sim = SimulationSettings.from_toml(args.simulation_settings)
+    # one-file settings (wishlist): per-category flags override sections
+    allinone = None
+    if args.settings is not None:
+        from curvis_tpu.config.settings import load_settings
+        allinone = load_settings(args.settings)
+    metric = (MetricSettings.from_toml(args.metric_settings)
+              if args.metric_settings or allinone is None
+              else allinone.metric).make()
+    camera_s = (CameraSettings.from_toml(args.camera_settings)
+                if args.camera_settings or allinone is None
+                else allinone.camera)
+    sim = (SimulationSettings.from_toml(args.simulation_settings)
+           if args.simulation_settings or allinone is None
+           else allinone.simulation)
     args.output_folder.mkdir(parents=True, exist_ok=True)
-    return cvt, metric, bgp, bgn, camera_s, sim, dtype
+    return cvt, metric, bgp, bgn, camera_s, sim, dtype, allinone
 
 
 def image_main(args) -> int:
-    cvt, metric, bgp, bgn, camera_s, sim, dtype = _load_common(args)
+    cvt, metric, bgp, bgn, camera_s, sim, dtype, allinone = _load_common(args)
     from curvis_tpu.config.settings import ImageSettings
-    img_s = ImageSettings.from_toml(args.image_settings)
+    img_s = (ImageSettings.from_toml(args.image_settings)
+             if args.image_settings or allinone is None else allinone.image)
     camera = cvt.make_camera(img_s.position, img_s.forward, img_s.up,
                              camera_s.focal_length, camera_s.diagonal,
                              camera_s.resolution_x, camera_s.resolution_y,
@@ -224,12 +242,13 @@ def image_main(args) -> int:
 
 
 def video_main(args) -> int:
-    cvt, metric, bgp, bgn, camera_s, sim, dtype = _load_common(args)
+    cvt, metric, bgp, bgn, camera_s, sim, dtype, allinone = _load_common(args)
     from curvis_tpu.config.settings import VideoSettings
     from curvis_tpu.camera.path import load_path
     from curvis_tpu.render.video import render_video_frames
     from curvis_tpu.render.disk import DiskParams
-    vid_s = VideoSettings.from_toml(args.video_settings)
+    vid_s = (VideoSettings.from_toml(args.video_settings)
+             if args.video_settings or allinone is None else allinone.video)
     from curvis_tpu.metrics.kerr import KerrMetric, KerrNewmanMetric
     if isinstance(metric, (KerrMetric, KerrNewmanMetric)):
         args.renderer = "kerr"   # no symmetry reduction; bg2 unused

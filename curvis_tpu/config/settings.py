@@ -11,7 +11,11 @@ tomllib.  Differences from the reference, on purpose:
     accepted as an alias of the corrected `ray_integration_max_iterations`;
   - metric TOMLs may carry an explicit `kind = "ellis"|"interstellar"`; the
     reference's structural sniffing (try the Interstellar schema first, then
-    Ellis; cli.rs:233-261) is kept as the fallback.
+    Ellis; cli.rs:233-261) is kept as the fallback;
+  - one ALL-IN-ONE file (the reference's own wishlist item, README.md:117):
+    ``load_settings(path)`` reads a single TOML with ``[image] [video]
+    [camera] [simulation] [metric]`` sections — any subset; missing sections
+    take the packaged defaults — surfaced as ``--settings`` on the CLI.
 """
 from __future__ import annotations
 
@@ -215,11 +219,7 @@ class MetricSettings:
         return make_metric("interstellar", m=self.m, a=self.a, rho=self.rho)
 
     @classmethod
-    def from_toml(cls, path=None):
-        if path is None:
-            d = _default_toml("ellis_metric_settings.toml")
-            return cls(kind="ellis", **d).validate()
-        d = _load_toml(path)
+    def from_dict(cls, d, where="metric settings"):
         if "kind" in d:
             return cls(**d).validate()
         # structural sniffing, Interstellar schema first (cli.rs:233-261)
@@ -228,5 +228,66 @@ class MetricSettings:
         if set(d) == {"rho"}:
             return cls(kind="ellis", rho=d["rho"]).validate()
         raise SettingsError(
-            f"{path}: not a valid metric settings file (need kind=, or the "
-            f"Interstellar {{m,a,rho}} / Ellis {{rho}} schema)")
+            f"{where}: not a valid metric settings schema (need kind=, or "
+            f"the Interstellar {{m,a,rho}} / Ellis {{rho}} schema)")
+
+    @classmethod
+    def from_toml(cls, path=None):
+        if path is None:
+            d = _default_toml("ellis_metric_settings.toml")
+            return cls(kind="ellis", **d).validate()
+        return cls.from_dict(_load_toml(path), where=str(path))
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """All five categories from ONE file — the reference's wishlist item
+    'a single settings file' (/root/reference/README.md:117), which its
+    four-flag CLI never delivered."""
+    image: ImageSettings
+    video: VideoSettings
+    camera: CameraSettings
+    simulation: SimulationSettings
+    metric: MetricSettings
+
+
+_SECTIONS = ("image", "video", "camera", "simulation", "metric")
+
+
+def load_settings(path=None) -> Settings:
+    """Parse an all-in-one settings TOML.
+
+    Sections ``[image] [video] [camera] [simulation] [metric]`` — any
+    subset (missing ones take the packaged defaults); unknown sections are
+    an error, not a silent ignore.  Simulation accepts the reference's
+    typo'd iteration key; metric supports kind= or structural sniffing; a
+    relative video camera-path resolves against the settings file."""
+    d = _load_toml(path) if path else {}
+    unknown = set(d) - set(_SECTIONS)
+    if unknown:
+        raise SettingsError(
+            f"{path}: unknown settings section(s) {sorted(unknown)}; "
+            f"expected a subset of {list(_SECTIONS)}")
+
+    def sec(name):
+        return dict(d.get(name, {}))
+
+    sim = sec("simulation")
+    if "ray_integration_max_itarations" in sim:       # settings.rs:122 typo
+        sim["ray_integration_max_iterations"] = sim.pop(
+            "ray_integration_max_itarations")
+    vid = VideoSettings(**sec("video"))
+    if path and vid.filepath_to_camera_path \
+            and not Path(vid.filepath_to_camera_path).is_absolute():
+        rel = Path(path).parent / vid.filepath_to_camera_path
+        if rel.exists():
+            vid = dataclasses.replace(vid, filepath_to_camera_path=str(rel))
+    metric = (MetricSettings.from_dict(sec("metric"), where=f"{path}[metric]")
+              if "metric" in d else MetricSettings.from_toml(None))
+    return Settings(
+        image=ImageSettings(**sec("image")).validate(),
+        video=vid.validate(),
+        camera=CameraSettings(**sec("camera")).validate(),
+        simulation=SimulationSettings(**sim).validate(),
+        metric=metric,
+    )

@@ -37,15 +37,25 @@ def assemble_gif(folder, out_path, frame_rate=30.0):
 
 
 def assemble_mp4(folder, out_path, frame_rate=30.0):
+    """mp4 via ffmpeg's concat demuxer over the *actual* sorted frames —
+    unlike a frame_%d.png input pattern, this tolerates gapped or
+    non-zero-start indices (which a resumed render can produce)."""
     if shutil.which("ffmpeg") is None:
         raise RuntimeError("ffmpeg not available; use assemble_gif or the "
                            "frames directly")
     frames = sorted_frames(folder)
     if not frames:
         raise FileNotFoundError(f"no frame_<i>.png files in {folder}")
-    subprocess.run(
-        ["ffmpeg", "-y", "-framerate", str(frame_rate), "-i",
-         str(Path(folder) / "frame_%d.png"), "-pix_fmt", "yuv420p",
-         str(out_path)],
-        check=True, capture_output=True)
+    lst = Path(folder) / ".concat_frames.txt"
+    lst.write_text("".join(
+        f"file '{p.resolve()}'\nduration {1.0 / frame_rate}\n"
+        for p in frames) + f"file '{frames[-1].resolve()}'\n")
+    try:
+        subprocess.run(
+            ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", str(lst),
+             "-vf", f"fps={frame_rate}", "-pix_fmt", "yuv420p",
+             str(out_path)],
+            check=True, capture_output=True)
+    finally:
+        lst.unlink(missing_ok=True)
     return Path(out_path)

@@ -48,6 +48,32 @@ def test_cli_image_ellis_direct(scene):
     assert (img.sum(-1) > 0).mean() > 0.9         # wormhole view: no shadow
 
 
+def test_cli_image_single_settings_file(scene):
+    """--settings ONE.toml drives every category at once (the reference's
+    wishlist item, README.md:117); a per-category flag still overrides."""
+    (scene / "all.toml").write_text(
+        "[camera]\nresolution_x = 24\nresolution_y = 16\n"
+        "[simulation]\nescape_radius = 20.0\n"
+        "ray_integration_max_iterations = 3000\n"
+        "[metric]\nrho = 1.0\n"
+        "[image]\nimage_name = \"one_file\"\n")
+    args = ["image", str(scene / "bg1.png"), str(scene / "bg2.png"),
+            str(scene / "out"), "--settings", str(scene / "all.toml"),
+            "--renderer", "direct", "--f64"]
+    assert main(args) == 0
+    p = scene / "out" / "one_file.png"
+    assert p.exists()
+    img = np.asarray(Image.open(p), dtype=np.float64) / 255.0
+    assert img.shape == (16, 24, 3)
+    assert (img.sum(-1) > 0).mean() > 0.9
+
+    # -m overrides the [metric] section but keeps the rest of the file
+    (scene / "m2.toml").write_text("rho = 2.0\n")
+    assert main(args + ["-m", str(scene / "m2.toml")]) == 0
+    img2 = np.asarray(Image.open(p), dtype=np.float64) / 255.0
+    assert (img2 != img).any()          # different throat -> different image
+
+
 def test_cli_image_symmetric_default(scene):
     assert main(_image_args(scene, 'kind = "ellis"\nrho = 1.0\n')) == 0
     _out_image(scene)

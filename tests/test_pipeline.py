@@ -97,6 +97,50 @@ def test_settings_typo_alias_and_sniffing(tmp_path):
     assert MetricSettings.from_toml(f3).kind == "ellis"
 
 
+def test_settings_all_in_one(tmp_path):
+    """ONE settings file (the reference's wishlist, README.md:117): any
+    subset of sections, defaults for the rest, typo alias + metric
+    sniffing still honored, relative camera path resolved against the
+    file, unknown sections rejected."""
+    from curvis_tpu.config.settings import load_settings
+    (tmp_path / "orbit.csv").write_text(
+        "t,l,theta,phi,fx,fy,fz,ux,uy,uz\n"
+        "0,5,1.5707963,0,-1,0,0,0,0,1\n"
+        "1,5,1.5707963,0.1,-1,0,0,0,0,1\n")
+    f = tmp_path / "all.toml"
+    f.write_text(
+        "[camera]\nresolution_x = 24\nresolution_y = 16\n"
+        "diagonal = 43.0\nfocal_length = 15.0\n"
+        "[simulation]\nescape_radius = 20.0\n"
+        "ray_integration_max_itarations = 3000\n"    # reference typo
+        "[metric]\nm = 0.2\na = 0.001\nrho = 2.0\n"  # sniffed interstellar
+        "[video]\nvideo_name = \"clip\"\n"
+        "filepath_to_camera_path = \"orbit.csv\"\n")
+    s = load_settings(f)
+    assert (s.camera.resolution_x, s.camera.resolution_y) == (24, 16)
+    assert s.simulation.ray_integration_max_iterations == 3000
+    assert s.simulation.ray_integration_step == 0.05      # default kept
+    assert s.metric.kind == "interstellar" and s.metric.m == 0.2
+    assert s.video.filepath_to_camera_path == str(tmp_path / "orbit.csv")
+    assert s.image.image_name == "output_image"           # whole default
+
+    # empty path -> all defaults
+    d = load_settings(None)
+    assert d.camera.resolution_x == 960 and d.metric.kind == "ellis"
+
+    # unknown section is an error, not a silent ignore
+    g = tmp_path / "bad.toml"
+    g.write_text("[cam]\nresolution_x = 8\n")
+    with pytest.raises(SettingsError, match="unknown settings section"):
+        load_settings(g)
+
+    # section values are validated like the per-file loaders
+    h = tmp_path / "badval.toml"
+    h.write_text("[camera]\nresolution_x = 0\n")
+    with pytest.raises(SettingsError):
+        load_settings(h)
+
+
 def test_settings_validation():
     with pytest.raises(SettingsError):
         CameraSettings(resolution_x=0).validate()
