@@ -107,51 +107,48 @@ def _shape_fns(kind: str, cheb_off: int = 10):
     if kind == "interstellar":
         def fns(pr, l):
             m, a, rho = pr[0, 2], pr[0, 3], pr[0, 4]
-            # Lean DNEG shape: ONE divide, ONE log, two shared-variable
-            # degree-9 polys (~5e-9 abs, fitted on z in [0,1]) vs the
-            # original _atan_poly + jnp.log formulation (2 divides + wider
-            # selects) — measured ~1.5x per-step win on the chip.
+            # Lean DNEG shape, round-3 budgeted form: ONE divide, ONE log,
+            # one degree-6 poly (~30 VPU ops vs the round-2 ~43).  The old
+            # degree-9 ln1p poly paid ~10 VPU ops NEXT TO a hardware log
+            # that costs one op-equivalent (NEXT.md latency measurements);
+            # and the branch-split log collapses exactly —
+            # (1+v^2)*max(x,1)^2 == 1+x^2 in both branches — so
+            # L = log(1+x^2) directly (f32 abs err <= ~1e-7 in L ->
+            # ~1e-8*m in r).  atan keeps a poly (no Mosaic lowering),
+            # refit at degree 6: 1.2e-6 abs in f32 Horner — measured, and
+            # ~3 decades under the p99 3e-3 rad deflection budget.
             c = 2.0 / (jnp.pi * m)       # scalar; Mosaic hoists out of loop
             u = jnp.abs(l)
             # inside-throat clamp replaces the outside-select: at x = 0,
             # G = atan = 0 gives r = rho, r' = 0 exactly (metrics.rs:461-487)
             x = jnp.maximum(c * (u - a), 0.0)
-            big = x > 1.0
-            w = 1.0 / jnp.maximum(x, 1.0)
-            v = jnp.where(big, w, x)     # in [0, 1]
+            v = jnp.minimum(x, 1.0 / jnp.maximum(x, 1.0))   # in [0, 1]
             z = v * v
-            pa = _ATAN9[-1]
-            for k in range(len(_ATAN9) - 2, -1, -1):
-                pa = pa * z + _ATAN9[k]
-            av = v * pa                                  # atan(v)
-            atx = jnp.where(big, jnp.pi / 2 - av, av)    # atan(x)
-            pl_ = _LN1P9[-1]
-            for k in range(len(_LN1P9) - 2, -1, -1):
-                pl_ = pl_ * z + _LN1P9[k]
-            # ln(1+x^2): small branch ln(1+z) directly; big branch
-            # ln(1+w^2) + 2 ln x (the max() makes the log term vanish when
-            # x <= 1 — no select needed)
-            L = z * pl_ + 2.0 * jnp.log(jnp.maximum(x, 1.0))
-            r = rho + m * (x * atx - 0.5 * L)
-            dr = (2.0 / jnp.pi) * jnp.where(l < 0, -atx, atx)
-            r2 = r * r
-            inv = 1.0 / r2
-            return inv, dr * inv * (inv * r)             # 1/r^3 = inv^2 * r
+            # the 2/pi of r' is folded INTO the poly (atx2 = (2/pi)atan(x),
+            # its pi/2 big-branch offset rescaling to exactly 1), and the
+            # m*pi/2 factor that restores x*atan(x) hoists into a scalar
+            pa = _ATAN6[-1] * (2.0 / jnp.pi)
+            for k in range(len(_ATAN6) - 2, -1, -1):
+                pa = pa * z + _ATAN6[k] * (2.0 / jnp.pi)
+            av = v * pa                                  # (2/pi) atan(v)
+            atx2 = jnp.where(x > 1.0, 1.0 - av, av)      # (2/pi) atan(x)
+            L = jnp.log(1.0 + x * x)
+            r = (rho + (0.5 * jnp.pi * m) * (x * atx2)) - (0.5 * m) * L
+            dr = jnp.where(l < 0, -atx2, atx2)
+            ir = 1.0 / r
+            inv = ir * ir
+            return inv, dr * inv * ir                    # r'/r^3
         return fns
     raise NotImplementedError(f"pallas march: unsupported metric kind {kind!r}")
 
 
-# Degree-9 Chebyshev-fitted coefficients (increasing order) for
-# atan(sqrt(z))/sqrt(z) and log1p(z)/z on z in [0, 1]; max abs error
-# 5.0e-9 / 9.4e-9 — below f32 ulp of the results.
-_ATAN9 = (0.9999999930681223, -0.3333325401434509, 0.19997749534935116,
-          -0.14257985979064222, 0.10926051138474766, -0.08339973988810533,
-          0.057033290753867365, -0.030383644600901625, 0.01054393399811085,
-          -0.0017212817087554936)
-_LN1P9 = (0.9999999869643131, -0.4999985080344714, 0.3332909904746662,
-          -0.24947808762798993, 0.1965149172763331, -0.15251451242106154,
-          0.10533228307549712, -0.05643502942508106, 0.019649167290197847,
-          -0.003214036352274929)
+# Degree-6 Chebyshev-fitted coefficients (increasing order) for
+# atan(sqrt(z))/sqrt(z) on z in [0, 1]; 1.2e-6 measured max abs error of
+# the full f32 Horner atan(v) — ~3 decades under the p99 3e-3 rad
+# deflection budget the far-accel mode already accepts.
+_ATAN6 = (0.9999983985602714, -0.33323850415643685, 0.1986180494015639,
+          -0.13427489049705943, 0.08302167871342245, -0.03645597268332047,
+          0.0077305593796934136)
 
 
 def _deriv_fns(kind: str, cheb_off: int = 10):
@@ -362,11 +359,19 @@ def _march_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, tile_rows,
 
 def march_planar_pallas(metric: Metric, rays: PlanarRays, *, dt, max_steps,
                         escape_radius, stepper="euler", tile_rows=64,
-                        unroll=8, sort=True, interpret=False) -> PlanarResult:
+                        unroll=None, sort=True,
+                        interpret=False) -> PlanarResult:
     """Pallas planar march with the same contract as march_planar_tiled."""
     if stepper != "euler":
         raise NotImplementedError("pallas march currently implements the "
                                   "(reference-parity) Euler stepper")
+    kind, params = _metric_kind_and_params(metric, dt, escape_radius,
+                                           rays.l.dtype)
+    if unroll is None:
+        # measured on the chip (1024^2 x4 bundle, tile_rows=64): heavy
+        # shapes want deeper unroll — DNEG 29.2 Mrays/s @16 vs 28.3 @8;
+        # Ellis prefers 8 (round-2 sweep, unroll 16/32 slightly worse)
+        unroll = 16 if kind == "interstellar" else 8
     # The kernel's masked phase gates only on sign, so the iteration bound
     # must hit max_steps exactly: shrink unroll to a divisor rather than
     # rounding the cap up (an overshoot would let a ray escape with sign +-1
@@ -374,8 +379,6 @@ def march_planar_pallas(metric: Metric, rays: PlanarRays, *, dt, max_steps,
     # tests/test_planar.py::test_backends_agree_at_step_cap).
     while max_steps % unroll:
         unroll //= 2
-    kind, params = _metric_kind_and_params(metric, dt, escape_radius,
-                                           rays.l.dtype)
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES
