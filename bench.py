@@ -105,10 +105,14 @@ def main():
     @jax.jit
     def render(metric, cam, bgp, bgn):
         # nearest filtering = the reference's lookup semantics (images.rs:115)
+        # tile_rows=32/unroll=8: round-3 sweep of the FUSED kernel at this
+        # config — 44.6 Mrays/s vs 43.1 (32/16) / 42.1 (64/8) / 40.0
+        # (64/16).  NEXT.md's 64/8 optimum is for the non-fused march
+        # kernel; the two kernels peak at different schedules.
         return render_planar_fused(metric, cam, bgp, bgn, dt=0.05,
                                    max_steps=40_000, escape_radius=100.0,
                                    filtering="nearest", tile_rows=32,
-                                   unroll=16)
+                                   unroll=8)
 
     # Sustained-throughput variant: FRAMES distinct camera poses rendered in
     # one device call (the video-workload shape) — amortizes the fixed
@@ -126,7 +130,7 @@ def main():
             out = out + jnp.mean(render_planar_fused(
                 metric, cam, bgp, bgn, dt=0.05, max_steps=40_000,
                 escape_radius=100.0, filtering="nearest", tile_rows=32,
-                unroll=16))
+                unroll=8))
         return out
 
     # Timing uses a scalar fetch: a mean over every pixel forces the full

@@ -212,6 +212,38 @@ def gate_kerr(charged=False):
             "ok": bool(agree >= 0.95 and mm <= 0.05)}
 
 
+def gate_kerr_rk45():
+    """Error-controlled BL march: the Pallas DP5(4) kernel (compiled) vs
+    its XLA twin — same tableau/norm/controller, so accepted-step counts
+    must agree ray-for-ray up to f32 round-off flips at the accept
+    threshold; escape states compared by mismatch fraction."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.integrate.rk45 import march_kerr_rk45
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
+    from curvis_tpu.physics import hamiltonian as ham
+    metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
+                        a=jnp.asarray(0.9, jnp.float32))
+    x0, p0 = _kerr_bundle(metric)
+    kw = dict(escape_radius=60.0, rtol=1e-4, atol=1e-7, max_steps=4_000)
+    res = jax.jit(lambda m, x, p: march_kerr_rk45(
+        m, x, p, capture_radius=m.capture_radius, **kw))(metric, x0, p0)
+    x_k, _, sign_k, _ = jax.jit(lambda m, x, p: march_kerr_rk45_pallas(
+        m, x, p, interpret=_ipret(), **kw))(metric, x0, p0)
+    sa, sk = np.asarray(res.sign), np.asarray(sign_k)
+    agree = float((sa == sk).mean())
+    esc = (sa == sk) & (sa == 1)
+    if esc.sum():
+        dth = np.abs(np.asarray(res.x[:, 2])[esc]
+                     - np.asarray(x_k[:, 2])[esc])
+        mm = float((dth > 1e-2).mean())
+    else:
+        mm = 1.0
+    return {"sign_agree": round(agree, 4), "theta_mismatch": round(mm, 4),
+            "ok": bool(agree >= 0.95 and mm <= 0.05)}
+
+
 def gate_table():
     """User-metric kernel path (metrics/table.py): the Chebyshev-table
     Pallas march (kind 'cheb{K}', compiled) vs the XLA while marcher
@@ -287,6 +319,7 @@ GATES = {
     "volumetric": gate_volumetric,
     "kerr": lambda: gate_kerr(False),
     "kn": lambda: gate_kerr(True),
+    "kerr_rk45": gate_kerr_rk45,
     "table": gate_table,
     "adjoint": gate_adjoint,
 }

@@ -136,3 +136,136 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
     # -128 marks rays stopped at max_steps -> NotEscaped (sign 0)
     sign = jnp.where(sign == -128, 0, sign)
     return PlanarResult(l, psi, p_l, sign, steps)
+
+
+def march_kerr_rk45(metric, x0, p0, *, escape_radius, capture_radius=None,
+                    max_steps=4_000, rtol=1e-4, atol=1e-7, dt0=0.1,
+                    dt_min=1e-5, dt_max=None, max_iters=None):
+    """Error-controlled Boyer-Lindquist march: Dormand-Prince 5(4) with
+    per-ray adaptive dt on the general Hamiltonian flow (Kerr/Kerr-Newman/
+    any metric physics/hamiltonian.py accepts).
+
+    Replaces the fixed-RK4 marchers' hand-tuned dt heuristics (axis band,
+    far-field growth) with an embedded-pair error estimate: near-axis and
+    near-horizon stiffness REJECTS steps and shrinks dt, the flat far field
+    grows dt up to ``dt_max`` — so accuracy is bounded by (rtol, atol)
+    everywhere instead of characterized at one config (VERDICT round-2
+    next-step #5).  The error norm runs over (r, theta, p_r, p_theta);
+    (E, L) = (-p_t, p_phi) are conserved exactly by the flow, and phi is
+    excluded (see the in-line note).  A ray whose error stays infinite/NaN at
+    ``dt_min`` (horizon-diving trial states) freezes with sign 3, the
+    blowup sentinel shared with the fixed-step marchers.
+
+    Same result contract as ham.march_hamiltonian; ``steps`` counts
+    ACCEPTED steps.  The Pallas kernel twin
+    (ops/march_pallas.march_kerr_rk45_pallas) implements the identical
+    tableau, norm and controller.
+    """
+    from curvis_tpu.physics.hamiltonian import (HamiltonianResult,
+                                                _rhs_batched)
+    dtype = x0.dtype
+    R = jnp.asarray(escape_radius, dtype)
+    if capture_radius is None:
+        capture_radius = getattr(metric, "capture_radius", None)
+    if dt_max is None:
+        dt_max = escape_radius / 8.0        # traced-safe
+    if max_iters is None:
+        max_iters = 4 * max_steps
+    shape = x0.shape[:-1]
+
+    def body(c):
+        x, p, dt, sign, steps, it = c
+        active = sign == 0
+        dte = dt[..., None]
+
+        ks = []                                  # 7 stages of (dx, dp)
+        for i in range(7):
+            xi = x
+            pi_ = p
+            for j, a in enumerate(_A[i]):
+                xi = xi + dte * a * ks[j][0]
+                pi_ = pi_ + dte * a * ks[j][1]
+            ks.append(_rhs_batched(metric, xi, pi_))
+
+        def comb(weights, comp):
+            acc = jnp.zeros_like(x)
+            for w, k in zip(weights, ks):
+                if w != 0.0:
+                    acc = acc + w * k[comp]
+            return acc
+
+        x5 = x + dte * comb(_B5, 0)
+        p5 = p + dte * comb(_B5, 1)
+        x4 = x + dte * comb(_B4, 0)
+        p4 = p + dte * comb(_B4, 1)
+
+        def err_comp(y5, y4, y0):
+            return jnp.abs(y5 - y4) / (atol + rtol * jnp.maximum(
+                jnp.abs(y0), jnp.abs(y5)))
+
+        # norm over (r, theta, p_r, p_theta); phi is excluded on purpose —
+        # its near-axis d(phi) spikes are coordinate artifacts (phi is
+        # degenerate there), and the Pallas twin uses the identical norm
+        err = jnp.maximum(
+            jnp.max(err_comp(x5[..., 1:3], x4[..., 1:3], x[..., 1:3]),
+                    axis=-1),
+            jnp.max(err_comp(p5[..., 1:3], p4[..., 1:3], p[..., 1:3]),
+                    axis=-1))
+        accept = active & (err <= 1.0)
+        # boundary-stepping at escape: a dt_max far-field step can overshoot
+        # R by several M, and reading the direction that far out (or
+        # linearly lerping the state back) costs ~1e-4 rad.  Instead REJECT
+        # a grossly overshooting trial and retry with dt scaled to land
+        # just past R — the final step keeps full DP5 accuracy and the
+        # overshoot shrinks to ~5% of the remaining distance (one extra
+        # iteration for escaping rays; same rule in the Pallas kernel).
+        esc_i = accept & (x5[..., 1] > R)
+        denom = x5[..., 1] - x[..., 1]
+        denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+        frac = (R - x[..., 1]) / denom
+        over = esc_i & (frac < 0.9)
+        accept = accept & ~over
+        esc_i = esc_i & ~over
+        am = accept[..., None]
+        x = jnp.where(am, x5, x)
+        p = jnp.where(am, p5, p)
+
+        r = x[..., 1]
+        m_chk = (jnp.abs(r) + jnp.abs(x[..., 2]) + jnp.abs(x[..., 3])
+                 + jnp.abs(p[..., 1]) + jnp.abs(p[..., 2]))
+        ok = m_chk <= 1e8
+        # escape from the PRE-lerp flag: the interpolation parks r exactly
+        # ON R, which a post-writeback r > R test would miss
+        sign = jnp.where(accept & ok & esc_i, 1, sign)
+        if capture_radius is not None:
+            sign = jnp.where(accept & ok & (r < capture_radius), 2, sign)
+        sign = jnp.where(accept & ~ok, 3, sign)
+        # a reject at dt_min can never pass (the controller cannot shrink
+        # further) -> freeze as blowup instead of spinning to max_iters
+        # (boundary-stepping rejects excluded: their retry dt is chosen
+        # directly, not by the controller)
+        stalled = active & ~accept & ~over & (dt <= dt_min * 1.01)
+        sign = jnp.where(stalled, 3, sign)
+        steps = steps + accept.astype(jnp.int32)
+
+        err_safe = jnp.maximum(err, 1e-10)
+        factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(err_safe)), 0.2, 5.0)
+        factor = jnp.where(jnp.isfinite(factor), factor, 0.2)  # NaN err
+        dt_b = jnp.clip(dt * frac * 1.05, dt_min, dt_max)  # pre-controller dt
+        dt = jnp.where(active & (sign == 0),
+                       jnp.clip(dt * factor, dt_min, dt_max), dt)
+        dt = jnp.where(over & (sign == 0), dt_b, dt)
+        over = (sign == 0) & (steps >= max_steps)
+        sign = jnp.where(over, -128, sign)
+        return x, p, dt, sign, steps, it + 1
+
+    def cond(c):
+        _, _, _, sign, _, it = c
+        return (it < max_iters) & jnp.any(sign == 0)
+
+    init = (x0, p0, jnp.full(shape, dt0, dtype),
+            jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
+            jnp.int32(0))
+    x, p, _, sign, steps, _ = lax.while_loop(cond, body, init)
+    sign = jnp.where(sign == -128, 0, sign)
+    return HamiltonianResult(x, p, sign, steps)

@@ -1414,3 +1414,262 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     if disk is not None:
         return x, p, sign, steps, (outs[7], outs[8])
     return x, p, sign, steps
+
+
+# ---------------------------------------------------------------------------
+# Adaptive Kerr kernel: Dormand-Prince 5(4) on the 5-state BL flow with
+# per-ray dt and accept/reject — error-controlled stepping instead of the
+# fixed-RK4 kernel's hand-tuned axis/far heuristics (VERDICT round-2
+# next-step #5).  Same tableau, error norm and controller as the XLA twin
+# (integrate/rk45.py:march_kerr_rk45), so cross-backend parity is by
+# construction; same escape/capture/blowup sentinels as _kerr_kernel.
+# ---------------------------------------------------------------------------
+
+def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
+                      track_disk: bool,
+                      params_ref, r_ref, th_ref, ph_ref, pr_ref, pth_ref,
+                      E_ref, L_ref, *out_refs):
+    R = params_ref[0, 1]
+    M = params_ref[0, 2]
+    a = params_ref[0, 3]
+    q2 = params_ref[0, 4]
+    r_cap = params_ref[0, 5]
+    r_in = params_ref[0, 6]
+    r_out = params_ref[0, 7]
+    rtol = params_ref[0, 8]
+    atol = params_ref[0, 9]
+    dt_max = params_ref[0, 10]
+    dt_min = params_ref[0, 11]
+
+    r = r_ref[:]
+    th = th_ref[:]
+    ph = ph_ref[:]
+    p_r = pr_ref[:]
+    p_th = pth_ref[:]
+    E = E_ref[:]
+    L = L_ref[:]
+    one = jnp.ones_like(r)
+    zero = jnp.zeros_like(r)
+    sign = jnp.zeros_like(r)
+    steps = jnp.zeros_like(r)
+    dt = jnp.full_like(r, 1.0) * params_ref[0, 0]
+    ct_prev = jnp.cos(th)
+    h1 = jnp.zeros_like(r)
+    h2 = jnp.zeros_like(r)
+
+    def cond(c):
+        return (c[-1] < max_iters) & jnp.any(c[6] == 0.0)
+
+    def body(c):
+        r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2, it = c
+        for _ in range(unroll):
+            alive = sign == 0.0
+            ks = []
+            for i in range(7):
+                ri, ti, pri, pti = r, th, p_r, p_th
+                for j, aa in enumerate(_DP_A[i]):
+                    ri = ri + dt * aa * ks[j][0]
+                    ti = ti + dt * aa * ks[j][1]
+                    pri = pri + dt * aa * ks[j][3]
+                    pti = pti + dt * aa * ks[j][4]
+                ks.append(_kerr_rhs(M, a, q2, E, L, ri, ti, pri, pti))
+
+            def comb(w, comp):
+                acc = zero
+                for wi, k in zip(w, ks):
+                    if wi != 0.0:
+                        acc = acc + wi * k[comp]
+                return acc
+
+            d5 = [comb(_DP_B5, i) for i in range(5)]
+            e = [d5[i] - comb(_DP_B4, i) for i in (0, 1, 3, 4)]
+            r1 = r + dt * d5[0]
+            th1 = th + dt * d5[1]
+            ph1 = ph + dt * d5[2]
+            pr1 = p_r + dt * d5[3]
+            pth1 = p_th + dt * d5[4]
+
+            def ec(ei, y0, y1):
+                return jnp.abs(dt * ei) / (atol + rtol * jnp.maximum(
+                    jnp.abs(y0), jnp.abs(y1)))
+
+            err = jnp.maximum(
+                jnp.maximum(ec(e[0], r, r1), ec(e[1], th, th1)),
+                jnp.maximum(ec(e[2], p_r, pr1), ec(e[3], p_th, pth1)))
+            accept = alive & (err <= 1.0)
+            # boundary-stepping at escape (same rule as the XLA twin): a
+            # grossly overshooting trial is REJECTED and retried with dt
+            # scaled to land just past R, keeping full DP5 accuracy on the
+            # final step instead of reading the direction several M out
+            esc_i = accept & (r1 > R)
+            den = r1 - r
+            den = jnp.where(jnp.abs(den) < 1e-30, one, den)
+            frac = (R - r) / den
+            over = esc_i & (frac < 0.9)
+            accept = accept & ~over
+            esc_i = esc_i & ~over
+
+            if track_disk:
+                # NB: local names must not shadow the boundary-stepping
+                # (den, frac) above — dt_b below still reads them
+                ct = jnp.cos(th1)
+                crossed = jnp.where(accept & (ct_prev * ct < 0.0), one, zero)
+                cden = jnp.abs(ct_prev) + jnp.abs(ct)
+                cfrac = jnp.abs(ct_prev) / jnp.maximum(cden, 1e-30)
+                r_hit = r + cfrac * (r1 - r)
+                in_disk = crossed * jnp.where(r_hit >= r_in, one, zero) \
+                    * jnp.where(r_hit <= r_out, one, zero)
+                new1 = in_disk * jnp.where(h1 == 0.0, one, zero)
+                new2 = in_disk * jnp.where(h1 != 0.0, one, zero) \
+                    * jnp.where(h2 == 0.0, one, zero)
+                h1 = jnp.where(new1 > 0.5, r_hit, h1)
+                h2 = jnp.where(new2 > 0.5, r_hit, h2)
+                ct_prev = jnp.where(accept, ct, ct_prev)
+
+            # select-gated writeback (frozen/rejected rays keep their state;
+            # 0 * inf safety, same invariant as the fixed-step kernel)
+            r = jnp.where(accept, r1, r)
+            th = jnp.where(accept, th1, th)
+            ph = jnp.where(accept, ph1, ph)
+            p_r = jnp.where(accept, pr1, p_r)
+            p_th = jnp.where(accept, pth1, p_th)
+
+            m_chk = (jnp.abs(r) + jnp.abs(th) + jnp.abs(ph)
+                     + jnp.abs(p_r) + jnp.abs(p_th))
+            ok = jnp.where(m_chk <= 1e8, one, zero)
+            acc_f = jnp.where(accept, one, zero)
+            esc_f = jnp.where(esc_i, one, zero)
+            sign = sign + acc_f * (ok * (esc_f
+                                         + 2.0 * jnp.where(r < r_cap, one,
+                                                           zero))
+                                   + 3.0 * (one - ok))
+            # a reject at dt_min can never pass -> blowup freeze (the XLA
+            # twin's 'stalled' rule; NaN err rejects land here too;
+            # boundary-stepping rejects excluded — their retry dt is set
+            # directly below)
+            stalled = alive & ~accept & ~over & (dt <= dt_min * 1.01)
+            sign = jnp.where(stalled, 3.0, sign)
+            steps = steps + acc_f
+
+            err_s = jnp.maximum(err, 1e-10)
+            factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(err_s)), 0.2, 5.0)
+            factor = jnp.where(factor > 0.0, factor, 0.2)   # NaN err -> 0.2
+            dt_b = jnp.clip(dt * frac * 1.05, dt_min, dt_max)
+            live = alive & (sign == 0.0)
+            dt = jnp.where(live, jnp.clip(dt * factor, dt_min, dt_max), dt)
+            dt = jnp.where(over & (sign == 0.0), dt_b, dt)
+            if track_disk:
+                # thin-disk crossings need base resolution inside the disk
+                # region: a multi-unit adaptive step can contain a FULL
+                # theta oscillation (plane crossed in and out, same-sign
+                # cos(theta) endpoints) that the crossing detector cannot
+                # see — same guard radius the fixed path's far_accel uses
+                near = r < (r_out + 2.0 * M)
+                dt = jnp.where(near & (sign == 0.0),
+                               jnp.minimum(dt, params_ref[0, 0]), dt)
+            # step-cap freeze with the planar-rk45 sentinel (iterations !=
+            # steps here, so the cond cannot bound steps by itself)
+            sign = jnp.where((sign == 0.0) & (steps >= max_steps), -128.0,
+                             sign)
+        return r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2, \
+            it + unroll
+
+    out = lax.while_loop(cond, body, (r, th, ph, p_r, p_th, dt, sign, steps,
+                                      ct_prev, h1, h2, jnp.int32(0)))
+    r, th, ph, p_r, p_th, _, sign, steps, _, h1, h2 = out[:11]
+    sign = jnp.where(sign == -128.0, 0.0, sign)
+    out_refs[0][:] = r
+    out_refs[1][:] = th
+    out_refs[2][:] = ph
+    out_refs[3][:] = p_r
+    out_refs[4][:] = p_th
+    out_refs[5][:] = sign.astype(jnp.int32)
+    out_refs[6][:] = steps.astype(jnp.int32)
+    if track_disk:
+        out_refs[7][:] = h1
+        out_refs[8][:] = h2
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "max_iters",
+                                             "tile_rows", "unroll",
+                                             "track_disk", "interpret"))
+def _kerr_rk45_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
+                           max_iters, tile_rows, unroll, track_disk,
+                           interpret=False):
+    n_rows = r.shape[0]
+    grid = (n_rows // tile_rows,)
+    dtype = r.dtype
+
+    def row_spec():
+        return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kerr_rk45_kernel, max_steps, max_iters,
+                               unroll, track_disk)
+    f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
+    i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
+    out_shape = [f, f, f, f, f, i32, i32]
+    if track_disk:
+        out_shape += [f, f]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [row_spec()] * 7,
+        out_specs=[row_spec()] * len(out_shape),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(params, r, th, ph, p_r, p_th, E, L)
+
+
+def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
+                           max_iters=None, escape_radius, rtol=1e-4,
+                           atol=1e-7, dt_min=1e-5, dt_max=None,
+                           capture_radius=None, disk=None, tile_rows=32,
+                           unroll=2, interpret=False):
+    """Error-controlled Pallas Kerr/KN march — the kernel twin of
+    integrate/rk45.py:march_kerr_rk45 (same contract as march_kerr_pallas;
+    ``steps`` counts accepted steps).  ``unroll >= 2`` dodges the v5e
+    Mosaic relayout bug of unroll=1 while-loop carries."""
+    unroll = max(2, unroll)
+    dtype = x0.dtype
+    if capture_radius is None:
+        capture_radius = metric.capture_radius
+    if dt_max is None:
+        dt_max = escape_radius / 8.0        # traced-safe (rides the SMEM row)
+    if max_iters is None:
+        max_iters = 4 * max_steps
+    r_in, r_out = disk if disk is not None else (0.0, 0.0)
+    q = getattr(metric, "q", 0.0)
+    vals = [dt0, escape_radius, metric.m, metric.a, q * q, capture_radius,
+            r_in, r_out, rtol, atol, dt_max, dt_min]
+    params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
+                       ).reshape(1, len(vals))
+
+    n = x0.shape[0]
+    block = tile_rows * LANES
+    n_pad = -(-n // block) * block
+
+    def pad(a):
+        a = a.reshape(-1)
+        return jnp.concatenate([a, jnp.full((n_pad - n,), a[0], a.dtype)])
+
+    arrs = [pad(v) for v in (x0[:, 1], x0[:, 2], x0[:, 3],
+                             p0[:, 1], p0[:, 2], -p0[:, 0], p0[:, 3])]
+    shape2 = (n_pad // LANES, LANES)
+    outs = _kerr_rk45_flat_arrays(
+        params, *(a.reshape(shape2) for a in arrs),
+        max_steps=max_steps, max_iters=max_iters, tile_rows=tile_rows,
+        unroll=unroll, track_disk=disk is not None, interpret=interpret)
+    outs = [a.reshape(-1)[:n] for a in outs]
+    r, th, ph, p_r, p_th, sign, steps = outs[:7]
+    zero = jnp.zeros_like(r)
+    x = jnp.stack([zero, r, th, ph], axis=-1)
+    E = -p0[:, 0]
+    L = p0[:, 3]
+    p = jnp.stack([-E, p_r, p_th, L], axis=-1)
+    if disk is not None:
+        return x, p, sign, steps, (outs[7], outs[8])
+    return x, p, sign, steps

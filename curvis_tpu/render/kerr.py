@@ -215,7 +215,8 @@ def _kerr_disk_rgb(metric: KerrMetric, r_hit, b_photon, params: DiskParams,
 def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
                 dt=0.1, max_steps=20_000, escape_radius=None,
                 disk: DiskParams | None = None, filtering="bilinear",
-                backend="auto", camera_velocity=None, far_accel=True):
+                backend="auto", camera_velocity=None, far_accel=True,
+                stepper="rk4", rtol=1e-4):
     """(H, W, 3): Kerr shadow + lensed background (+ optional disk).
 
     Camera position is (t, r, theta, phi) in Boyer-Lindquist; pixel rays are
@@ -226,6 +227,12 @@ def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
     TPU (ops/march_pallas.py:march_kerr_pallas — same flow as the autodiff
     marcher, VMEM-resident) and the XLA autodiff marcher elsewhere.  Eager
     calls self-jit (one cached compiled bundle per config).
+
+    ``stepper='rk45'`` switches the bare-shadow and thin-disk marches to
+    the error-controlled Dormand-Prince pair (per-ray adaptive dt bounded
+    by ``rtol``; ``dt`` becomes the initial step) — typically several times
+    faster than fixed RK4 at equal accuracy; volumetric disks keep RK4
+    (their quality bound is the transfer quadrature, not the ODE error).
     """
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
@@ -237,13 +244,13 @@ def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
                             max_steps=max_steps, escape_radius=escape_radius,
                             disk=disk, filtering=filtering, backend=backend,
                             camera_velocity=camera_velocity,
-                            far_accel=far_accel)
+                            far_accel=far_accel, stepper=stepper, rtol=rtol)
 
 
 _render_kerr_jit = jax.jit(
     lambda *a, **k: _render_kerr_impl(*a, **k),
     static_argnames=("max_steps", "escape_radius", "disk", "filtering",
-                     "backend", "far_accel"))
+                     "backend", "far_accel", "stepper", "rtol"))
 
 
 def _spawn_kerr_rays(metric, camera, velocity=None):
@@ -283,7 +290,7 @@ def _spawn_from_dirs(metric, pos, dx_, dy_, dz_):
 
 def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
                       disk, filtering, backend, camera_velocity=None,
-                      far_accel=True):
+                      far_accel=True, stepper="rk4", rtol=1e-4):
     pos = camera.position
     if escape_radius is None:
         escape_radius = 2.0 * pos[1]          # traced-safe
@@ -296,7 +303,8 @@ def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
                                    max_steps=max_steps,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend,
-                                   far_accel=far_accel)
+                                   far_accel=far_accel, stepper=stepper,
+                                   rtol=rtol)
     if delta is not None:
         # received surface brightness ~ delta^3 (I_nu/nu^3 invariance);
         # applied to the whole received field (background + disk emission)
@@ -307,7 +315,7 @@ def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
 
 def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
                           escape_radius, disk, filtering, backend,
-                          far_accel=True):
+                          far_accel=True, stepper="rk4", rtol=1e-4):
     """March an (N,)-ray BL bundle and shade it -> (N, 3) colors.  Shared by
     the single-frame and frames-batched Kerr renderers (all per-ray math, so
     batching frames is pure concatenation).
@@ -322,6 +330,38 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
         if disk is not None:
             far_r0 = jnp.maximum(far_r0, disk.r_outer + 2.0 * metric.m)
     vol = disk is not None and disk.volumetric
+    if stepper == "rk45" and not vol:
+        # error-controlled march (bare shadow / thin disk): the Pallas DP
+        # pair on TPU, its XLA twin elsewhere (interpret kernel for the
+        # disk-tracking variant, which only the kernel implements).
+        # Differentiable backends keep fixed RK4 (the adjoint checkpoints
+        # assume a uniform step grid).
+        if backend in ("scan", "adjoint"):
+            raise NotImplementedError(
+                "stepper='rk45' is forward-only; use backend='pallas'/'xla' "
+                "(the differentiable marches keep fixed RK4)")
+        from curvis_tpu.integrate.march import _on_tpu
+        kw45 = dict(dt0=dt, max_steps=max_steps, escape_radius=escape_radius,
+                    rtol=rtol, atol=rtol * 1e-3)
+        if disk is not None:
+            from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
+            x, p, sign, _, (h1, h2) = march_kerr_rk45_pallas(
+                metric, x0, p0, disk=(disk.r_inner, disk.r_outer),
+                interpret=not _on_tpu(), **kw45)
+        else:
+            if backend == "pallas":
+                from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
+                x, p, sign, _ = march_kerr_rk45_pallas(metric, x0, p0, **kw45)
+            else:
+                from curvis_tpu.integrate.rk45 import march_kerr_rk45
+                res = march_kerr_rk45(metric, x0, p0,
+                                      capture_radius=metric.capture_radius,
+                                      **kw45)
+                x, p, sign = res.x, res.p, res.sign
+            h1 = h2 = None
+        tau = em = None
+        return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering,
+                           vol, tau, em, h1, h2)
     if vol:
         if backend == "pallas":
             from curvis_tpu.ops.march_pallas import march_kerr_pallas
@@ -378,14 +418,23 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
                                         far_r0=far_r0)
             x, p, sign = res.x, res.p, res.sign
         h1 = h2 = None
+    if not vol:
+        tau = em = None
+    return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering,
+                       vol, tau, em, h1, h2)
 
-    # readout: asymptotic direction from contravariant momentum.  Only
-    # escaped rays are shaded from (x, p); captured/blown-up rays are
-    # masked to black below, so substitute their (possibly NaN) states with
-    # the spawn state first — output-neutral, but keeps reverse-mode
-    # gradients NaN-free (the select's zero cotangent still multiplies the
-    # branch's partials: 0 * NaN would poison d(image)/d(metric) in the
-    # backend='scan' inverse problems).
+
+def _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering, vol,
+                tau, em, h1, h2):
+    """Shared shading tail of every Kerr march variant -> (N, 3) colors.
+
+    Readout: asymptotic direction from contravariant momentum.  Only
+    escaped rays are shaded from (x, p); captured/blown-up rays are
+    masked to black below, so substitute their (possibly NaN) states with
+    the spawn state first — output-neutral, but keeps reverse-mode
+    gradients NaN-free (the select's zero cotangent still multiplies the
+    branch's partials: 0 * NaN would poison d(image)/d(metric) in the
+    backend='scan' inverse problems)."""
     esc = (sign == 1)[:, None]
     x = jnp.where(esc, x, x0)
     p = jnp.where(esc, p, p0)

@@ -15,8 +15,8 @@ def _interpret(monkeypatch):
     monkeypatch.setenv("CURVIS_GATES_INTERPRET", "1")
 
 
-@pytest.mark.parametrize("family", ["euler_ellis", "rk45", "table",
-                                    "adjoint"])
+@pytest.mark.parametrize("family", ["euler_ellis", "rk45", "kerr_rk45",
+                                    "table", "adjoint"])
 def test_gate_passes_on_cpu(family):
     from parity_gates import run_gates
     res = run_gates(only=[family])[family]
