@@ -200,7 +200,10 @@ def image_main(args) -> int:
                        escape_radius=kw["escape_radius"],
                        disk=_disk_params(args) if args.disk else None,
                        filtering=args.filtering,
-                       camera_velocity=args.camera_velocity)
+                       camera_velocity=args.camera_velocity,
+                       # BL marches have no Euler form: euler/rk4 -> fixed
+                       # RK4, rk45 -> the error-controlled DP5(4) kernel
+                       stepper="rk45" if args.stepper == "rk45" else "rk4")
         if args.adaptive_aa > 0:
             from curvis_tpu.render.kerr import render_kerr_adaptive
             img = render_kerr_adaptive(metric, camera, bgp,

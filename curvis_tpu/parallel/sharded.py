@@ -226,7 +226,7 @@ def make_train_step(mesh: Mesh, *, dt, max_steps, escape_radius,
 def render_kerr_sharded(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
                         dt, max_steps, escape_radius=None, disk=None,
                         filtering="bilinear", far_accel=True,
-                        backend="xla"):
+                        backend="xla", stepper="rk4", rtol=1e-4):
     """Sharded Kerr/Kerr-Newman video rendering -> (F, H, W, 3).
 
     Every stage of the BL pipeline (tetrad spawn, RK4 march, asymptotic
@@ -255,7 +255,7 @@ def render_kerr_sharded(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
     colors = _kerr_march_and_shade(
         metric, x0, p0, bg, jnp.asarray(dt, x0.dtype), max_steps=max_steps,
         escape_radius=escape_radius, disk=disk, filtering=filtering,
-        backend=backend, far_accel=far_accel)
+        backend=backend, far_accel=far_accel, stepper=stepper, rtol=rtol)
     return colors.reshape(len(cams), W, H, 3).transpose(0, 2, 1, 3)
 
 

@@ -473,7 +473,8 @@ def render_kerr_frames_batched(metric: KerrMetric, cameras,
                                max_steps=20_000, escape_radius=None,
                                disk: DiskParams | None = None,
                                filtering="bilinear", backend="auto",
-                               camera_velocities=None, far_accel=True):
+                               camera_velocities=None, far_accel=True,
+                               stepper="rk4", rtol=1e-4):
     """Render several Kerr camera poses in ONE device call -> (F, H, W, 3).
 
     Every stage of the Kerr pipeline (tetrad spawn, BL march, asymptotic
@@ -500,18 +501,20 @@ def render_kerr_frames_batched(metric: KerrMetric, cameras,
         metric, stacked, bg, jnp.asarray(dt, cams[0].position.dtype),
         n_frames=len(cams), max_steps=max_steps, escape_radius=escape_radius,
         disk=disk, filtering=filtering, backend=backend,
-        camera_velocities=camera_velocities, far_accel=far_accel)
+        camera_velocities=camera_velocities, far_accel=far_accel,
+        stepper=stepper, rtol=rtol)
 
 
 _render_kerr_frames_jit = jax.jit(
     lambda *a, **k: _render_kerr_frames_impl(*a, **k),
     static_argnames=("n_frames", "max_steps", "escape_radius", "disk",
-                     "filtering", "backend", "far_accel"))
+                     "filtering", "backend", "far_accel", "stepper", "rtol"))
 
 
 def _render_kerr_frames_impl(metric, cams, bg, dt, *, n_frames, max_steps,
                              escape_radius, disk, filtering, backend,
-                             camera_velocities=None, far_accel=True):
+                             camera_velocities=None, far_accel=True,
+                             stepper="rk4", rtol=1e-4):
     F = int(n_frames)
     if escape_radius is None:
         escape_radius = 2.0 * jnp.max(cams.position[:, 1])     # traced-safe
@@ -527,7 +530,8 @@ def _render_kerr_frames_impl(metric, cams, bg, dt, *, n_frames, max_steps,
                                    max_steps=max_steps,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend,
-                                   far_accel=far_accel)
+                                   far_accel=far_accel, stepper=stepper,
+                                   rtol=rtol)
     if camera_velocities is not None:
         delta = jnp.concatenate([b[2] for b in bundles])
         colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
@@ -540,7 +544,8 @@ def render_kerr_adaptive(metric: KerrMetric, camera: Camera,
                          escape_radius=None, disk: DiskParams | None = None,
                          filtering="bilinear", backend="auto",
                          refine_frac=0.1, supersample=3,
-                         camera_velocity=None, far_accel=True):
+                         camera_velocity=None, far_accel=True,
+                         stepper="rk4", rtol=1e-4):
     """Edge-adaptive antialiasing: base render + k x k supersampling of
     ONLY the ``refine_frac`` highest-contrast pixels, selected by the
     4-neighbor color gradient (lax.top_k — a static-shape second bundle,
@@ -564,24 +569,27 @@ def render_kerr_adaptive(metric: KerrMetric, camera: Camera,
         metric, camera, bg, jnp.asarray(dt), max_steps=max_steps,
         escape_radius=escape_radius, disk=disk, filtering=filtering,
         backend=backend, n_refine=n_refine, supersample=int(supersample),
-        camera_velocity=camera_velocity, far_accel=far_accel)
+        camera_velocity=camera_velocity, far_accel=far_accel,
+        stepper=stepper, rtol=rtol)
 
 
 _render_kerr_adaptive_jit = jax.jit(
     lambda *a, **k: _render_kerr_adaptive_impl(*a, **k),
     static_argnames=("max_steps", "escape_radius", "disk", "filtering",
-                     "backend", "n_refine", "supersample", "far_accel"))
+                     "backend", "n_refine", "supersample", "far_accel",
+                     "stepper", "rtol"))
 
 
 def _render_kerr_adaptive_impl(metric, camera, bg, dt, *, max_steps,
                                escape_radius, disk, filtering, backend,
                                n_refine, supersample, camera_velocity,
-                               far_accel=True):
+                               far_accel=True, stepper="rk4", rtol=1e-4):
     base = _render_kerr_impl(metric, camera, bg, dt, max_steps=max_steps,
                              escape_radius=escape_radius, disk=disk,
                              filtering=filtering, backend=backend,
                              camera_velocity=camera_velocity,
-                             far_accel=far_accel)               # (H, W, 3)
+                             far_accel=far_accel, stepper=stepper,
+                             rtol=rtol)                         # (H, W, 3)
     if escape_radius is None:
         escape_radius = 2.0 * camera.position[1]
     from curvis_tpu.render.fast import (_contrast_topk,
@@ -601,7 +609,8 @@ def _render_kerr_adaptive_impl(metric, camera, bg, dt, *, max_steps,
                                    max_steps=max_steps,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend,
-                                   far_accel=far_accel)
+                                   far_accel=far_accel, stepper=stepper,
+                                   rtol=rtol)
     if delta is not None:
         colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
     refined = colors.reshape(n_refine, k * k, 3).mean(axis=1)

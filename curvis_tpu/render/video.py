@@ -123,7 +123,8 @@ def render_video_frames(metric: Metric, path: CameraPath,
             img = render_kerr(metric, camera, bg_positive, dt=dt,
                               max_steps=max_steps,
                               escape_radius=escape_radius,
-                              filtering=filtering, disk=disk)
+                              filtering=filtering, disk=disk,
+                              stepper="rk45" if stepper == "rk45" else "rk4")
         else:
             raise ValueError(f"unknown renderer {renderer!r}")
         save_image(np.asarray(img), frame_path)
@@ -178,7 +179,8 @@ def _render_frames_device_batched(metric, path, bg_positive, bg_negative,
         def jit_batch(m, cams, bp, bn):
             return render_kerr_frames_batched(
                 m, cams, bp, dt=dt, max_steps=max_steps,
-                escape_radius=escape_radius, filtering=filtering, disk=disk)
+                escape_radius=escape_radius, filtering=filtering, disk=disk,
+                stepper="rk45" if stepper == "rk45" else "rk4")
     else:
         jit_batch = jax.jit(lambda m, cams, bp, bn: render_frames_batched(
             m, cams, bp, bn, dt=dt, max_steps=max_steps,

@@ -150,3 +150,17 @@ def test_cli_image_camera_velocity(scene):
                        "--camera-velocity", "0", "0.3", "0")
     assert main(args) == 0
     _out_image(scene)
+
+
+def test_cli_image_kerr_rk45_stepper(scene):
+    """--stepper rk45 reaches the BL renderer (error-controlled DP5(4)
+    march instead of fixed RK4): finite image with a visible shadow."""
+    args = _image_args(scene, 'kind = "kerr"\nm = 1.0\na = 0.8\n',
+                       "--stepper", "rk45")
+    assert main(args) == 0
+    img = _out_image(scene)
+    assert np.isfinite(img).all()
+    assert (img.sum(-1) < 0.05).mean() > 0.01     # shadow present
+    # wide-FOV close camera: ~78% shadow here (identical to the rk4
+    # stepper's fraction on this scene), background on the remainder
+    assert (img.sum(-1) > 0.1).mean() > 0.15

@@ -418,8 +418,9 @@ def test_kerr_adjoint_chaotic_regime_is_finite():
 def test_planar_adjoint_pallas_pair_matches_scan(rng):
     """Planar Pallas forward + Pallas checkpointed-recompute backward
     (interpret) vs the exact checkpointed scan, Ellis and DNEG.  Forward
-    values agree to ~1e-10 (the DNEG kernel's _atan_poly vs jnp.arctan
-    keeps this from being bitwise); gradients to 1e-6."""
+    values agree to ~1e-7 (the DNEG kernel's degree-6 _atan_poly vs
+    jnp.arctan — 1.2e-6 abs fit error, see march_pallas.py — keeps this
+    from being bitwise); gradients to 1e-6."""
     from curvis_tpu.camera.camera import pixel_rays_world
     from curvis_tpu.integrate.adjoint import march_planar_adjoint_rays
     from curvis_tpu.metrics.base import InterstellarMetric
@@ -449,6 +450,9 @@ def test_planar_adjoint_pallas_pair_matches_scan(rng):
                                 argnums=(0, 1))(*args)
         g2 = jax.value_and_grad(mkloss(pallas_marcher, mk),
                                 argnums=(0, 1))(*args)
-        np.testing.assert_allclose(float(g1[0]), float(g2[0]), rtol=1e-8)
+        # rtol floor set by the DNEG degree-6 atan refit (round 3): the
+        # kernel's shape readout differs from jnp.arctan by up to ~1.2e-6
+        # abs, ~1e-7 relative after the image mean
+        np.testing.assert_allclose(float(g1[0]), float(g2[0]), rtol=5e-7)
         for a, b in zip(g1[1], g2[1]):
-            np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+            np.testing.assert_allclose(float(a), float(b), rtol=2e-6)

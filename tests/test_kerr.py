@@ -606,14 +606,20 @@ def test_near_extremal_spin_renders_finite(rng):
         float(m.critical_impact_parameter(True)), 2.0, atol=0.15)
 
 
-def test_kerr_rk45_kernel_matches_xla_twin():
+@pytest.mark.parametrize("charged", [False, True])
+def test_kerr_rk45_kernel_matches_xla_twin(charged):
     """Error-controlled BL march: the Pallas DP5(4) kernel and its XLA twin
     (integrate/rk45.py:march_kerr_rk45) implement the identical tableau,
     norm and controller — per-ray ACCEPTED-STEP COUNTS must be equal and
-    the states agree to f64 accumulation round-off."""
+    the states agree to f64 accumulation round-off.  Charged case: the
+    Kerr-Newman q^2 rides the same SMEM slot as the fixed-step kernel."""
     from curvis_tpu.integrate.rk45 import march_kerr_rk45
     from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
-    m = make_kerr(1.0, 0.9)
+    if charged:
+        from curvis_tpu.metrics.kerr import make_kerr_newman
+        m = make_kerr_newman(1.0, 0.7, 0.5)
+    else:
+        m = make_kerr(1.0, 0.9)
     rng = np.random.default_rng(0)
     n = 128
     ths = np.pi / 2 + 0.4 * rng.standard_normal(n)
@@ -731,3 +737,33 @@ def test_kerr_rk45_render_matches_rk4(rng):
                                  disk=disk, stepper="rk45", rtol=1e-5, **kw))
     assert np.isfinite(d45).all()
     assert (np.abs(d4 - d45).max(-1) > 0.1).mean() < 0.03
+
+
+def test_kerr_rk45_threads_through_batched_and_adaptive(rng):
+    """stepper='rk45' reaches the frames-batched and adaptive-AA Kerr
+    renderers (round-3 wiring): batched == per-frame exactly (same march
+    bundle), adaptive-AA stays finite and close to its rk4 twin."""
+    import curvis_tpu as cv
+    from curvis_tpu.render.kerr import (render_kerr, render_kerr_adaptive,
+                                        render_kerr_frames_batched)
+    metric = make_kerr(m=1.0, a=0.9)
+    bg = cv.make_spherical_image(0.5 + 0.5 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float64)
+    th = np.pi / 2 - 0.2
+    cams = [cv.make_camera([0.0, r0, th, ph],
+                           [-np.sin(th) * np.cos(ph), -np.sin(th) * np.sin(ph),
+                            -np.cos(th)],
+                           [0.0, 0.0, 1.0], 24.0, 43.0, 24, 14,
+                           dtype=jnp.float64)
+            for r0, ph in [(28.0, 0.0), (30.0, 0.5)]]
+    kw = dict(dt=0.25, max_steps=2000, escape_radius=64.0, backend="xla",
+              stepper="rk45", rtol=1e-5)
+    batch = np.asarray(render_kerr_frames_batched(metric, cams, bg, **kw))
+    for f, cam in enumerate(cams):
+        single = np.asarray(render_kerr(metric, cam, bg, **kw))
+        np.testing.assert_allclose(batch[f], single, rtol=0, atol=1e-12)
+    aa = np.asarray(render_kerr_adaptive(metric, cams[0], bg,
+                                         refine_frac=0.05, **kw))
+    assert np.isfinite(aa).all() and aa.shape == (14, 24, 3)
+    base = np.asarray(render_kerr(metric, cams[0], bg, **kw))
+    assert (np.abs(aa - base).max(-1) > 0.2).mean() < 0.1

@@ -166,3 +166,34 @@ def test_kerr_sharded_render_matches_batched(rng):
     assert sharded.shape == (2, 8, 16, 3)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(batched),
                                rtol=0, atol=1e-12)
+
+
+def test_kerr_rk45_sharded_matches_batched(rng):
+    """The error-controlled DP5(4) march under GSPMD: per-ray adaptive dt
+    is still per-ray math (the while_loop's any() termination becomes an
+    all-reduce), so sharded frames must equal the single-device batched
+    render; charged (Kerr-Newman) path."""
+    import curvis_tpu as cv
+    from curvis_tpu.metrics.kerr import KerrNewmanMetric
+    from curvis_tpu.parallel.mesh import make_mesh
+    from curvis_tpu.parallel.sharded import render_kerr_sharded
+    from curvis_tpu.render.kerr import render_kerr_frames_batched
+    metric = KerrNewmanMetric(m=jnp.asarray(1.0), a=jnp.asarray(0.7),
+                              q=jnp.asarray(0.4))
+    th = np.pi / 2 - 0.25
+    cams = [cv.make_camera([0.0, 20.0, th, 0.05 * k],
+                           [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                           30.0, 43.0, 16, 8, dtype=jnp.float64)
+            for k in range(2)]
+    bg = cv.make_spherical_image(rng.random((8, 16, 3)), dtype=jnp.float64)
+    mesh = make_mesh(8)
+    kw = dict(dt=0.1, max_steps=4000, escape_radius=45.0,
+              stepper="rk45", rtol=1e-5)
+    sharded = jax.jit(lambda m, bp: render_kerr_sharded(
+        m, cams, bp, mesh, **kw))(metric, bg)
+    batched = render_kerr_frames_batched(metric, cams, bg, backend="xla",
+                                         **kw)
+    assert sharded.shape == (2, 8, 16, 3)
+    assert np.isfinite(np.asarray(sharded)).all()
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(batched),
+                               rtol=0, atol=1e-12)
