@@ -176,6 +176,25 @@ def main():
         except Exception as e:                     # never kill the headline
             out["kerr_grad"] = {"error": f"{type(e).__name__}: {e}"}
 
+    # Smoke the symmetric (reference-production-path) renderer on THIS
+    # backend: its on-device sampler is the one pipeline bench's kernels
+    # don't cover, and backend-capability regressions (e.g. host callbacks
+    # on the axon tunnel) only surface when it actually runs here.
+    try:
+        from curvis_tpu.render.symmetric import render_symmetric
+        simg = render_symmetric(
+            metric, cv.make_camera([0.0, 5.0, np.pi / 2, 0.0],
+                                   [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0],
+                                   15.0, 43.0, 192, 108, dtype=jnp.float32),
+            bgp, bgn, dt=0.05, max_steps=40_000, escape_radius=100.0,
+            alpha_nums=100, max_iterations_sampling=50,
+            sampling_convergence_threshold_1=1e-5,
+            sampling_convergence_threshold_2=1e-5)
+        out["symmetric_ok"] = bool(np.isfinite(float(jnp.mean(simg))))
+    except Exception as e:
+        out["symmetric_ok"] = False
+        out["symmetric_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(out))
     return 0
 

@@ -165,6 +165,18 @@ def main(argv=None):
                m, cs, bp, dt=0.1, max_steps=32_000).mean(),
            kerr, cams_k, bgp)
 
+    # 5b1c. error-controlled DP5(4) stepper (round 3): accuracy bounded by
+    #       rtol instead of heuristics, ~10x fewer accepted steps
+    record("kerr_512x288_shadow_rk45_rtol1e-4", 512 * 288,
+           lambda m, c, bp: render_kerr(m, c, bp, dt=0.1, max_steps=20_000,
+                                        stepper="rk45", rtol=1e-4).mean(),
+           kerr, cam_k, bgp)
+    record("kerr_512x288_shadow_rk45_sustained4", 4 * 512 * 288,
+           lambda m, cs, bp: render_kerr_frames_batched(
+               m, cs, bp, dt=0.1, max_steps=20_000, stepper="rk45",
+               rtol=1e-4).mean(),
+           kerr, cams_k, bgp)
+
     # 5b2. edge-adaptive antialiasing: the 10% highest-contrast pixels get
     #      3x3 sub-rays (one extra bundle) — shadow-rim AA at ~1.9x the
     #      base cost instead of 9x full supersampling

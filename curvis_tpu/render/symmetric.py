@@ -186,6 +186,24 @@ def _warn_sampler_overflow(ovf):
             "march_width= or loosen the sampling thresholds)")
 
 
+def _overflow_callback(ovf):
+    """Emit the overflow warning from inside jit where the backend allows
+    host callbacks.  The axon PJRT tunnel does not implement host
+    send/recv, so there the flag is silently dropped in-graph (the host
+    sampler and CPU/regular-TPU paths still warn) — a trace-time check,
+    zero cost in the compiled program."""
+    try:
+        # the tunnel backend reports platform 'tpu'; only its PJRT
+        # platform_version / the jax_platforms config name it 'axon'
+        pv = getattr(jax.devices()[0].client, "platform_version", "") or ""
+        cfg = str(getattr(jax.config, "jax_platforms", "") or "")
+        supported = "axon" not in pv and "axon" not in cfg
+    except Exception:
+        supported = False
+    if supported:
+        jax.debug.callback(_warn_sampler_overflow, ovf, ordered=False)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "max_steps", "alpha_nums", "max_iterations", "filtering", "seam",
     "center_pixels", "stepper", "exact_escape_angle", "capacity",
@@ -210,7 +228,7 @@ def _render_symmetric_device(metric, camera, bg_positive, bg_negative, dt,
     alphas_s, angles_s, spaces_s, _, ovf = doubly_sample_on_device(
         march_fn, ALPHA_MIN, ALPHA_MAX, alpha_nums, max_iterations,
         thr1, thr2, capacity=capacity, march_width=march_width, dtype=dtype)
-    jax.debug.callback(_warn_sampler_overflow, ovf, ordered=False)
+    _overflow_callback(ovf)
     return _reconstruct_image(metric, camera, bg_positive, bg_negative,
                               alphas_s, angles_s, spaces_s,
                               filtering=filtering, seam=seam,
@@ -248,7 +266,7 @@ def _render_symmetric_frames_device(metric, cams, bg_positive, bg_negative,
         march_fn, ALPHA_MIN, ALPHA_MAX, alpha_nums, max_iterations,
         thr1, thr2, n_frames=F, capacity=capacity, march_width=M,
         dtype=cams.position.dtype)
-    jax.debug.callback(_warn_sampler_overflow, ovf, ordered=False)
+    _overflow_callback(ovf)
     recon = jax.vmap(lambda cam, al, an, sp: _reconstruct_image(
         metric, cam, bg_positive, bg_negative, al, an, sp,
         filtering=filtering, seam=seam, center_pixels=center_pixels))

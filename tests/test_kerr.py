@@ -767,3 +767,79 @@ def test_kerr_rk45_threads_through_batched_and_adaptive(rng):
     assert np.isfinite(aa).all() and aa.shape == (14, 24, 3)
     base = np.asarray(render_kerr(metric, cams[0], bg, **kw))
     assert (np.abs(aa - base).max(-1) > 0.2).mean() < 0.1
+
+
+def test_shadow_outline_analytic_limits():
+    """shadow_outline (Bardeen critical curve): equatorial alpha extremes
+    equal the analytic prograde/retrograde critical impact parameters; the
+    a -> 0 limit is the sqrt(27)M circle; the charged a -> 0 limit matches
+    the Reissner-Nordstrom critical b = r_ph / sqrt(A(r_ph))."""
+    from curvis_tpu.metrics.kerr import (KerrNewmanMetric, make_kerr,
+                                         shadow_outline)
+    m = make_kerr(1.0, 0.9)
+    al, be = (np.asarray(v) for v in shadow_outline(m, np.pi / 2, n=8192))
+    fin = np.isfinite(be)
+    b_pro = float(m.critical_impact_parameter(True))
+    b_ret = float(m.critical_impact_parameter(False))
+    # alpha = -xi/sin(i): the prograde (xi > 0) rim sits at negative alpha
+    np.testing.assert_allclose(-np.nanmin(al), b_pro, rtol=2e-3)
+    np.testing.assert_allclose(np.nanmax(al), b_ret, rtol=2e-3)
+    assert fin.mean() > 0.3
+
+    tiny = KerrMetric(m=jnp.asarray(1.0), a=jnp.asarray(1e-6))
+    al, be = (np.asarray(v) for v in shadow_outline(tiny, 1.0, n=4096))
+    rr = al ** 2 + be ** 2
+    np.testing.assert_allclose(rr[np.isfinite(rr)], 27.0, rtol=1e-4)
+
+    kn = KerrNewmanMetric(m=jnp.asarray(1.0), a=jnp.asarray(1e-6),
+                          q=jnp.asarray(0.5))
+    r_ph = (3.0 + np.sqrt(9.0 - 8.0 * 0.25)) / 2.0
+    b_rn = r_ph / np.sqrt(1.0 - 2.0 / r_ph + 0.25 / r_ph ** 2)
+    al, be = (np.asarray(v) for v in shadow_outline(kn, 1.0, n=4096))
+    rr = al ** 2 + be ** 2
+    np.testing.assert_allclose(rr[np.isfinite(rr)], b_rn ** 2, rtol=1e-4)
+
+
+def test_shadow_outline_march_oracle():
+    """The critical curve against the actual BL marcher, OFF-equator: for
+    each photon-shell radius, a photon constructed from the Carter
+    constants (E=1, L=xi, Q=eta) is captured when eta shrinks by 2e-3
+    (radial potential R(r) > 0 all the way in) and escapes when eta grows
+    by 2e-3 (a turning point appears) — dR/deta = -Delta < 0.  This pins
+    the non-equatorial Carter-constant physics of the 3-D march, which the
+    equatorial Bardeen threshold tests cannot see."""
+    from curvis_tpu.integrate.rk45 import march_kerr_rk45
+    from curvis_tpu.metrics.kerr import photon_shell_constants
+    m = make_kerr(1.0, 0.9)
+    inc = np.pi / 3
+    r0 = 200.0
+    # shell radii visible at inclination pi/3 with healthily positive eta
+    r_p = np.linspace(1.9, 3.8, 10)
+    xi, eta = (np.asarray(v, np.float64)
+               for v in photon_shell_constants(m, jnp.asarray(r_p)))
+    si, ci = np.sin(inc), np.cos(inc)
+    keep = (eta > 0.3) & (eta + (0.9 * ci) ** 2 - (xi * ci / si) ** 2 > 0.05)
+    xi, eta = xi[keep], eta[keep]
+    assert keep.sum() >= 6
+
+    def march(eta_scale):
+        et = eta * eta_scale
+        n = len(xi)
+        x0 = np.stack([np.zeros(n), np.full(n, r0), np.full(n, inc),
+                       np.zeros(n)], -1)
+        delta = r0 ** 2 - 2.0 * r0 + 0.81
+        R = ((r0 ** 2 + 0.81 - 0.9 * xi) ** 2
+             - delta * ((xi - 0.9) ** 2 + et))
+        p_th = np.sqrt(et - ci ** 2 * (xi ** 2 / si ** 2 - 0.81))
+        p0 = np.stack([-np.ones(n), -np.sqrt(R) / delta, p_th, xi], -1)
+        # construction check: exactly null
+        H = jnp.einsum("nij,ni,nj->n", m.inverse_metric(jnp.asarray(x0)),
+                       jnp.asarray(p0), jnp.asarray(p0))
+        np.testing.assert_allclose(np.asarray(H), 0.0, atol=1e-9)
+        res = march_kerr_rk45(m, jnp.asarray(x0), jnp.asarray(p0),
+                              escape_radius=1.05 * r0, rtol=1e-9,
+                              atol=1e-12, dt0=0.5, max_steps=200_000,
+                              max_iters=1_000_000)
+        return np.asarray(res.sign)
+    np.testing.assert_array_equal(march(1.0 - 2e-3), 2)   # all captured
+    np.testing.assert_array_equal(march(1.0 + 2e-3), 1)   # all escape
