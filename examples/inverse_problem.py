@@ -5,7 +5,7 @@ descent THROUGH the ray march — the axis the CPU reference cannot offer
 
     python examples/inverse_problem.py [outdir] [--tpu]
 
-Two demos; CPU f64 by default (deterministic; a TPU is not required).
+Four demos; CPU f64 by default (deterministic; a TPU is not required).
 ``--tpu`` runs on the attached chip in f32 with the round-3 Pallas adjoint
 pair (forward = production kernels, backward = checkpointed recompute,
 integrate/kerr_adjoint.py) — the same recoveries at chip speed; per-step
@@ -177,6 +177,74 @@ def main(argv=None):
                   f"a={float(prm[1]):.4f} loss={float(loss):.3e}")
     print(f"recovered (M, a) = ({float(prm[0]):.5f}, {float(prm[1]):.5f})"
           f"  (true 1.0, 0.85)")
+
+    # ------------------------------------------------------------------
+    # 4. EHT-style rim fit: (M, a, inclination) from noisy shadow-rim
+    #    points via the ANALYTIC critical curve (no rendering at all —
+    #    metrics/kerr.py:shadow_outline is differentiable end-to-end)
+    # ------------------------------------------------------------------
+    from curvis_tpu.metrics.kerr import shadow_outline
+
+    def outline_pts(m_, a_, inc, n=384):
+        al, be = shadow_outline(KerrMetric(m=m_, a=a_), inc, n=n)
+        fin = jnp.isfinite(be)
+        far = jnp.asarray(1e3, al.dtype)
+        al = jnp.where(fin, al, far)
+        be = jnp.where(fin, be, far)
+        # both beta branches close the curve
+        return (jnp.concatenate([al, al]), jnp.concatenate([be, -be]),
+                jnp.concatenate([fin, fin]))
+
+    rng4 = np.random.default_rng(4)
+    m4, a4, i4 = 1.0, 0.9, 1.15
+    ao, bo, _ = outline_pts(jnp.asarray(m4, fdt), jnp.asarray(a4, fdt),
+                            jnp.asarray(i4, fdt))
+    keep4 = np.abs(np.asarray(ao)) < 100.0
+    sig4 = 0.005                                 # per-point rim noise (in M)
+    obs = (jnp.asarray(np.asarray(ao)[keep4]
+                       + sig4 * rng4.standard_normal(int(keep4.sum())), fdt),
+           jnp.asarray(np.asarray(bo)[keep4]
+                       + sig4 * rng4.standard_normal(int(keep4.sum())), fdt))
+
+    def rim_loss(prm4, tau):
+        m_, a_, inc = prm4
+        ap, bp, fin = outline_pts(m_, a_, inc)
+        d2 = ((obs[0][:, None] - ap[None, :]) ** 2
+              + (obs[1][:, None] - bp[None, :]) ** 2)
+        # SYMMETRIC soft chamfer: obs->pred alone lets a too-long rim hide
+        # its unmatched extent (the (a, i) ridge); pred->obs over the
+        # finite predicted points closes it.  tau anneals: a warm softmin
+        # for a wide basin, cold for an unbiased minimum.
+        l_ob = jnp.mean(-tau * jax.nn.logsumexp(-d2 / tau, axis=1))
+        w = jax.lax.stop_gradient(fin.astype(d2.dtype))
+        l_po = (jnp.sum(w * (-tau * jax.nn.logsumexp(-d2 / tau, axis=0)))
+                / jnp.sum(w))
+        return l_ob + l_po
+
+    import optax
+    vg4 = jax.jit(jax.value_and_grad(rim_loss))
+    opt4 = optax.adam(1e-2)
+    prm4 = jnp.asarray([0.7, 0.5, 0.8], fdt)
+    st4 = opt4.init(prm4)
+    print("shadow-rim fit (M, a, inclination):")
+    for i in range(400):
+        tau = jnp.asarray(max(5e-4, 0.02 * 0.97 ** i), fdt)
+        loss, g = vg4(prm4, tau)
+        up4, st4 = opt4.update(g, st4)
+        prm4 = prm4 + up4
+        prm4 = jnp.asarray([jnp.clip(prm4[0], 0.2, 3.0),
+                            jnp.clip(prm4[1], 0.05, 0.998 * prm4[0]),
+                            jnp.clip(prm4[2], 0.1, np.pi / 2 - 1e-3)])
+        if i % 80 == 0:
+            print(f"  iter {i:3d}: M={float(prm4[0]):.4f} "
+                  f"a={float(prm4[1]):.4f} i={float(prm4[2]):.4f} "
+                  f"loss={float(loss):.3e}")
+    # Typical result: M to ~0.1%, a to ~0.3%, inclination to ~5% — the
+    # inclination is the rim's stiffest direction (a shallow (a, i) ridge,
+    # the known near-degeneracy of shadow-only EHT fits).
+    print(f"recovered (M, a, i) = ({float(prm4[0]):.4f}, "
+          f"{float(prm4[1]):.4f}, {float(prm4[2]):.4f})"
+          f"  (true {m4}, {a4}, {i4})")
     return 0
 
 

@@ -843,3 +843,59 @@ def test_shadow_outline_march_oracle():
         return np.asarray(res.sign)
     np.testing.assert_array_equal(march(1.0 - 2e-3), 2)   # all captured
     np.testing.assert_array_equal(march(1.0 + 2e-3), 1)   # all escape
+
+
+def test_shadow_rim_fit_recovers_parameters():
+    """Differentiable rim fitting (examples/inverse_problem.py part 4):
+    (M, a, i) by Adam through the analytic shadow_outline with a symmetric
+    soft-chamfer loss on noisy rim points.  M and a recover tightly;
+    inclination sits on the rim's shallow (a, i) ridge — the known
+    near-degeneracy of shadow-only fits — so its tolerance is looser."""
+    import jax
+    import optax
+    from curvis_tpu.metrics.kerr import shadow_outline
+
+    def outline(m_, a_, inc, n=384):
+        al, be = shadow_outline(KerrMetric(m=m_, a=a_), inc, n=n)
+        fin = jnp.isfinite(be)
+        far = jnp.asarray(1e3, al.dtype)
+        al = jnp.where(fin, al, far)
+        be = jnp.where(fin, be, far)
+        return (jnp.concatenate([al, al]), jnp.concatenate([be, -be]),
+                jnp.concatenate([fin, fin]))
+
+    rng = np.random.default_rng(4)
+    f64 = jnp.float64
+    ao, bo, _ = outline(jnp.asarray(1.0, f64), jnp.asarray(0.9, f64),
+                        jnp.asarray(1.15, f64))
+    keep = np.abs(np.asarray(ao)) < 100.0
+    obs = tuple(jnp.asarray(np.asarray(v)[keep]
+                            + 5e-3 * rng.standard_normal(int(keep.sum())),
+                            f64) for v in (ao, bo))
+
+    def rim_loss(prm, tau):
+        ap, bp, fin = outline(*prm)
+        d2 = ((obs[0][:, None] - ap[None, :]) ** 2
+              + (obs[1][:, None] - bp[None, :]) ** 2)
+        l_ob = jnp.mean(-tau * jax.nn.logsumexp(-d2 / tau, axis=1))
+        w = jax.lax.stop_gradient(fin.astype(d2.dtype))
+        l_po = (jnp.sum(w * (-tau * jax.nn.logsumexp(-d2 / tau, axis=0)))
+                / jnp.sum(w))
+        return l_ob + l_po
+
+    vg = jax.jit(jax.value_and_grad(rim_loss))
+    opt = optax.adam(1e-2)
+    prm = jnp.asarray([0.7, 0.5, 0.8], f64)
+    st = opt.init(prm)
+    for i in range(400):
+        tau = jnp.asarray(max(5e-4, 0.02 * 0.97 ** i), f64)
+        _, g = vg(prm, tau)
+        up, st = opt.update(g, st)
+        prm = prm + up
+        prm = jnp.asarray([jnp.clip(prm[0], 0.2, 3.0),
+                           jnp.clip(prm[1], 0.05, 0.998 * prm[0]),
+                           jnp.clip(prm[2], 0.1, np.pi / 2 - 1e-3)])
+    m_f, a_f, i_f = (float(v) for v in prm)
+    assert abs(m_f - 1.0) < 0.01, prm
+    assert abs(a_f - 0.9) < 0.02, prm
+    assert abs(i_f - 1.15) < 0.12, prm
