@@ -115,11 +115,19 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
         over = steps >= max_steps
         sign = jnp.where(active & over & (sign == 0), 0, sign)
 
+        # a reject at the dt floor can never pass (the controller cannot
+        # shrink further) -> freeze as blowup instead of spinning to
+        # max_iters (same provable-termination rule as the Kerr pair and
+        # the Pallas kernel twin; NaN err lands here too)
+        stalled = active & ~(err <= 1.0) & (dt <= dt_min * 1.01) \
+            & (sign == 0)
+        sign = jnp.where(stalled, 3, sign)
+
         # step-size control (only for still-active rays)
         err_safe = jnp.maximum(err, 1e-10)
         factor = jnp.clip(0.9 * err_safe ** -0.2, 0.2, 5.0)
-        dt = jnp.where(active & ~esc, jnp.clip(dt * factor, dt_min, dt_max),
-                       dt)
+        dt = jnp.where(active & ~esc & (sign == 0),
+                       jnp.clip(dt * factor, dt_min, dt_max), dt)
         # rays at max_steps stop consuming iterations
         sign_frozen = jnp.where(active & over, jnp.int32(-128), sign)
         return l, psi, p_l, dt, sign_frozen, steps, it + 1
@@ -219,11 +227,16 @@ def march_kerr_rk45(metric, x0, p0, *, escape_radius, capture_radius=None,
         # just past R — the final step keeps full DP5 accuracy and the
         # overshoot shrinks to ~5% of the remaining distance (one extra
         # iteration for escaping rays; same rule in the Pallas kernel).
+        # A trial landing within R*1e-3 PAST R is never "gross" and is
+        # accepted whatever frac says: once f32 rounding parks r exactly ON
+        # R, frac == 0 for every later escaping trial (including the dt_min
+        # retry, which lands at R + ~1e-5) and a frac-only rule would
+        # over-reject forever (same guard in the Pallas twin).
         esc_i = accept & (x5[..., 1] > R)
         denom = x5[..., 1] - x[..., 1]
         denom = jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
         frac = (R - x[..., 1]) / denom
-        over = esc_i & (frac < 0.9)
+        over = esc_i & (frac < 0.9) & (x5[..., 1] > R * (1.0 + 1e-3))
         accept = accept & ~over
         esc_i = esc_i & ~over
         am = accept[..., None]
@@ -241,10 +254,12 @@ def march_kerr_rk45(metric, x0, p0, *, escape_radius, capture_radius=None,
             sign = jnp.where(accept & ok & (r < capture_radius), 2, sign)
         sign = jnp.where(accept & ~ok, 3, sign)
         # a reject at dt_min can never pass (the controller cannot shrink
-        # further) -> freeze as blowup instead of spinning to max_iters
-        # (boundary-stepping rejects excluded: their retry dt is chosen
-        # directly, not by the controller)
-        stalled = active & ~accept & ~over & (dt <= dt_min * 1.01)
+        # further) -> freeze as blowup instead of spinning to max_iters.
+        # Over-rejects are INCLUDED: their retry dt_b <= 0.945*dt shrinks
+        # toward dt_min, and an over-reject AT dt_min would retry the
+        # identical trial forever — with this rule every reject path
+        # provably terminates (same rule in the Pallas twin).
+        stalled = active & ~accept & (dt <= dt_min * 1.01)
         sign = jnp.where(stalled, 3, sign)
         steps = steps + accept.astype(jnp.int32)
 

@@ -513,12 +513,19 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
         sign = sign + esc_pos - esc_neg + 2.0 * capd
         steps = steps + accept
 
+        # a reject at the dt floor can never pass (the controller cannot
+        # shrink further) -> freeze as blowup instead of spinning the tile
+        # to max_iters (same provable-termination rule as the Kerr kernel
+        # and both XLA twins; NaN err lands here too)
+        stalled = ((alive > 0) & ~(err <= 1.0) & (dt <= 1e-6 * 1.01)
+                   & (sign == 0.0))
+        sign = jnp.where(stalled, 3.0, sign)
         err_s = jnp.maximum(err, 1e-10)
         # clip(0.9 * err^-0.2, 0.2, 5.0) without pow: err^-0.2 via
         # exp(-0.2 ln err)
         factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(err_s)), 0.2, 5.0)
         newdt = jnp.clip(dt * factor, 1e-6, dt_max)
-        dt = jnp.where((alive > 0) & (esc == 0.0), newdt, dt)
+        dt = jnp.where((alive > 0) & (esc == 0.0) & (sign == 0.0), newdt, dt)
         # rays that hit the step cap freeze with a sentinel
         capped = (sign == 0.0) & (steps >= max_steps)
         sign = jnp.where(capped, -128.0, sign)
@@ -1500,12 +1507,18 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
             # boundary-stepping at escape (same rule as the XLA twin): a
             # grossly overshooting trial is REJECTED and retried with dt
             # scaled to land just past R, keeping full DP5 accuracy on the
-            # final step instead of reading the direction several M out
+            # final step instead of reading the direction several M out.
+            # A trial landing within R*1e-3 PAST R is never "gross" and is
+            # accepted whatever frac says: once f32 rounding parks r exactly
+            # ON R, frac == 0 for every later escaping trial (including the
+            # dt_min retry, which lands at R + ~1e-5), and a frac-only rule
+            # would over-reject forever — one such ray spins its whole tile
+            # to max_iters (~27 ms/ray measured on v5e at 512x288).
             esc_i = accept & (r1 > R)
             den = r1 - r
             den = jnp.where(jnp.abs(den) < 1e-30, one, den)
             frac = (R - r) / den
-            over = esc_i & (frac < 0.9)
+            over = esc_i & (frac < 0.9) & (r1 > R * (1.0 + 1e-3))
             accept = accept & ~over
             esc_i = esc_i & ~over
 
@@ -1544,10 +1557,12 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
                                                            zero))
                                    + 3.0 * (one - ok))
             # a reject at dt_min can never pass -> blowup freeze (the XLA
-            # twin's 'stalled' rule; NaN err rejects land here too;
-            # boundary-stepping rejects excluded — their retry dt is set
-            # directly below)
-            stalled = alive & ~accept & ~over & (dt <= dt_min * 1.01)
+            # twin's 'stalled' rule; NaN err rejects land here too).  Over-
+            # rejects are INCLUDED: their retry dt_b <= 0.945*dt shrinks
+            # toward dt_min, and an over-reject AT dt_min would retry the
+            # identical trial forever — with this rule every reject path
+            # provably terminates.
+            stalled = alive & ~accept & (dt <= dt_min * 1.01)
             sign = jnp.where(stalled, 3.0, sign)
             steps = steps + acc_f
 

@@ -644,6 +644,39 @@ def test_kerr_rk45_kernel_matches_xla_twin(charged):
     assert esc.sum() > 0.5 * n and (np.asarray(res.sign) == 2).sum() > 0
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_kerr_rk45_boundary_parked_ray_escapes(backend):
+    """Regression: a ray whose f32 state rounds to EXACTLY r == R enters a
+    permanent over-reject loop under a frac-only boundary-stepping rule —
+    (R - r) == 0 makes frac == 0 (< 0.9) for every escaping trial, including
+    the dt_min retry that lands at R + ~1e-5, so the ray never freezes and
+    spins its tile to max_iters (measured ~27 ms/ray on v5e; one such ray
+    per ~150k at 512x288).  The absolute-overshoot tolerance (r1 <= R*(1 +
+    1e-3) is never a 'gross' overshoot) must let it escape within a few
+    iterations in BOTH twins."""
+    from curvis_tpu.integrate.rk45 import march_kerr_rk45
+    from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
+    m = make_kerr(1.0, 0.9)
+    R = 45.0
+    n = 8
+    x0 = jnp.asarray(np.stack([np.zeros(n), np.full(n, R),
+                               np.full(n, np.pi / 2 - 0.2), np.zeros(n)],
+                              -1))
+    dirs = np.tile(np.asarray([1.0, 0.3, 0.1]) / np.linalg.norm(
+        [1.0, 0.3, 0.1]), (n, 1))
+    p0 = ham.spawn_photon(m, x0, jnp.asarray(dirs))
+    # max_iters small: the old rule returned sign == 0 after spinning it out
+    kw = dict(escape_radius=R, max_steps=100, max_iters=40, rtol=1e-4)
+    res = march_kerr_rk45(m, x0, p0, **kw)
+    assert (np.asarray(res.sign) == 1).all(), np.asarray(res.sign)
+    # the escape state is read essentially AT the boundary
+    assert (np.asarray(res.x)[:, 1] <= R * (1 + 1e-3) + 1e-6).all()
+    if backend == "pallas":
+        _, _, sk, _ = march_kerr_rk45_pallas(m, x0, p0, interpret=True,
+                                             tile_rows=8, **kw)
+        assert (np.asarray(sk) == 1).all(), np.asarray(sk)
+
+
 def test_kerr_rk45_dt_halving_convergence():
     """Order anchor for the error-controlled stepping (VERDICT round-2
     next-step #5): fixed RK4 escape-direction error shrinks ~16x per dt
