@@ -38,42 +38,49 @@ REPS = 5
 def _grad_bench(jax, jnp, cv):
     """Median wall-clock of one jitted Kerr spin value_and_grad step,
     backend='scan' (checkpointed XLA, round 2) vs 'adjoint' (Pallas forward
-    + checkpointed-recompute Pallas backward, round 3)."""
+    + checkpointed-recompute Pallas backward, round 3).  Two sizes: the
+    64x36 continuity config sits on the ~25 ms tunnel dispatch floor
+    (speedup ~4x); 256x144 shows the compute-bound ratio (~23x measured),
+    which is what production inverse problems see."""
     from curvis_tpu.metrics.kerr import KerrMetric
     from curvis_tpu.render.kerr import render_kerr
-    h, w = 36, 64
-    yy, xx = np.mgrid[0:h, 0:w]
-    smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5, yy / h,
-                       0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
-    bg = cv.make_spherical_image(np.asarray(smooth, np.float32))
-    th = np.pi / 2 - 0.3
-    f = np.array([-np.sin(th), 1.3, -np.cos(th)])
-    f /= np.linalg.norm(f)
-    cam = cv.make_camera([0.0, 15.0, th, 0.0], list(f), [0.0, 0.0, 1.0],
-                         35.0, 43.0, w, h, dtype=jnp.float32)
 
-    def mk(backend):
-        def loss(a):
-            m = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
-            img = render_kerr(m, cam, bg, dt=0.1, max_steps=800,
-                              escape_radius=20.0, backend=backend)
-            return jnp.mean(img)
-        return jax.jit(jax.value_and_grad(loss))
-
-    out = {}
-    a0 = jnp.asarray(0.7, jnp.float32)
-    for backend in ("scan", "adjoint"):
-        fn = mk(backend)
-        v, g = fn(a0)
-        float(v), float(g)                      # compile + completion fence
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
+    def run(w, h, reps):
+        yy, xx = np.mgrid[0:h, 0:w]
+        smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5, yy / h,
+                           0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+        bg = cv.make_spherical_image(np.asarray(smooth, np.float32))
+        th = np.pi / 2 - 0.3
+        f = np.array([-np.sin(th), 1.3, -np.cos(th)])
+        f /= np.linalg.norm(f)
+        cam = cv.make_camera([0.0, 15.0, th, 0.0], list(f), [0.0, 0.0, 1.0],
+                             35.0, 43.0, w, h, dtype=jnp.float32)
+        res = {}
+        a0 = jnp.asarray(0.7, jnp.float32)
+        for backend in ("scan", "adjoint"):
+            def loss(a, _backend=backend):
+                m = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
+                img = render_kerr(m, cam, bg, dt=0.1, max_steps=800,
+                                  escape_radius=20.0, backend=_backend)
+                return jnp.mean(img)
+            fn = jax.jit(jax.value_and_grad(loss))
             v, g = fn(a0)
-            float(v), float(g)
-            ts.append(time.time() - t0)
-        out[backend + "_ms"] = round(float(np.median(ts)) * 1e3, 1)
-    out["speedup"] = round(out["scan_ms"] / out["adjoint_ms"], 1)
+            float(v), float(g)                  # compile + completion fence
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                v, g = fn(a0)
+                float(v), float(g)
+                ts.append(time.time() - t0)
+            res[backend + "_ms"] = round(float(np.median(ts)) * 1e3, 1)
+        res["speedup"] = round(res["scan_ms"] / res["adjoint_ms"], 1)
+        return res
+
+    out = run(64, 36, 3)
+    big = run(256, 144, 2)
+    out["speedup_256x144"] = big["speedup"]
+    out["scan_ms_256x144"] = big["scan_ms"]
+    out["adjoint_ms_256x144"] = big["adjoint_ms"]
     return out
 
 

@@ -1433,7 +1433,8 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
 # ---------------------------------------------------------------------------
 
 def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
-                      track_disk: bool,
+                      track_disk: bool, vol: bool, blackbody: bool,
+                      beaming: bool,
                       params_ref, r_ref, th_ref, ph_ref, pr_ref, pth_ref,
                       E_ref, L_ref, *out_refs):
     R = params_ref[0, 1]
@@ -1445,8 +1446,11 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     r_out = params_ref[0, 7]
     rtol = params_ref[0, 8]
     atol = params_ref[0, 9]
-    dt_max = params_ref[0, 10]
-    dt_min = params_ref[0, 11]
+    # vol widens the SMEM row to the fixed kernel's emission layout (slots
+    # 10-17, _kerr_vol_emission reads them by index), pushing the controller
+    # bounds to 18/19; non-vol keeps the compact 12-slot row
+    dt_max = params_ref[0, 18 if vol else 10]
+    dt_min = params_ref[0, 19 if vol else 11]
 
     r = r_ref[:]
     th = th_ref[:]
@@ -1463,12 +1467,23 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     ct_prev = jnp.cos(th)
     h1 = jnp.zeros_like(r)
     h2 = jnp.zeros_like(r)
+    if vol:
+        tau_max = params_ref[0, 13]
+        b_ph = L / E                       # per-ray impact parameter L/E
+        tau = jnp.zeros_like(r)
+        emr = jnp.zeros_like(r)
+        emg = jnp.zeros_like(r)
+        emb = jnp.zeros_like(r)
 
     def cond(c):
         return (c[-1] < max_iters) & jnp.any(c[6] == 0.0)
 
     def body(c):
-        r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2, it = c
+        if vol:
+            (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2,
+             tau, emr, emg, emb, it) = c
+        else:
+            r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2, it = c
         for _ in range(unroll):
             alive = sign == 0.0
             ks = []
@@ -1552,10 +1567,29 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
             ok = jnp.where(m_chk <= 1e8, one, zero)
             acc_f = jnp.where(accept, one, zero)
             esc_f = jnp.where(esc_i, one, zero)
+            if vol:
+                # radiative transfer on ACCEPTED steps: emission at the
+                # post-step state weighted by the accepted dt (the exact
+                # quadrature the fixed kernel runs at its uniform dte);
+                # select-gated on the finiteness check — 0 * NaN = NaN, a
+                # multiplicative mask cannot stop a blown-up state from
+                # poisoning tau/em
+                dtau, dr_, dg_, db_ = _kerr_vol_emission(
+                    blackbody, beaming, params_ref, r, th, b_ph, tau)
+                gate = accept & (ok > 0.5)
+                emr = emr + jnp.where(gate, dt * dr_, zero)
+                emg = emg + jnp.where(gate, dt * dg_, zero)
+                emb = emb + jnp.where(gate, dt * db_, zero)
+                tau = tau + jnp.where(gate, dt * dtau, zero)
             sign = sign + acc_f * (ok * (esc_f
                                          + 2.0 * jnp.where(r < r_cap, one,
                                                            zero))
                                    + 3.0 * (one - ok))
+            if vol:
+                # tau_max freeze: OPAQUE == CAPTURED == 2 (render/disk.py)
+                still = jnp.where(sign == 0.0, one, zero)
+                sign = sign + still * 2.0 * jnp.where(tau > tau_max, one,
+                                                      zero)
             # a reject at dt_min can never pass -> blowup freeze (the XLA
             # twin's 'stalled' rule; NaN err rejects land here too).  Over-
             # rejects are INCLUDED: their retry dt_b <= 0.945*dt shrinks
@@ -1573,24 +1607,49 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
             live = alive & (sign == 0.0)
             dt = jnp.where(live, jnp.clip(dt * factor, dt_min, dt_max), dt)
             dt = jnp.where(over & (sign == 0.0), dt_b, dt)
-            if track_disk:
-                # thin-disk crossings need base resolution inside the disk
-                # region: a multi-unit adaptive step can contain a FULL
-                # theta oscillation (plane crossed in and out, same-sign
-                # cos(theta) endpoints) that the crossing detector cannot
-                # see — same guard radius the fixed path's far_accel uses
-                near = r < (r_out + 2.0 * M)
-                dt = jnp.where(near & (sign == 0.0),
-                               jnp.minimum(dt, params_ref[0, 0]), dt)
+            if track_disk or vol:
+                # thin-disk crossings / gas quadrature need base resolution
+                # inside the disk region: a multi-unit adaptive step can
+                # contain a FULL theta oscillation (plane crossed in and
+                # out, same-sign cos(theta) endpoints) that the crossing
+                # detector cannot see, and the volumetric emission is a
+                # first-order quadrature whose resolution the error control
+                # does not bound.  The GAS region is a cylinder (emission
+                # is exactly zero for r sin(theta) > r_out via the edge
+                # clip), so vol clamps on the CYLINDRICAL radius — a
+                # spherical r guard would leave off-plane gas (r up to
+                # r_out/sin(theta)) marched at dt_max, a measured 5% flux
+                # error at inclination 0.3.  Crossing tracking only matters
+                # near the equator, where the spherical guard is the same.
+                if vol:
+                    # ANTICIPATORY clamp on the cylindrical radius: inside
+                    # the (infinite-z) gas cylinder dt <= dt0; approaching
+                    # it, dt <= half the radial gap (|dr/dlambda| <= ~1 for
+                    # E~1 photons), so a ray can never leap from dt_max
+                    # straight across the slab — a reactive clamp leaves
+                    # the ENTRY step unresolved (measured 5% flux error)
+                    r_cyl = r * jnp.abs(jnp.sin(th))
+                    gap = r_cyl - (r_out + 2.0 * M)
+                    dt_gas = jnp.maximum(params_ref[0, 0], 0.5 * gap)
+                    dt = jnp.where(sign == 0.0, jnp.minimum(dt, dt_gas), dt)
+                else:
+                    near = r < (r_out + 2.0 * M)
+                    dt = jnp.where(near & (sign == 0.0),
+                                   jnp.minimum(dt, params_ref[0, 0]), dt)
             # step-cap freeze with the planar-rk45 sentinel (iterations !=
             # steps here, so the cond cannot bound steps by itself)
             sign = jnp.where((sign == 0.0) & (steps >= max_steps), -128.0,
                              sign)
+        if vol:
+            return (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2,
+                    tau, emr, emg, emb, it + unroll)
         return r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2, \
             it + unroll
 
-    out = lax.while_loop(cond, body, (r, th, ph, p_r, p_th, dt, sign, steps,
-                                      ct_prev, h1, h2, jnp.int32(0)))
+    carry0 = (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2)
+    if vol:
+        carry0 = carry0 + (tau, emr, emg, emb)
+    out = lax.while_loop(cond, body, carry0 + (jnp.int32(0),))
     r, th, ph, p_r, p_th, _, sign, steps, _, h1, h2 = out[:11]
     sign = jnp.where(sign == -128.0, 0.0, sign)
     out_refs[0][:] = r
@@ -1603,13 +1662,22 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     if track_disk:
         out_refs[7][:] = h1
         out_refs[8][:] = h2
+    if vol:
+        tau, emr, emg, emb = out[11:15]
+        out_refs[7][:] = tau
+        out_refs[8][:] = emr
+        out_refs[9][:] = emg
+        out_refs[10][:] = emb
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "max_iters",
                                              "tile_rows", "unroll",
-                                             "track_disk", "interpret"))
+                                             "track_disk", "vol",
+                                             "blackbody", "beaming",
+                                             "interpret"))
 def _kerr_rk45_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
                            max_iters, tile_rows, unroll, track_disk,
+                           vol=False, blackbody=False, beaming=False,
                            interpret=False):
     n_rows = r.shape[0]
     grid = (n_rows // tile_rows,)
@@ -1620,12 +1688,14 @@ def _kerr_rk45_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kerr_rk45_kernel, max_steps, max_iters,
-                               unroll, track_disk)
+                               unroll, track_disk, vol, blackbody, beaming)
     f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
     i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
     out_shape = [f, f, f, f, f, i32, i32]
     if track_disk:
         out_shape += [f, f]
+    if vol:
+        out_shape += [f, f, f, f]            # tau, em_r, em_g, em_b
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1642,12 +1712,16 @@ def _kerr_rk45_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
 def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
                            max_iters=None, escape_radius, rtol=1e-4,
                            atol=1e-7, dt_min=1e-5, dt_max=None,
-                           capture_radius=None, disk=None, tile_rows=32,
-                           unroll=2, interpret=False):
+                           capture_radius=None, disk=None, vol_disk=None,
+                           tile_rows=32, unroll=2, interpret=False):
     """Error-controlled Pallas Kerr/KN march — the kernel twin of
     integrate/rk45.py:march_kerr_rk45 (same contract as march_kerr_pallas;
-    ``steps`` counts accepted steps).  ``unroll >= 2`` dodges the v5e
-    Mosaic relayout bug of unroll=1 while-loop carries."""
+    ``steps`` counts accepted steps).  ``vol_disk`` (DiskParams with
+    volumetric=True) accumulates in-kernel radiative transfer on accepted
+    steps, weighted by each ray's accepted dt (extra = (tau, (em_r, em_g,
+    em_b))); inside r_out + 2M the step is clamped to dt0 so the gas
+    quadrature keeps the fixed kernel's resolution.  ``unroll >= 2`` dodges
+    the v5e Mosaic relayout bug of unroll=1 while-loop carries."""
     unroll = max(2, unroll)
     dtype = x0.dtype
     if capture_radius is None:
@@ -1656,10 +1730,25 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
         dt_max = escape_radius / 8.0        # traced-safe (rides the SMEM row)
     if max_iters is None:
         max_iters = 4 * max_steps
-    r_in, r_out = disk if disk is not None else (0.0, 0.0)
+    vol = vol_disk is not None
+    if vol:
+        r_in, r_out = vol_disk.r_inner, vol_disk.r_outer
+    else:
+        r_in, r_out = disk if disk is not None else (0.0, 0.0)
     q = getattr(metric, "q", 0.0)
     vals = [dt0, escape_radius, metric.m, metric.a, q * q, capture_radius,
-            r_in, r_out, rtol, atol, dt_max, dt_min]
+            r_in, r_out, rtol, atol]
+    if vol:
+        # slots 10-17 mirror the fixed kernel's emission layout (read by
+        # index in _kerr_vol_emission); controller bounds move to 18/19
+        h2 = vol_disk.h_rel * vol_disk.h_rel
+        inv_norm = 1.0 / (float(np.sqrt(2.0 * np.pi)) * vol_disk.h_rel)
+        rp = (49.0 / 36.0) * vol_disk.r_inner
+        f_peak = rp ** -0.75 * (1.0 / 7.0) ** 0.25
+        vals += [h2, inv_norm, vol_disk.kappa, vol_disk.tau_max,
+                 vol_disk.t_peak, vol_disk.emissivity_index,
+                 vol_disk.spin_sign, vol_disk.t_peak / f_peak]
+    vals += [dt_max, dt_min]
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
                        ).reshape(1, len(vals))
 
@@ -1677,7 +1766,10 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
     outs = _kerr_rk45_flat_arrays(
         params, *(a.reshape(shape2) for a in arrs),
         max_steps=max_steps, max_iters=max_iters, tile_rows=tile_rows,
-        unroll=unroll, track_disk=disk is not None, interpret=interpret)
+        unroll=unroll, track_disk=disk is not None and not vol, vol=vol,
+        blackbody=vol and vol_disk.color_mode == "blackbody",
+        beaming=vol and (vol_disk.redshift or vol_disk.doppler),
+        interpret=interpret)
     outs = [a.reshape(-1)[:n] for a in outs]
     r, th, ph, p_r, p_th, sign, steps = outs[:7]
     zero = jnp.zeros_like(r)
@@ -1685,6 +1777,8 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
     E = -p0[:, 0]
     L = p0[:, 3]
     p = jnp.stack([-E, p_r, p_th, L], axis=-1)
+    if vol:
+        return x, p, sign, steps, (outs[7], (outs[8], outs[9], outs[10]))
     if disk is not None:
         return x, p, sign, steps, (outs[7], outs[8])
     return x, p, sign, steps

@@ -330,12 +330,12 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
         if disk is not None:
             far_r0 = jnp.maximum(far_r0, disk.r_outer + 2.0 * metric.m)
     vol = disk is not None and disk.volumetric
-    if stepper == "rk45" and not vol:
-        # error-controlled march (bare shadow / thin disk): the Pallas DP
-        # pair on TPU, its XLA twin elsewhere (interpret kernel for the
-        # disk-tracking variant, which only the kernel implements).
-        # Differentiable backends keep fixed RK4 (the adjoint checkpoints
-        # assume a uniform step grid).
+    if stepper == "rk45":
+        # error-controlled march (bare shadow / thin disk / volumetric
+        # gas): the Pallas DP pair on TPU, its XLA twin elsewhere
+        # (interpret kernel for the disk-tracking and volumetric variants,
+        # which only the kernel implements).  Differentiable backends keep
+        # fixed RK4 (the adjoint checkpoints assume a uniform step grid).
         if backend in ("scan", "adjoint"):
             raise NotImplementedError(
                 "stepper='rk45' is forward-only; use backend='pallas'/'xla' "
@@ -343,6 +343,13 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
         from curvis_tpu.integrate.march import _on_tpu
         kw45 = dict(dt0=dt, max_steps=max_steps, escape_radius=escape_radius,
                     rtol=rtol, atol=rtol * 1e-3)
+        if vol:
+            from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
+            x, p, sign, _, (tau, em) = march_kerr_rk45_pallas(
+                metric, x0, p0, vol_disk=disk, interpret=not _on_tpu(),
+                **kw45)
+            return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk,
+                               filtering, vol, tau, em, None, None)
         if disk is not None:
             from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
             x, p, sign, _, (h1, h2) = march_kerr_rk45_pallas(

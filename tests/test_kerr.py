@@ -772,6 +772,46 @@ def test_kerr_rk45_render_matches_rk4(rng):
     assert (np.abs(d4 - d45).max(-1) > 0.1).mean() < 0.03
 
 
+def test_kerr_rk45_volumetric_matches_rk4(rng):
+    """stepper='rk45' through the VOLUMETRIC gas disk (round-3: the last
+    missing cell of the stepper x surface matrix): in-kernel radiative
+    transfer on accepted steps, dt clamped to dt0 inside r_out + 2M so the
+    quadrature keeps the fixed kernel's resolution.  Against the fixed-RK4
+    volumetric render at tight rtol: same shadow/opacity structure, total
+    flux within a few percent, few mismatched pixels (trajectory chaos at
+    the shadow rim only)."""
+    import curvis_tpu as cv
+    from curvis_tpu.render.disk import DiskParams
+    from curvis_tpu.render.kerr import render_kerr
+    m = make_kerr(1.0, 0.85)
+    th = np.pi / 2 - 0.3
+    cam = cv.make_camera([0.0, 24.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 40, 22, dtype=jnp.float64)
+    hgt, wid = 16, 32
+    yy, xx = np.mgrid[0:hgt, 0:wid]
+    smooth = np.stack([np.sin(2 * np.pi * xx / wid) * 0.5 + 0.5, yy / hgt,
+                       0.3 + 0.4 * np.cos(2 * np.pi * yy / hgt)], -1)
+    bg = cv.make_spherical_image(smooth, dtype=jnp.float64)
+    kw = dict(escape_radius=50.0, backend="xla")
+    for mode in ("tint", "blackbody"):
+        disk = DiskParams(r_inner=3.2, r_outer=12.0, volumetric=True,
+                          h_rel=0.1, kappa=3.0, color_mode=mode,
+                          t_peak=7000.0)
+        v4 = np.asarray(render_kerr(m, cam, bg, dt=0.1, max_steps=20_000,
+                                    disk=disk, **kw))
+        v45 = np.asarray(render_kerr(m, cam, bg, dt=0.1, max_steps=8_000,
+                                     disk=disk, stepper="rk45", rtol=1e-5,
+                                     **kw))
+        assert np.isfinite(v45).all()
+        # vs a dt=0.025 anchor the rk45 render is MORE accurate than this
+        # rk4 one (0 mismatched px / 0.7% flux vs 0.1% px / 0.9% flux),
+        # so the cross-stepper bounds here are dominated by rk4's error
+        assert (np.abs(v4 - v45).max(-1) > 0.1).mean() < 0.02
+        f4, f45 = v4.sum(), v45.sum()
+        assert abs(f45 - f4) / f4 < 0.02
+
+
 def test_kerr_rk45_threads_through_batched_and_adaptive(rng):
     """stepper='rk45' reaches the frames-batched and adaptive-AA Kerr
     renderers (round-3 wiring): batched == per-frame exactly (same march
