@@ -60,12 +60,12 @@ def _step_theta(dt, theta, y):
 
 
 class _ParamRow:
-    """Duck-typed SMEM row whose metric-parameter slots (2, 3, 4) hold
-    per-lane ARRAYS — lets ops/march_pallas._deriv_fns compute per-ray
-    derivatives for jax.vjp without duplicating the metric algebra."""
+    """Duck-typed SMEM row whose metric-parameter slots hold per-lane
+    ARRAYS — lets ops/march_pallas._deriv_fns compute per-ray derivatives
+    for jax.vjp without duplicating the metric algebra."""
 
-    def __init__(self, p0, p1, p2):
-        self._v = {2: p0, 3: p1, 4: p2}
+    def __init__(self, slots):
+        self._v = slots
 
     def __getitem__(self, key):
         return self._v[key[1]]
@@ -76,21 +76,33 @@ _PLANAR_MAKE_STEP = {}
 
 def _planar_make_step(kind):
     """Cached (so the Pallas jit cache keys stably) make_step builder for
-    the checkpoint kernels: theta = (p0, p1, p2, b) per-lane, SMEM row =
-    [dt, 0, ...]."""
+    the checkpoint kernels, SMEM row = [dt, 0, ...].  Named-param kinds:
+    theta = (p0, p1, p2, b) per-lane (slots 2-4).  Table kinds
+    ('cheb{K}{h|c}', metrics/table.py): theta = (s^2, c1..., c2..., b) —
+    the 2(K+1) Chebyshev/monomial coefficients ride as per-lane broadcasts
+    in slots 10.., so the segment VJP yields per-ray cotangents of the
+    TABLE ITSELF (gradients w.r.t. the shape of r(l) at kernel speed)."""
     fn = _PLANAR_MAKE_STEP.get(kind)
     if fn is not None:
         return fn
     from curvis_tpu.ops.march_pallas import _deriv_fns
     deriv = _deriv_fns(kind)
+    ncoef = 2 * (int(kind[4:-1]) + 1) if kind.startswith("cheb") else 0
 
     def make_step(params_ref):
         dt = params_ref[0, 0]
 
         def step(theta, y):
-            p0, p1, p2, b = theta
+            if ncoef:
+                slots = {2: theta[0]}
+                for i in range(ncoef):
+                    slots[10 + i] = theta[1 + i]
+                b = theta[-1]
+            else:
+                slots = {2: theta[0], 3: theta[1], 4: theta[2]}
+                b = theta[-1]
             l, psi, p_l = y
-            dl, dpsi, dpl = deriv(_ParamRow(p0, p1, p2), l, p_l, b, b * b)
+            dl, dpsi, dpl = deriv(_ParamRow(slots), l, p_l, b, b * b)
             return l + dt * dl, psi + dt * dpsi, p_l + dt * dpl
         return step
 
@@ -167,14 +179,24 @@ def _march_bwd(max_steps, escape_radius, backend, segment, res, cot):
         dtype = state0[0].dtype
         kind, row = _metric_kind_and_params(metric, dt, escape_radius, dtype)
         one = jnp.ones_like(state0[0])
-        theta = (row[0, 2] * one, row[0, 3] * one, row[0, 4] * one, b)
+        if kind.startswith("cheb"):
+            ncoef = 2 * (int(kind[4:-1]) + 1)
+            theta = ((row[0, 2] * one,)
+                     + tuple(row[0, 10 + i] * one for i in range(ncoef))
+                     + (b,))
+        else:
+            theta = (row[0, 2] * one, row[0, 3] * one, row[0, 4] * one, b)
         lam, g = ckpt_adjoint_backward_pallas(
             _planar_make_step(kind), row, tuple(state0), theta,
             steps_eff.astype(dtype), cot3, max_steps=max_steps, seg=segment,
             interpret=backend.endswith("interpret"))
-        g012 = (jnp.sum(g[0]), jnp.sum(g[1]), jnp.sum(g[2]))
-        g_metric = _planar_metric_grads(metric, g012)
-        g_b = g[3]
+        if kind.startswith("cheb"):
+            g_metric = _table_metric_grads(
+                metric, [jnp.sum(gi) for gi in g[:-1]])
+        else:
+            g012 = (jnp.sum(g[0]), jnp.sum(g[1]), jnp.sum(g[2]))
+            g_metric = _planar_metric_grads(metric, g012)
+        g_b = g[-1]
     else:
         step_fn = partial(_step_theta, dt)
         (g_metric, g_b), lam = ckpt_adjoint_backward(
@@ -182,6 +204,20 @@ def _march_bwd(max_steps, escape_radius, backend, segment, res, cot):
             max_steps=max_steps, segment=segment)
 
     return g_metric, lam, g_b, jnp.zeros_like(dt)
+
+
+def _table_metric_grads(metric, g_sums):
+    """Slot cotangents -> TabulatedMetric pytree cotangent: g_sums =
+    [g_s2, g_c1..., g_c2...] (lane-summed); s^2 chain-rules to s."""
+    import dataclasses
+    n1 = metric.c1.shape[0]
+    g_s2 = g_sums[0]
+    gc = g_sums[1:]
+    return dataclasses.replace(
+        jax.tree_util.tree_map(jnp.zeros_like, metric),
+        c1=jnp.stack(gc[:n1]).astype(metric.c1.dtype),
+        c2=jnp.stack(gc[n1:]).astype(metric.c2.dtype),
+        s=jnp.asarray(2.0 * metric.s * g_s2, jnp.result_type(metric.s)))
 
 
 def _planar_metric_grads(metric, g012):

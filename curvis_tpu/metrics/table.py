@@ -37,11 +37,12 @@ r(l) >= r_min > 0 everywhere (wormhole-like; validated at fit time — a
 horizon needs a capture radius and its own kind).
 
 Gradients: a TabulatedMetric is an ordinary pytree whose *leaves are the
-coefficients*, so jax.grad through the XLA backends (and the adjoint
-recompute, integrate/adjoint.py backend='xla') differentiates the rendered
-image w.r.t. the table — and via the fit's linearity, w.r.t. the shape of
-r(l) itself.  The Pallas adjoint kernel keys on the named param slots and
-does not yet cover tables.
+coefficients*, so jax.grad through the XLA backends differentiates the
+rendered image w.r.t. the table — and via the fit's linearity, w.r.t. the
+shape of r(l) itself.  The Pallas adjoint pair covers tables too
+(integrate/adjoint.py backend='pallas': the coefficients ride theta as
+per-lane broadcasts, the segment VJP yields their cotangents in VMEM), so
+d image / d shape runs at kernel speed on chip.
 """
 from __future__ import annotations
 
