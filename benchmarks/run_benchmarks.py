@@ -196,6 +196,18 @@ def main(argv=None):
                                color_mode="blackbody",
                                t_peak=6500.0)).mean(),
            kerr, cam_k, bgp)
+    # 5c2. volumetric through the DP5(4) stepper (round 3): error-controlled
+    #      trajectory + anticipatory gas-cylinder clamp — strictly more
+    #      accurate than the fixed path at near-equal cost
+    record("kerr_512x288_voldisk_rk45_rtol1e-4", 512 * 288,
+           lambda m, c, bp: render_kerr(
+               m, c, bp, dt=0.08, max_steps=12_000, escape_radius=60.0,
+               stepper="rk45", rtol=1e-4,
+               disk=DiskParams(r_inner=2.6, r_outer=12.0, volumetric=True,
+                               h_rel=0.07, kappa=3.0,
+                               color_mode="blackbody",
+                               t_peak=6500.0)).mean(),
+           kerr, cam_k, bgp)
 
     # Roofline anchor (VERDICT round-1 weak #8): march-kernel step
     # throughput vs VPU peak, so "fast" is argued against hardware, not just
