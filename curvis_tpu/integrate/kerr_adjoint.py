@@ -48,9 +48,11 @@ from curvis_tpu.integrate.ckpt import ckpt_adjoint_backward
 from curvis_tpu.ops.march_pallas import _kerr_rhs
 from curvis_tpu.physics import hamiltonian as ham
 
-# Pallas backward segment length: 16 RK4 steps re-marched per VJP pull —
-# checkpoint HBM traffic ~ n_rays * 5 * max_steps/16 floats each way.
-_PALLAS_SEG = 16
+# Pallas backward segment length: 32 RK4 steps re-marched per VJP pull —
+# checkpoint HBM traffic ~ n_rays * 5 * max_steps/32 floats each way.
+# v5e sweep (256x144, 800 steps, value+grad): seg 8/16/32/64 = 101/110/82/
+# 93 ms — 32 balances checkpoint traffic against VMEM segment scratch.
+_PALLAS_SEG = 32
 
 
 def _q2_of(metric):

@@ -792,12 +792,13 @@ _VOL_BB_L5 = tuple(-5.0 * float(np.log(lam))
 
 
 def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
-                  pr, l, p_l, b, zq, tau, nz):
+                  pr, l, p_l, b, zq, tau, nz, cheb_off=16):
     """SoA per-step volumetric emission — (dtau, demr, demg, demb).
 
     Mirrors render/disk.py:step_emission exactly (same clips, same guards);
-    scalars come from the widened SMEM row (see _disk_vol_arrays layout).
-    """
+    scalars come from the widened SMEM row (see _disk_vol_arrays layout:
+    16 named slots, so a table metric's coefficient tail rides at 16 —
+    NOT the compact kernels' 10)."""
     r_in = pr[0, 6]
     r_out = pr[0, 7]
     h2 = pr[0, 8]
@@ -810,7 +811,7 @@ def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
     if kind in ("schwarzschild", "rn"):
         r = l
     else:
-        inv_r2, _ = _shape_fns(kind)(pr, l)
+        inv_r2, _ = _shape_fns(kind, cheb_off)(pr, l)
         r = jax.lax.rsqrt(inv_r2)
     zq2 = zq * zq
     s2 = jnp.clip(1.0 - zq2, 1e-12, 1.0)
@@ -878,7 +879,10 @@ def _disk_vol_kernel(kind: str, blackbody: bool, redshift: bool,
                      params_ref, l_ref, psi_ref, pl_ref, b_ref, c1_ref,
                      c2_ref, nz_ref, ol_ref, opsi_ref, opl_ref, osign_ref,
                      osteps_ref, otau_ref, oemr_ref, oemg_ref, oemb_ref):
-    deriv = _deriv_fns(kind)
+    # the vol row carries 16 named slots (6-15 = disk/emission params), so
+    # a table metric's Chebyshev tail rides at offset 16 — the default 10
+    # would read kappa/tau_max/... as coefficients (garbage trajectories)
+    deriv = _deriv_fns(kind, 16)
     dt = params_ref[0, 0]
     R = params_ref[0, 1]
     r_cap = params_ref[0, 5]
@@ -974,7 +978,8 @@ def _disk_vol_arrays(kind, blackbody, redshift, doppler, params, l, psi, p_l,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ] + [row_spec()] * 7,
         out_specs=[row_spec()] * 9,
         out_shape=[f, f, f, i, i, f, f, f, f],

@@ -182,3 +182,40 @@ def test_rk45_kernel_supports_table():
                                  **kw)
     np.testing.assert_array_equal(np.asarray(a.sign), np.asarray(b.sign))
     assert np.abs(np.asarray(a.psi) - np.asarray(b.psi)).max() < 1e-3
+
+def test_volumetric_kernel_supports_table():
+    """Regression: the volumetric kernel's widened 16-slot SMEM row parks a
+    table metric's Chebyshev tail at offset 16 — the kernel read it from the
+    compact kernels' offset 10 (kappa/tau_max/... as coefficients), giving
+    garbage trajectories (final-l off by the whole escape radius), and the
+    hardcoded (1, 16) SMEM spec truncated the tail entirely.  The Pallas
+    march must match the XLA volumetric marcher on the SAME table."""
+    from curvis_tpu.ops.march_pallas import march_planar_disk_volumetric_pallas
+    from curvis_tpu.render.disk import DiskParams, march_planar_disk_volumetric
+    tab, _ = tabulate_metric(lambda l: jnp.sqrt(1.0 + l * l), degree=10,
+                             tol=1e-3, dtype=jnp.float64)
+    n = 64
+    alpha = jnp.asarray(np.linspace(0.1, 0.8, n))
+    l = jnp.full((n,), 20.0)
+    rays = pl.PlanarRays(l, jnp.zeros((n,)), -jnp.cos(alpha),
+                         tab.r(l) * jnp.sin(alpha),
+                         jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+    c1 = jnp.full((n,), 0.2)
+    c2 = jnp.full((n,), 0.6)
+    nz = jnp.full((n,), 0.77)
+    disk = DiskParams(r_inner=3.0, r_outer=10.0, volumetric=True, h_rel=0.1,
+                      kappa=3.0, color_mode="tint", t_peak=7000.0)
+    kw = dict(dt=0.05, max_steps=4000, escape_radius=40.0)
+    res_a, tau_a, em_a = march_planar_disk_volumetric(tab, rays, c1, c2, nz,
+                                                      params=disk, **kw)
+    res_b, tau_b, em_b = march_planar_disk_volumetric_pallas(
+        tab, rays, c1, c2, nz, disk=disk, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(res_a.sign),
+                                  np.asarray(res_b.sign))
+    assert float(jnp.abs(res_a.l - res_b.l).max()) < 1e-9
+    assert float(tau_a.max()) > 1.0          # rays actually cross the gas
+    np.testing.assert_allclose(np.asarray(tau_a), np.asarray(tau_b),
+                               rtol=1e-10, atol=1e-12)
+    for ea, eb in zip(em_a, em_b):
+        np.testing.assert_allclose(np.asarray(ea), np.asarray(eb),
+                                   rtol=1e-10, atol=1e-12)
