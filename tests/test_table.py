@@ -219,3 +219,35 @@ def test_volumetric_kernel_supports_table():
     for ea, eb in zip(em_a, em_b):
         np.testing.assert_allclose(np.asarray(ea), np.asarray(eb),
                                    rtol=1e-10, atol=1e-12)
+
+def test_disk_kernel_supports_table():
+    """Thin-disk kernel + table metric: the disk row splices (r_in, r_out,
+    0, 0) into slots 6:10, keeping the Chebyshev tail at the compact
+    kernels' offset 10 — crossing radii must match the XLA disk marcher
+    (to trajectory-divergence level: the XLA path reaches (inv, dr3) via
+    r_derivative's extra multiply/divide round trip, an ulp-level
+    difference the march amplifies to ~1e-5 over 4k steps)."""
+    from curvis_tpu.ops.march_pallas import march_planar_disk_pallas
+    from curvis_tpu.render.disk import march_planar_disk
+    tab, _ = tabulate_metric(lambda l: jnp.sqrt(1.0 + l * l), degree=10,
+                             tol=1e-3, dtype=jnp.float64)
+    n = 64
+    alpha = jnp.asarray(np.linspace(0.1, 0.8, n))
+    l = jnp.full((n,), 20.0)
+    rays = pl.PlanarRays(l, jnp.zeros((n,)), -jnp.cos(alpha),
+                         tab.r(l) * jnp.sin(alpha),
+                         jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+    c1 = jnp.full((n,), 0.2)
+    c2 = jnp.full((n,), 0.6)
+    kw = dict(dt=0.05, max_steps=4000, escape_radius=40.0,
+              r_inner=3.0, r_outer=10.0)
+    res_a, (h1a, h2a), _ = march_planar_disk(tab, rays, c1, c2, **kw)
+    res_b, (h1b, h2b), _ = march_planar_disk_pallas(tab, rays, c1, c2,
+                                                    interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(res_a.sign),
+                                  np.asarray(res_b.sign))
+    assert (np.asarray(h1a) > 0).any()       # rays actually hit the disk
+    np.testing.assert_allclose(np.asarray(h1a), np.asarray(h1b),
+                               rtol=5e-4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(h2a), np.asarray(h2b),
+                               rtol=5e-4, atol=1e-9)
