@@ -113,7 +113,6 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
             sign = jnp.where(am & (l < r_cap) & (sign == 0), 2, sign)
         steps = steps + am.astype(jnp.int32)
         over = steps >= max_steps
-        sign = jnp.where(active & over & (sign == 0), 0, sign)
 
         # a reject at the dt floor can never pass (the controller cannot
         # shrink further) -> freeze as blowup instead of spinning to
@@ -123,9 +122,15 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
             & (sign == 0)
         sign = jnp.where(stalled, 3, sign)
 
-        # step-size control (only for still-active rays)
+        # step-size control (only for still-active rays).  The NaN guard on
+        # factor is load-bearing for termination: a NaN err (non-finite
+        # trial state) rejects with factor = NaN, and without the guard dt
+        # itself goes NaN, the dt-floor stall test compares False forever,
+        # and one ray spins the march to max_iters (same guard as the Kerr
+        # twin).
         err_safe = jnp.maximum(err, 1e-10)
         factor = jnp.clip(0.9 * err_safe ** -0.2, 0.2, 5.0)
+        factor = jnp.where(jnp.isfinite(factor), factor, 0.2)
         dt = jnp.where(active & ~esc & (sign == 0),
                        jnp.clip(dt * factor, dt_min, dt_max), dt)
         # rays at max_steps stop consuming iterations

@@ -197,6 +197,20 @@ def _deriv_fns(kind: str, cheb_off: int = 10):
 _NO_CAPTURE = -1e30      # sentinel capture radius (never reached)
 
 
+def _vol_param_slots(disk):
+    """The 8 emission scalars every volumetric kernel reads by FIXED index
+    (after its r_in/r_out pair): [h^2, inv_norm, kappa, tau_max, t_peak,
+    emissivity_index, spin_sign, t_scale].  One definition so the slot
+    order _vol_emission/_kerr_vol_emission hardcode cannot desynchronize
+    across the planar-vol, Kerr-RK4-vol and Kerr-RK45-vol rows."""
+    h2 = disk.h_rel * disk.h_rel
+    inv_norm = 1.0 / (float(np.sqrt(2.0 * np.pi)) * disk.h_rel)
+    rp = (49.0 / 36.0) * disk.r_inner       # Shakura-Sunyaev peak radius
+    f_peak = rp ** -0.75 * (1.0 / 7.0) ** 0.25
+    return [h2, inv_norm, disk.kappa, disk.tau_max, disk.t_peak,
+            disk.emissivity_index, disk.spin_sign, disk.t_peak / f_peak]
+
+
 def _metric_kind_and_params(metric: Metric, dt, escape_radius, dtype):
     """(kind, (1, 10) SMEM param row):
     [dt, R, p0, p1, p2, capture_radius, rtol, atol, dt_max, 0].
@@ -522,8 +536,13 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
         sign = jnp.where(stalled, 3.0, sign)
         err_s = jnp.maximum(err, 1e-10)
         # clip(0.9 * err^-0.2, 0.2, 5.0) without pow: err^-0.2 via
-        # exp(-0.2 ln err)
+        # exp(-0.2 ln err).  The NaN guard (factor > 0.0 is False for NaN)
+        # is load-bearing for termination: without it a non-finite trial
+        # state makes dt itself NaN, the dt-floor stall test above compares
+        # False forever, and one ray spins its whole tile to max_iters
+        # (same guard as _kerr_rk45_kernel).
         factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(err_s)), 0.2, 5.0)
+        factor = jnp.where(factor > 0.0, factor, 0.2)
         newdt = jnp.clip(dt * factor, 1e-6, dt_max)
         dt = jnp.where((alive > 0) & (esc == 0.0) & (sign == 0.0), newdt, dt)
         # rays that hit the step cap freeze with a sentinel
@@ -1000,13 +1019,7 @@ def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
         unroll //= 2
     kind, params = _metric_kind_and_params(metric, dt, escape_radius,
                                            rays.l.dtype)
-    h2 = disk.h_rel * disk.h_rel
-    inv_norm = 1.0 / (float(np.sqrt(2.0 * np.pi)) * disk.h_rel)
-    rp = (49.0 / 36.0) * disk.r_inner
-    f_peak = rp ** -0.75 * (1.0 / 7.0) ** 0.25
-    extra = [disk.r_inner, disk.r_outer, h2, inv_norm, disk.kappa,
-             disk.tau_max, disk.t_peak, disk.emissivity_index,
-             disk.spin_sign, disk.t_peak / f_peak]
+    extra = [disk.r_inner, disk.r_outer] + _vol_param_slots(disk)
     params = jnp.concatenate(
         [params[:, :6],
          jnp.asarray([extra], params.dtype),
@@ -1376,6 +1389,11 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
         capture_radius = metric.capture_radius
     vol = vol_disk is not None
     if vol:
+        if disk is not None:
+            raise ValueError("pass disk=(r_in, r_out) OR vol_disk, not "
+                             "both: thin-disk crossing tracking and "
+                             "volumetric transfer share the kernel's extra "
+                             "output slots")
         r_in, r_out = vol_disk.r_inner, vol_disk.r_outer
     else:
         r_in, r_out = disk if disk is not None else (0.0, 0.0)
@@ -1385,13 +1403,7 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     vals = [dt, escape_radius, metric.m, metric.a, q * q, capture_radius,
             r_in, r_out, axis_u0, far_r0]
     if vol:
-        h2 = vol_disk.h_rel * vol_disk.h_rel
-        inv_norm = 1.0 / (float(np.sqrt(2.0 * np.pi)) * vol_disk.h_rel)
-        rp = (49.0 / 36.0) * vol_disk.r_inner
-        f_peak = rp ** -0.75 * (1.0 / 7.0) ** 0.25
-        vals += [h2, inv_norm, vol_disk.kappa, vol_disk.tau_max,
-                 vol_disk.t_peak, vol_disk.emissivity_index,
-                 vol_disk.spin_sign, vol_disk.t_peak / f_peak, 0.0, 0.0]
+        vals += _vol_param_slots(vol_disk) + [0.0, 0.0]
     width = len(vals)
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
                        ).reshape(1, width)
@@ -1627,15 +1639,24 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
                 # error at inclination 0.3.  Crossing tracking only matters
                 # near the equator, where the spherical guard is the same.
                 if vol:
-                    # ANTICIPATORY clamp on the cylindrical radius: inside
-                    # the (infinite-z) gas cylinder dt <= dt0; approaching
-                    # it, dt <= half the radial gap (|dr/dlambda| <= ~1 for
-                    # E~1 photons), so a ray can never leap from dt_max
-                    # straight across the slab — a reactive clamp leaves
-                    # the ENTRY step unresolved (measured 5% flux error)
-                    r_cyl = r * jnp.abs(jnp.sin(th))
-                    gap = r_cyl - (r_out + 2.0 * M)
-                    dt_gas = jnp.maximum(params_ref[0, 0], 0.5 * gap)
+                    # ANTICIPATORY clamp on distance to the gas SLAB:
+                    # inside it dt <= dt0; approaching it, dt <= half the
+                    # larger of the radial gap (to the r_out + 2M cylinder)
+                    # and the vertical gap (to the 5-sigma density shell
+                    # |z| ~ 5 h_rel r_cyl, where dens ~ e^-12.5) —
+                    # |dr/dlambda|, |dz/dlambda| <= ~1 for E ~ 1 photons,
+                    # so a step can never leap from dt_max straight across
+                    # the gas (a reactive clamp leaves the ENTRY step
+                    # unresolved: measured 5% flux error), while zero-
+                    # emission polar rays inside the cylinder keep adaptive
+                    # steps instead of being pinned to dt0
+                    s_th = jnp.abs(jnp.sin(th))
+                    r_cyl = r * s_th
+                    gap_r = r_cyl - (r_out + 2.0 * M)
+                    h_rel5 = 5.0 * jnp.sqrt(params_ref[0, 10])
+                    gap_z = r * jnp.abs(jnp.cos(th)) - h_rel5 * r_cyl
+                    dt_gas = jnp.maximum(params_ref[0, 0],
+                                         0.5 * jnp.maximum(gap_r, gap_z))
                     dt = jnp.where(sign == 0.0, jnp.minimum(dt, dt_gas), dt)
                 else:
                     near = r < (r_out + 2.0 * M)
@@ -1737,6 +1758,11 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
         max_iters = 4 * max_steps
     vol = vol_disk is not None
     if vol:
+        if disk is not None:
+            raise ValueError("pass disk=(r_in, r_out) OR vol_disk, not "
+                             "both: thin-disk crossing tracking and "
+                             "volumetric transfer share the kernel's extra "
+                             "output slots")
         r_in, r_out = vol_disk.r_inner, vol_disk.r_outer
     else:
         r_in, r_out = disk if disk is not None else (0.0, 0.0)
@@ -1746,13 +1772,7 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
     if vol:
         # slots 10-17 mirror the fixed kernel's emission layout (read by
         # index in _kerr_vol_emission); controller bounds move to 18/19
-        h2 = vol_disk.h_rel * vol_disk.h_rel
-        inv_norm = 1.0 / (float(np.sqrt(2.0 * np.pi)) * vol_disk.h_rel)
-        rp = (49.0 / 36.0) * vol_disk.r_inner
-        f_peak = rp ** -0.75 * (1.0 / 7.0) ** 0.25
-        vals += [h2, inv_norm, vol_disk.kappa, vol_disk.tau_max,
-                 vol_disk.t_peak, vol_disk.emissivity_index,
-                 vol_disk.spin_sign, vol_disk.t_peak / f_peak]
+        vals += _vol_param_slots(vol_disk)
     vals += [dt_max, dt_min]
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
                        ).reshape(1, len(vals))

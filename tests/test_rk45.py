@@ -113,3 +113,30 @@ def test_pallas_rk45_interpret_matches_xla():
     assert np.abs(np.asarray(a.psi) - np.asarray(b.psi)).max() < 1e-3
     # step counts agree closely (identical control flow, f32 rounding only)
     assert np.abs(np.asarray(a.steps) - np.asarray(b.steps)).max() <= 2
+
+def test_rk45_nonfinite_ray_freezes_not_spins():
+    """Termination regression: a ray whose state goes non-finite makes err
+    = NaN; without the NaN guard on the controller factor, dt itself goes
+    NaN, the dt-floor stall test compares False forever, and the single ray
+    spins the whole march (or its Pallas tile) to max_iters with sign 0.
+    Both twins must freeze it as sign 3 (blowup) and leave healthy rays
+    untouched."""
+    from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    n = 8
+    l = jnp.full((n,), 5.0).at[3].set(jnp.nan)          # one poisoned ray
+    psi = jnp.zeros((n,))
+    alpha = jnp.asarray(np.linspace(0.3, 1.0, n))
+    rays = pl.PlanarRays(l, psi, -jnp.cos(alpha), 5.0 * jnp.sin(alpha),
+                         jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+    # max_iters small: the pre-fix code burned all 4 * max_steps iterations
+    kw = dict(escape_radius=30.0, max_steps=400, rtol=1e-5, atol=1e-7)
+    a = march_planar_rk45(metric, rays, max_iters=200, **kw)
+    sa = np.asarray(a.sign)
+    assert sa[3] == 3, sa
+    assert (sa[np.arange(n) != 3] == 1).all(), sa       # others escape fine
+    b = march_planar_rk45_pallas(metric, rays, interpret=True, tile_rows=8,
+                                 **kw)
+    sb = np.asarray(b.sign)
+    assert sb[3] == 3, sb
+    assert (sb[np.arange(n) != 3] == 1).all(), sb
