@@ -32,7 +32,14 @@ import numpy as np
 
 REFERENCE_PROXY_RAYS_PER_S = 2.0e4   # native/refbench.cc, 1024 res, this host
 RES = 1024
-REPS = 5
+# >= 11 reps (VERDICT round-3 next-step #3): the dev tunnel injects rare
+# multi-hundred-ms hiccups into single reps, so the headline reports
+# median + IQR + min over the per-rep times (all persisted in the JSON
+# line).  Drift-vs-noise decision rule for round-over-round comparison:
+# a change is REAL iff the two runs' [q1, q3] intervals are disjoint;
+# `min` is the capability number under one-sided tunnel noise (delays only
+# ever add time) and is what kernel regressions move first.
+REPS = 11
 
 
 def _grad_bench(jax, jnp, cv):
@@ -73,11 +80,12 @@ def _grad_bench(jax, jnp, cv):
                 float(v), float(g)
                 ts.append(time.time() - t0)
             res[backend + "_ms"] = round(float(np.median(ts)) * 1e3, 1)
+            res[backend + "_ms_min"] = round(float(min(ts)) * 1e3, 1)
         res["speedup"] = round(res["scan_ms"] / res["adjoint_ms"], 1)
         return res
 
-    out = run(64, 36, 3)
-    big = run(256, 144, 2)
+    out = run(64, 36, 5)
+    big = run(256, 144, 3)
     out["speedup_256x144"] = big["speedup"]
     out["scan_ms_256x144"] = big["scan_ms"]
     out["adjoint_ms_256x144"] = big["adjoint_ms"]
@@ -155,8 +163,10 @@ def main():
         float(render_batch(metric, cams, bgp, bgn))
         times.append(time.time() - t0)
     secs = float(np.median(times))
+    q1, q3 = (float(np.percentile(times, q)) for q in (25, 75))
     spread_pct = 100.0 * (max(times) - min(times)) / secs
-    mrays = FRAMES * RES * RES / secs / 1e6
+    rays = FRAMES * RES * RES
+    mrays = rays / secs / 1e6
 
     out = {
         "metric": "Mrays/s/chip (Ellis 1024^2, Euler dt=0.05, 40k steps)",
@@ -165,6 +175,17 @@ def main():
         "vs_baseline": round(mrays * 1e6 / REFERENCE_PROXY_RAYS_PER_S, 1),
         "median_over": REPS,
         "spread_pct": round(spread_pct, 1),
+        # tunnel-noise-robust companions (VERDICT round-3 #3): the per-rep
+        # times themselves, the IQR, and the max-throughput (min-time)
+        # number — one-sided dispatch hiccups can only ADD time, so `min`
+        # tracks kernel capability and [q1, q3] tracks reproducibility.
+        # Decision rule: treat a round-over-round change as real drift iff
+        # the [mrays_q3_floor, mrays_q1_ceil] intervals do not overlap.
+        "rep_times_ms": [round(t * 1e3, 1) for t in times],
+        "iqr_pct": round(100.0 * (q3 - q1) / secs, 1),
+        "mrays_min_time": round(rays / min(times) / 1e6, 3),
+        "mrays_q1_ceil": round(rays / q1 / 1e6, 3),
+        "mrays_q3_floor": round(rays / q3 / 1e6, 3),
     }
 
     if os.environ.get("CURVIS_BENCH_PARITY", "1") != "0":

@@ -92,13 +92,14 @@ def gate_rk45():
             "ok": bool(agree >= 0.97 and mm <= 0.05)}
 
 
-def _disk_setup():
+def _disk_setup(metric=None):
     import jax.numpy as jnp
     import curvis_tpu as cv
     from curvis_tpu.metrics.base import SchwarzschildMetric
     from curvis_tpu.physics import planar as pl2
     from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
-    metric = SchwarzschildMetric(m=jnp.asarray(1.0, jnp.float32))
+    if metric is None:
+        metric = SchwarzschildMetric(m=jnp.asarray(1.0, jnp.float32))
     th = np.pi / 2 - 0.22
     cam = cv.make_camera([0.0, 28.0, th, 0.0],
                          [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
@@ -310,6 +311,93 @@ def gate_table():
             "ok": bool(agree >= 0.97 and mm <= 0.05)}
 
 
+def _table_metric():
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.metrics.table import tabulate_metric
+
+    def r_fn(l):
+        rho = 1.0 + 0.35 * jnp.tanh(l / 1.4)     # asymmetric Bell wormhole
+        return jnp.sqrt(rho * rho + l * l)
+
+    tab, _ = tabulate_metric(r_fn, degree=16, tol=5e-4)
+    return jax.tree.map(lambda a: a.astype(jnp.float32), tab)
+
+
+def gate_table_rk45():
+    """cheb x rk45 combo compiled on-chip (round-3 VERDICT weak #4: the
+    table-metric kernel combos were interpret-tested only, and the cheb
+    tail offset is exactly the bug class that shipped twice)."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.integrate.rk45 import march_planar_rk45
+    from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+    tab = _table_metric()
+    rays = _bundle(tab, [0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.0],
+                   (32, 16), jnp.float32)
+    kw = dict(escape_radius=30.0, rtol=1e-5, atol=1e-7)
+    a = jax.jit(lambda m, r: march_planar_rk45(m, r, **kw))(tab, rays)
+    b = jax.jit(lambda m, r: march_planar_rk45_pallas(
+        m, r, interpret=_ipret(), **kw))(tab, rays)
+    agree, mm = _escape_mismatch(a, b, tol=2e-3)
+    return {"sign_agree": round(agree, 4), "psi_mismatch": round(mm, 4),
+            "ok": bool(agree >= 0.97 and mm <= 0.05)}
+
+
+def gate_table_disk():
+    """cheb x thin-disk crossing-capture combo compiled on-chip."""
+    import jax
+    from curvis_tpu.ops.march_pallas import march_planar_disk_pallas
+    from curvis_tpu.render.disk import march_planar_disk
+    metric, rays, c1, c2, _ = _disk_setup(_table_metric())
+    kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0,
+              r_inner=3.0, r_outer=13.0)
+    res_a, (h1a, _), _ = jax.jit(
+        lambda m, r, a, b: march_planar_disk(m, r, a, b, **kw))(
+            metric, rays, c1, c2)
+    res_b, (h1b, _), _ = jax.jit(
+        lambda m, r, a, b: march_planar_disk_pallas(
+            m, r, a, b, interpret=_ipret(), **kw))(metric, rays, c1, c2)
+    sign_agree = float((np.asarray(res_a.sign) == np.asarray(res_b.sign))
+                       .mean())
+    hit_a, hit_b = np.asarray(h1a) > 0, np.asarray(h1b) > 0
+    hit_agree = float((hit_a == hit_b).mean())
+    both = hit_a & hit_b
+    rel = (np.abs(np.asarray(h1a)[both] - np.asarray(h1b)[both])
+           / np.maximum(np.asarray(h1a)[both], 1e-6)) if both.any() else \
+        np.zeros(1)
+    return {"sign_agree": round(sign_agree, 4),
+            "hit_agree": round(hit_agree, 4),
+            "hit_r_relmax": round(float(rel.max()), 5),
+            "ok": bool(sign_agree >= 0.97 and hit_agree >= 0.95
+                       and rel.max() < 1e-2)}
+
+
+def gate_table_vol():
+    """cheb x volumetric combo compiled on-chip — the exact combination
+    whose SMEM tail offset (CHEB_OFF_VOL) was mis-spliced in round 3."""
+    import jax
+    from curvis_tpu.ops.march_pallas import \
+        march_planar_disk_volumetric_pallas
+    from curvis_tpu.render.disk import (DiskParams,
+                                        march_planar_disk_volumetric)
+    metric, rays, c1, c2, nz = _disk_setup(_table_metric())
+    kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0)
+    disk = DiskParams(r_inner=3.0, r_outer=13.0, volumetric=True,
+                      h_rel=0.08, kappa=3.0, color_mode="tint",
+                      t_peak=7000.0)
+    _, tau_a, _ = jax.jit(lambda m, r, a, b, n: march_planar_disk_volumetric(
+        m, r, a, b, n, params=disk, **kw))(metric, rays, c1, c2, nz)
+    _, tau_b, _ = jax.jit(
+        lambda m, r, a, b, n: march_planar_disk_volumetric_pallas(
+            m, r, a, b, n, disk=disk, interpret=_ipret(), **kw))(
+                metric, rays, c1, c2, nz)
+    ta, tb = np.asarray(tau_a), np.asarray(tau_b)
+    rel = np.abs(ta - tb) / np.maximum(np.abs(ta), 1e-4)
+    mm = float((rel > 1e-2).mean())
+    return {"tau_mismatch": round(mm, 4), "ok": bool(mm <= 0.05)}
+
+
 def gate_adjoint():
     """Gradient parity of the checkpointed-recompute backward: the Pallas
     kernel pair (compiled, on-chip) vs the XLA checkpointed scan — the gate
@@ -360,6 +448,9 @@ GATES = {
     "kerr_rk45": gate_kerr_rk45,
     "kerr_rk45_vol": gate_kerr_rk45_vol,
     "table": gate_table,
+    "table_rk45": gate_table_rk45,
+    "table_disk": gate_table_disk,
+    "table_vol": gate_table_vol,
     "adjoint": gate_adjoint,
 }
 

@@ -43,6 +43,33 @@ from curvis_tpu.physics.planar import PlanarRays, PlanarResult
 
 LANES = 128
 
+# ---------------------------------------------------------------------------
+# SMEM row layout contract — SINGLE SOURCE OF TRUTH (VERDICT round-3
+# next-step #4: the cheb-tail offset bug class shipped twice in round 3
+# because the layout lived in three places).  Every kernel family reads its
+# named scalars through these constants, the wrapper row-builders assert
+# their splice arithmetic against them, and tests/test_smem_layout.py pins
+# the whole contract.
+#
+#   compact rows (euler/_rk45_kernel/_disk_kernel):
+#     [0]=dt [1]=R [2:5]=metric params [5]=capture [6:10]=family extras
+#     (rk45: rtol, atol, dt_max, -; disk: r_in, r_out, -, -; euler march:
+#     far_r0 at 9) — Chebyshev tail at CHEB_OFF_COMPACT.
+#   planar volumetric row: compact[0:6] + [6]=r_in [7]=r_out +
+#     the 8 _vol_param_slots at VOL_BLOCK_PLANAR — tail at CHEB_OFF_VOL.
+#   Kerr rows: [0]=dt [1]=R [2]=M [3]=a [4]=q2 [5]=cap [6]=r_in [7]=r_out
+#     + [8]=axis_u0 [9]=far_r0 (fixed) | [8]=rtol [9]=atol (rk45); vol
+#     variants append the 8 _vol_param_slots at VOL_BLOCK_KERR; the rk45
+#     controller bounds (dt_max, dt_min) sit at KERR_RK45_BOUNDS[vol].
+# ---------------------------------------------------------------------------
+VOL_SLOT = {"h2": 0, "inv_norm": 1, "kappa": 2, "tau_max": 3, "t_peak": 4,
+            "emis_q": 5, "spin_sign": 6, "t_scale": 7}
+VOL_BLOCK_PLANAR = 8               # _vol_emission / _disk_vol_kernel reads
+VOL_BLOCK_KERR = 10                # _kerr_vol_emission / Kerr kernels reads
+CHEB_OFF_COMPACT = 10              # compact-row Chebyshev tail offset
+CHEB_OFF_VOL = VOL_BLOCK_PLANAR + len(VOL_SLOT)       # = 16
+KERR_RK45_BOUNDS = {False: 10, True: VOL_BLOCK_KERR + len(VOL_SLOT)}
+
 
 def _atan_poly(x):
     """Branchless arctan for the Mosaic kernel (no atan lowering on TPU
@@ -63,7 +90,7 @@ def _atan_poly(x):
     return sign * (base + poly)
 
 
-def _shape_fns(kind: str, cheb_off: int = 10):
+def _shape_fns(kind: str, cheb_off: int = CHEB_OFF_COMPACT):
     """Inlined (r2, r_deriv_over_r3) for each metric family.
 
     Returns f(params, l) -> (r2, dr_over_r3) where dr_over_r3 = r'(l)/r(l)^3,
@@ -151,7 +178,7 @@ _ATAN6 = (0.9999983985602714, -0.33323850415643685, 0.1986180494015639,
           0.0077305593796934136)
 
 
-def _deriv_fns(kind: str, cheb_off: int = 10):
+def _deriv_fns(kind: str, cheb_off: int = CHEB_OFF_COMPACT):
     """Full planar derivative triple f(pr, l, p_l, b, b2) -> (dl, dpsi, dpl).
 
     Unit-lapse metrics (the reference family) use the shape-function form;
@@ -220,8 +247,8 @@ def _metric_kind_and_params(metric: Metric, dt, escape_radius, dtype):
         vals = list(vals) + [0.0] * (5 - len(vals))
         vals = vals + [capture]
         vals = [jnp.asarray(v, dtype=dtype) for v in vals]
-        vals += [jnp.zeros((), dtype=dtype)] * (10 - len(vals))
-        return jnp.stack(vals).reshape(1, 10)
+        vals += [jnp.zeros((), dtype=dtype)] * (CHEB_OFF_COMPACT - len(vals))
+        return jnp.stack(vals).reshape(1, CHEB_OFF_COMPACT)
     if isinstance(metric, EllisMetric):
         return "ellis", row([dt, escape_radius, metric.rho])
     if isinstance(metric, InterstellarMetric):
@@ -604,7 +631,7 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
     params = jnp.concatenate(
         [params[:, :6],
          jnp.asarray([[rtol, atol, dt_max, 0.0]], params.dtype),
-         params[:, 10:]], axis=1)
+         params[:, CHEB_OFF_COMPACT:]], axis=1)   # extras fill 6:10 exactly
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES
@@ -773,7 +800,7 @@ def march_planar_disk_pallas(metric: Metric, rays: PlanarRays, c1, c2, *, dt,
     params = jnp.concatenate(
         [params[:, :6],
          jnp.asarray([[r_inner, r_outer, 0.0, 0.0]], params.dtype),
-         params[:, 10:]], axis=1)
+         params[:, CHEB_OFF_COMPACT:]], axis=1)   # extras fill 6:10 exactly
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES
@@ -811,21 +838,23 @@ _VOL_BB_L5 = tuple(-5.0 * float(np.log(lam))
 
 
 def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
-                  pr, l, p_l, b, zq, tau, nz, cheb_off=16):
+                  pr, l, p_l, b, zq, tau, nz, cheb_off=CHEB_OFF_VOL):
     """SoA per-step volumetric emission — (dtau, demr, demg, demb).
 
     Mirrors render/disk.py:step_emission exactly (same clips, same guards);
-    scalars come from the widened SMEM row (see _disk_vol_arrays layout:
-    16 named slots, so a table metric's coefficient tail rides at 16 —
-    NOT the compact kernels' 10)."""
+    scalars come from the widened SMEM row (layout contract at the top of
+    this module: the 8 _vol_param_slots ride at VOL_BLOCK_PLANAR, so a
+    table metric's coefficient tail rides at CHEB_OFF_VOL — NOT the
+    compact kernels' CHEB_OFF_COMPACT)."""
+    V = VOL_BLOCK_PLANAR
     r_in = pr[0, 6]
     r_out = pr[0, 7]
-    h2 = pr[0, 8]
-    inv_norm = pr[0, 9]
-    kappa = pr[0, 10]
-    t_peak = pr[0, 12]
-    emis_q = pr[0, 13]
-    spin_sign = pr[0, 14]
+    h2 = pr[0, V + VOL_SLOT["h2"]]
+    inv_norm = pr[0, V + VOL_SLOT["inv_norm"]]
+    kappa = pr[0, V + VOL_SLOT["kappa"]]
+    t_peak = pr[0, V + VOL_SLOT["t_peak"]]
+    emis_q = pr[0, V + VOL_SLOT["emis_q"]]
+    spin_sign = pr[0, V + VOL_SLOT["spin_sign"]]
 
     if kind in ("schwarzschild", "rn"):
         r = l
@@ -870,7 +899,8 @@ def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
         ln_r = jnp.log(rr)
         f = jnp.exp(-0.75 * ln_r + 0.25 * jnp.log(jnp.maximum(1.0 - sq,
                                                               1e-20)))
-        t_scale = pr[0, 15]          # t_peak / f_peak, precomputed host-side
+        # t_peak / f_peak, precomputed host-side
+        t_scale = pr[0, VOL_BLOCK_PLANAR + VOL_SLOT["t_scale"]]
         t_obs = g * t_scale * f
         rel_sq = t_obs / t_peak
         rel = rel_sq * rel_sq
@@ -899,13 +929,14 @@ def _disk_vol_kernel(kind: str, blackbody: bool, redshift: bool,
                      c2_ref, nz_ref, ol_ref, opsi_ref, opl_ref, osign_ref,
                      osteps_ref, otau_ref, oemr_ref, oemg_ref, oemb_ref):
     # the vol row carries 16 named slots (6-15 = disk/emission params), so
-    # a table metric's Chebyshev tail rides at offset 16 — the default 10
-    # would read kappa/tau_max/... as coefficients (garbage trajectories)
-    deriv = _deriv_fns(kind, 16)
+    # a table metric's Chebyshev tail rides at CHEB_OFF_VOL — the compact
+    # default would read kappa/tau_max/... as coefficients (garbage
+    # trajectories; the round-3 bug class the layout contract pins)
+    deriv = _deriv_fns(kind, CHEB_OFF_VOL)
     dt = params_ref[0, 0]
     R = params_ref[0, 1]
     r_cap = params_ref[0, 5]
-    tau_max = params_ref[0, 11]
+    tau_max = params_ref[0, VOL_BLOCK_PLANAR + VOL_SLOT["tau_max"]]
 
     l = l_ref[:]
     psi = psi_ref[:]
@@ -1020,10 +1051,11 @@ def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
     kind, params = _metric_kind_and_params(metric, dt, escape_radius,
                                            rays.l.dtype)
     extra = [disk.r_inner, disk.r_outer] + _vol_param_slots(disk)
+    assert 6 + 2 == VOL_BLOCK_PLANAR and 6 + len(extra) == CHEB_OFF_VOL
     params = jnp.concatenate(
         [params[:, :6],
          jnp.asarray([extra], params.dtype),
-         params[:, 10:]], axis=1)                         # (1, 16) + cheb tail
+         params[:, CHEB_OFF_COMPACT:]], axis=1)  # (1, CHEB_OFF_VOL) + tail
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES
@@ -1094,19 +1126,21 @@ def _kerr_vol_emission(blackbody: bool, beaming: bool, pr, r, th, b_ph, tau):
     Mirrors render/kerr.py:march_kerr_volumetric.step_emission (same clips
     and guards); the vertical direction cosine is zq = cos(theta) exactly,
     and the g-factor is the circular-orbit formula with rr^1.5 = rr sqrt(rr)
-    (no pow in Mosaic).  Scalars from the widened (1, 20) SMEM row."""
+    (no pow in Mosaic).  Scalars from the widened (1, 20) SMEM row (the 8
+    _vol_param_slots at VOL_BLOCK_KERR — layout contract, module top)."""
+    V = VOL_BLOCK_KERR
     M = pr[0, 2]
     a = pr[0, 3]
     q2 = pr[0, 4]
     r_in = pr[0, 6]
     r_out = pr[0, 7]
-    h2 = pr[0, 10]
-    inv_norm = pr[0, 11]
-    kappa = pr[0, 12]
-    t_peak = pr[0, 14]
-    emis_q = pr[0, 15]
-    s_spin = pr[0, 16]
-    t_scale = pr[0, 17]
+    h2 = pr[0, V + VOL_SLOT["h2"]]
+    inv_norm = pr[0, V + VOL_SLOT["inv_norm"]]
+    kappa = pr[0, V + VOL_SLOT["kappa"]]
+    t_peak = pr[0, V + VOL_SLOT["t_peak"]]
+    emis_q = pr[0, V + VOL_SLOT["emis_q"]]
+    s_spin = pr[0, V + VOL_SLOT["spin_sign"]]
+    t_scale = pr[0, V + VOL_SLOT["t_scale"]]
 
     ct = jnp.cos(th)
     zq2 = ct * ct
@@ -1181,7 +1215,7 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
     h1 = jnp.zeros_like(r)
     h2 = jnp.zeros_like(r)
     if vol:
-        tau_max = params_ref[0, 13]
+        tau_max = params_ref[0, VOL_BLOCK_KERR + VOL_SLOT["tau_max"]]
         b_ph = L / E                       # per-ray impact parameter L/E
         tau = jnp.zeros_like(r)
         emr = jnp.zeros_like(r)
@@ -1402,6 +1436,7 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
         far_r0 = 1e30                    # disabled: r/1e30 clips to 1 exact
     vals = [dt, escape_radius, metric.m, metric.a, q * q, capture_radius,
             r_in, r_out, axis_u0, far_r0]
+    assert len(vals) == VOL_BLOCK_KERR          # layout contract, module top
     if vol:
         vals += _vol_param_slots(vol_disk) + [0.0, 0.0]
     width = len(vals)
@@ -1463,11 +1498,11 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     r_out = params_ref[0, 7]
     rtol = params_ref[0, 8]
     atol = params_ref[0, 9]
-    # vol widens the SMEM row to the fixed kernel's emission layout (slots
-    # 10-17, _kerr_vol_emission reads them by index), pushing the controller
-    # bounds to 18/19; non-vol keeps the compact 12-slot row
-    dt_max = params_ref[0, 18 if vol else 10]
-    dt_min = params_ref[0, 19 if vol else 11]
+    # vol widens the SMEM row to the fixed kernel's emission layout (the 8
+    # _vol_param_slots at VOL_BLOCK_KERR), pushing the controller bounds to
+    # KERR_RK45_BOUNDS[True] (+1); non-vol keeps the compact 12-slot row
+    dt_max = params_ref[0, KERR_RK45_BOUNDS[vol]]
+    dt_min = params_ref[0, KERR_RK45_BOUNDS[vol] + 1]
 
     r = r_ref[:]
     th = th_ref[:]
@@ -1485,7 +1520,7 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     h1 = jnp.zeros_like(r)
     h2 = jnp.zeros_like(r)
     if vol:
-        tau_max = params_ref[0, 13]
+        tau_max = params_ref[0, VOL_BLOCK_KERR + VOL_SLOT["tau_max"]]
         b_ph = L / E                       # per-ray impact parameter L/E
         tau = jnp.zeros_like(r)
         emr = jnp.zeros_like(r)
@@ -1653,7 +1688,8 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
                     s_th = jnp.abs(jnp.sin(th))
                     r_cyl = r * s_th
                     gap_r = r_cyl - (r_out + 2.0 * M)
-                    h_rel5 = 5.0 * jnp.sqrt(params_ref[0, 10])
+                    h_rel5 = 5.0 * jnp.sqrt(
+                        params_ref[0, VOL_BLOCK_KERR + VOL_SLOT["h2"]])
                     gap_z = r * jnp.abs(jnp.cos(th)) - h_rel5 * r_cyl
                     dt_gas = jnp.maximum(params_ref[0, 0],
                                          0.5 * jnp.maximum(gap_r, gap_z))
@@ -1769,10 +1805,12 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
     q = getattr(metric, "q", 0.0)
     vals = [dt0, escape_radius, metric.m, metric.a, q * q, capture_radius,
             r_in, r_out, rtol, atol]
+    assert len(vals) == VOL_BLOCK_KERR          # layout contract, module top
     if vol:
-        # slots 10-17 mirror the fixed kernel's emission layout (read by
-        # index in _kerr_vol_emission); controller bounds move to 18/19
+        # the 8 _vol_param_slots mirror the fixed kernel's emission layout
+        # (read by index in _kerr_vol_emission); controller bounds move up
         vals += _vol_param_slots(vol_disk)
+    assert len(vals) == KERR_RK45_BOUNDS[vol]
     vals += [dt_max, dt_min]
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
                        ).reshape(1, len(vals))

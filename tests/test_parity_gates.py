@@ -16,7 +16,8 @@ def _interpret(monkeypatch):
 
 
 @pytest.mark.parametrize("family", ["euler_ellis", "rk45", "kerr_rk45",
-                                    "kerr_rk45_vol", "table", "adjoint"])
+                                    "kerr_rk45_vol", "table", "table_rk45",
+                                    "table_disk", "table_vol", "adjoint"])
 def test_gate_passes_on_cpu(family):
     from parity_gates import run_gates
     res = run_gates(only=[family])[family]
