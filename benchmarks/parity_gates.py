@@ -165,6 +165,72 @@ def gate_volumetric():
     return {"tau_mismatch": round(mm, 4), "ok": bool(mm <= 0.05)}
 
 
+def gate_rk45_disk():
+    """Planar rk45 x thin-disk (round 4: the planar stepper x surface
+    matrix) — compiled kernel vs the XLA twin.  Chaos-adjacent decision
+    flips relocate isolated crossings (a flipped accept near the photon
+    sphere changes the whole downstream trajectory), so crossing radii are
+    bounded by mismatch FRACTION, not max."""
+    import jax
+    from curvis_tpu.integrate.rk45 import march_planar_rk45
+    from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+    metric, rays, c1, c2, _ = _disk_setup()
+    kw = dict(escape_radius=60.0, rtol=1e-5, atol=1e-7, dt0=0.05,
+              max_steps=20_000)
+    res_a, (h1a, _), _ = jax.jit(lambda m, r, a, b: march_planar_rk45(
+        m, r, c1=a, c2=b, disk=(5.2, 13.0), **kw))(metric, rays, c1, c2)
+    res_b, (h1b, _), _ = jax.jit(
+        lambda m, r, a, b: march_planar_rk45_pallas(
+            m, r, c1=a, c2=b, disk=(5.2, 13.0), interpret=_ipret(),
+            **kw))(metric, rays, c1, c2)
+    sign_agree = float((np.asarray(res_a.sign) == np.asarray(res_b.sign))
+                       .mean())
+    hit_a, hit_b = np.asarray(h1a) > 0, np.asarray(h1b) > 0
+    hit_agree = float((hit_a == hit_b).mean())
+    both = hit_a & hit_b
+    rel = (np.abs(np.asarray(h1a)[both] - np.asarray(h1b)[both])
+           / np.maximum(np.asarray(h1a)[both], 1e-6)) if both.any() else \
+        np.zeros(1)
+    mm = float((rel > 1e-2).mean())
+    return {"sign_agree": round(sign_agree, 4),
+            "hit_agree": round(hit_agree, 4),
+            "hit_r_mismatch": round(mm, 4),
+            "ok": bool(sign_agree >= 0.97 and hit_agree >= 0.95
+                       and mm <= 0.08)}
+
+
+def gate_rk45_vol():
+    """Planar rk45 x volumetric — compiled kernel vs the XLA twin (both
+    evaluate the SAME _vol_emission, so tau/emission agree to f32
+    accumulation noise; measured 3.5e-5 rel L1 in interpret)."""
+    import jax
+    from curvis_tpu.integrate.rk45 import march_planar_rk45
+    from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+    from curvis_tpu.render.disk import DiskParams
+    metric, rays, c1, c2, nz = _disk_setup()
+    disk = DiskParams(r_inner=5.2, r_outer=13.0, volumetric=True,
+                      h_rel=0.08, kappa=3.0, color_mode="tint",
+                      t_peak=7000.0)
+    kw = dict(escape_radius=60.0, rtol=1e-5, atol=1e-7, dt0=0.05,
+              max_steps=20_000)
+    ra, tau_a, em_a = jax.jit(lambda m, r, a, b, n: march_planar_rk45(
+        m, r, c1=a, c2=b, nz=n, vol_disk=disk, **kw))(metric, rays, c1,
+                                                      c2, nz)
+    rb, tau_b, em_b = jax.jit(
+        lambda m, r, a, b, n: march_planar_rk45_pallas(
+            m, r, c1=a, c2=b, nz=n, vol_disk=disk, interpret=_ipret(),
+            **kw))(metric, rays, c1, c2, nz)
+    agree = float((np.asarray(ra.sign) == np.asarray(rb.sign)).mean())
+    ta, tb = np.asarray(tau_a), np.asarray(tau_b)
+    d_tau = float(np.abs(ta - tb).sum() / max(np.abs(ta).sum(), 1e-6))
+    ea = np.stack([np.asarray(c) for c in em_a])
+    eb = np.stack([np.asarray(c) for c in em_b])
+    d_em = float(np.abs(ea - eb).sum() / max(np.abs(ea).sum(), 1e-6))
+    return {"sign_agree": round(agree, 4), "tau_rel_l1": round(d_tau, 5),
+            "em_rel_l1": round(d_em, 5),
+            "ok": bool(agree >= 0.95 and d_tau <= 0.02 and d_em <= 0.02)}
+
+
 def _kerr_bundle(metric):
     import jax.numpy as jnp
     from curvis_tpu.physics import hamiltonian as ham
@@ -437,10 +503,54 @@ def gate_adjoint():
             "rel": round(rel, 6), "ok": bool(rel < 1e-2)}
 
 
+def gate_rk45_adjoint():
+    """Gradient parity of the differentiable error-controlled march
+    (integrate/rk45_adjoint.py): Pallas rk45 forward + Pallas checkpointed
+    backward (compiled) vs the XLA pair.  Knife-edge accept flips between
+    the two compiles move isolated rays, so the bound is looser than the
+    fixed-step adjoint gate's."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.integrate.rk45_adjoint import march_kerr_rk45_adjoint
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.physics import hamiltonian as ham
+    rng = np.random.default_rng(1)
+    n = 128
+    th0 = np.pi / 2 - 0.3
+    pos = jnp.asarray(np.stack([np.zeros(n), np.full(n, 15.0),
+                                np.full(n, th0), np.zeros(n)], -1),
+                      jnp.float32)
+    dirs = np.stack([-np.ones(n), 1.3 + 0.3 * rng.standard_normal(n),
+                     0.3 * rng.standard_normal(n)], -1)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       jnp.float32)
+    kw = dict(dt0=0.1, max_steps=400, escape_radius=25.0, rtol=1e-4,
+              atol=1e-7)
+
+    def loss(a, backend):
+        metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
+        p0 = ham.spawn_photon(metric, pos, dirs)
+        x, p, sign, _ = march_kerr_rk45_adjoint(metric, pos, p0,
+                                                backend=backend, **kw)
+        return jnp.mean(jnp.where(sign == 1,
+                                  jnp.sin(x[:, 3]) * p[:, 1]
+                                  + jnp.cos(x[:, 2]), 0.0))
+
+    a0 = jnp.asarray(0.8, jnp.float32)
+    gx = float(jax.jit(jax.grad(lambda a: loss(a, "xla")))(a0))
+    pk = "pallas_interpret" if _ipret() else "pallas"
+    gp = float(jax.jit(jax.grad(lambda a: loss(a, pk)))(a0))
+    rel = abs(gp - gx) / max(abs(gx), 1e-12)
+    return {"grad_xla": round(gx, 6), "grad_pallas": round(gp, 6),
+            "rel": round(rel, 6), "ok": bool(rel < 5e-2)}
+
+
 GATES = {
     "euler_ellis": lambda: gate_euler("ellis"),
     "euler_dneg": lambda: gate_euler("dneg"),
     "rk45": gate_rk45,
+    "rk45_disk": gate_rk45_disk,
+    "rk45_vol": gate_rk45_vol,
     "disk": gate_disk,
     "volumetric": gate_volumetric,
     "kerr": lambda: gate_kerr(False),
@@ -452,6 +562,7 @@ GATES = {
     "table_disk": gate_table_disk,
     "table_vol": gate_table_vol,
     "adjoint": gate_adjoint,
+    "rk45_adjoint": gate_rk45_adjoint,
 }
 
 

@@ -39,24 +39,71 @@ _B4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
 
 def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
                       max_steps=10_000, rtol=1e-6, atol=1e-9, dt0=0.05,
-                      dt_min=1e-6, dt_max=10.0,
-                      max_iters=None) -> PlanarResult:
+                      dt_min=1e-6, dt_max=10.0, max_iters=None,
+                      c1=None, c2=None, nz=None, disk=None, vol_disk=None):
     """Adaptive march; same result contract as the fixed-step marchers.
-    ``steps`` counts accepted steps."""
+    ``steps`` counts accepted steps.
+
+    Round-4 surface variants (the XLA twins of the Pallas rk45 kernel's
+    track_disk/vol modes — VERDICT round-3 next-step #2):
+      * ``disk=(r_in, r_out)`` + per-ray plane coefficients ``c1, c2``:
+        records the first two equatorial-crossing (radius, p_l) pairs ->
+        ``(PlanarResult, (h1, h1p), (h2, h2p))``.
+      * ``vol_disk`` (DiskParams, volumetric=True) + ``c1, c2, nz``:
+        per-accepted-step radiative transfer, evaluating the SAME
+        ops/march_pallas._vol_emission the kernel compiles (emission
+        parity by construction) -> ``(PlanarResult, tau, em_rgb)``.
+    Both clamp dt near/inside the disk region exactly like the kernel
+    (crossing detection and the gas quadrature need base resolution)."""
     dtype = rays.l.dtype
     R = jnp.asarray(escape_radius, dtype)
     shape = rays.l.shape
     if max_iters is None:
         max_iters = 4 * max_steps
+    vol = vol_disk is not None
+    track_disk = disk is not None
+    if vol and track_disk:
+        raise ValueError("pass disk=(r_in, r_out) OR vol_disk, not both")
 
     from curvis_tpu.physics.planar import _capture_radius
     r_cap = _capture_radius(metric)
+
+    if track_disk or vol:
+        from curvis_tpu.ops.march_pallas import (CHEB_OFF_COMPACT,
+                                                 CHEB_OFF_RK45_VOL,
+                                                 RK45_EXTRA_OFF, VOL_SLOT,
+                                                 VOL_BLOCK_PLANAR,
+                                                 _metric_kind_and_params,
+                                                 _shape_fns,
+                                                 _vol_param_slots,
+                                                 _vol_emission)
+        kind, row = _metric_kind_and_params(metric, dt0, escape_radius,
+                                            dtype)
+        if vol:
+            extra = [rtol, atol, dt_max, vol_disk.r_inner,
+                     vol_disk.r_outer] + _vol_param_slots(vol_disk)
+            r_in = jnp.asarray(vol_disk.r_inner, dtype)
+            r_out = jnp.asarray(vol_disk.r_outer, dtype)
+            row = jnp.concatenate([row[:, :6],
+                                   jnp.asarray([extra], row.dtype),
+                                   row[:, CHEB_OFF_COMPACT:]], axis=1)
+            tau_max = jnp.asarray(vol_disk.tau_max, dtype)
+            h_rel5 = jnp.asarray(5.0 * vol_disk.h_rel, dtype)
+        else:
+            r_in = jnp.asarray(disk[0], dtype)
+            r_out = jnp.asarray(disk[1], dtype)
+        c1 = jnp.broadcast_to(jnp.asarray(c1, dtype), shape)
+        c2 = jnp.broadcast_to(jnp.asarray(c2, dtype), shape)
+    if vol:
+        nz = jnp.broadcast_to(jnp.asarray(nz, dtype), shape)
 
     def rhs(l, psi, p_l):
         return planar_rhs(metric, l, psi, p_l, rays.b)
 
     def body(c):
-        l, psi, p_l, dt, sign, steps, it = c
+        l, psi, p_l, dt, sign, steps = c[:6]
+        ex = c[6:-1]
+        it = c[-1]
         active = sign == 0
 
         ks = []                                   # 7 stages x 3 components
@@ -105,12 +152,47 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
         pl_new = jnp.where(esc, p_l + frac * (pl5 - p_l), pl5)
 
         am = accept
+        l_prev = l
+        pl_prev = p_l
         l = jnp.where(am, l_new, l)
         psi = jnp.where(am, psi_new, psi)
         p_l = jnp.where(am, pl_new, p_l)
+        if track_disk or vol:
+            zq_prev = ex[0]
+            zq_new = c1 * jnp.cos(psi) + c2 * jnp.sin(psi)
+        if track_disk:
+            _, h1, h1p, h2, h2p = ex
+            crossed = am & (zq_prev * zq_new < 0.0)
+            cden = jnp.abs(zq_prev) + jnp.abs(zq_new)
+            cfrac = jnp.abs(zq_prev) / jnp.maximum(cden, 1e-30)
+            r_hit = jnp.abs(l_prev + cfrac * (l - l_prev))
+            pl_hit = pl_prev + cfrac * (p_l - pl_prev)
+            in_disk = crossed & (r_hit >= r_in) & (r_hit <= r_out)
+            new1 = in_disk & (h1 == 0.0)
+            new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
+            h1 = jnp.where(new1, r_hit, h1)
+            h1p = jnp.where(new1, pl_hit, h1p)
+            h2 = jnp.where(new2, r_hit, h2)
+            h2p = jnp.where(new2, pl_hit, h2p)
+            ex = (zq_new, h1, h1p, h2, h2p)
+        if vol:
+            _, tau, emr, emg, emb = ex
+            dtau, dr_, dg_, db_ = _vol_emission(
+                kind, vol_disk.color_mode == "blackbody", vol_disk.redshift,
+                vol_disk.doppler, row, l, p_l, rays.b, zq_new, tau, nz,
+                CHEB_OFF_RK45_VOL, RK45_EXTRA_OFF)
+            emr = emr + jnp.where(am, dt * dr_, 0.0)
+            emg = emg + jnp.where(am, dt * dg_, 0.0)
+            emb = emb + jnp.where(am, dt * db_, 0.0)
+            tau = tau + jnp.where(am, dt * dtau, 0.0)
+            ex = (zq_new, tau, emr, emg, emb)
         sign = jnp.where(esc_pos, 1, jnp.where(esc_neg, -1, sign))
         if r_cap is not None:
             sign = jnp.where(am & (l < r_cap) & (sign == 0), 2, sign)
+        if vol:
+            from curvis_tpu.render.disk import OPAQUE_SIGN
+            sign = jnp.where((sign == 0) & (tau > tau_max), OPAQUE_SIGN,
+                             sign)
         steps = steps + am.astype(jnp.int32)
         over = steps >= max_steps
 
@@ -133,27 +215,61 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
         factor = jnp.where(jnp.isfinite(factor), factor, 0.2)
         dt = jnp.where(active & ~esc & (sign == 0),
                        jnp.clip(dt * factor, dt_min, dt_max), dt)
+        if track_disk or vol:
+            # surface-resolution clamps, identical rules to the Pallas
+            # kernel (_rk45_kernel): crossing detection / gas quadrature
+            # keep base (dt0) resolution near and inside the disk region
+            if vol:
+                if kind in ("schwarzschild", "rn"):
+                    rl = l
+                else:
+                    inv_r2, _ = _shape_fns(kind, CHEB_OFF_RK45_VOL)(row, l)
+                    rl = jax.lax.rsqrt(jnp.maximum(inv_r2, 1e-30))
+                s2v = jnp.clip(1.0 - zq_new * zq_new, 1e-12, 1.0)
+                r_cyl = rl * jnp.sqrt(s2v)
+                gap_r = r_cyl - (r_out + 2.0)
+                gap_z = rl * jnp.abs(zq_new) - h_rel5 * r_cyl
+                dt_gas = jnp.maximum(dt0, 0.5 * jnp.maximum(gap_r, gap_z))
+                dt = jnp.where(sign == 0, jnp.minimum(dt, dt_gas), dt)
+            else:
+                near = jnp.abs(l) < (r_out + 2.0)
+                dt = jnp.where(near & (sign == 0),
+                               jnp.minimum(dt, dt0), dt)
         # rays at max_steps stop consuming iterations
         sign_frozen = jnp.where(active & over, jnp.int32(-128), sign)
-        return l, psi, p_l, dt, sign_frozen, steps, it + 1
+        return (l, psi, p_l, dt, sign_frozen, steps) + ex + (it + 1,)
 
     def cond(c):
-        _, _, _, _, sign, _, it = c
+        sign = c[4]
+        it = c[-1]
         return (it < max_iters) & jnp.any(sign == 0)
 
+    zero = jnp.zeros(shape, dtype)
+    extras0 = ()
+    if track_disk or vol:
+        zq0 = c1 * jnp.cos(rays.psi) + c2 * jnp.sin(rays.psi)
+        extras0 = (zq0, zero, zero, zero, zero)
     init = (rays.l, rays.psi, rays.p_l,
             jnp.full(shape, dt0, dtype),
-            jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
-            jnp.int32(0))
-    l, psi, p_l, _, sign, steps, _ = lax.while_loop(cond, body, init)
+            jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32)) \
+        + extras0 + (jnp.int32(0),)
+    out = lax.while_loop(cond, body, init)
+    l, psi, p_l, _, sign, steps = out[:6]
+    ex = out[6:-1]
     # -128 marks rays stopped at max_steps -> NotEscaped (sign 0)
     sign = jnp.where(sign == -128, 0, sign)
-    return PlanarResult(l, psi, p_l, sign, steps)
+    res = PlanarResult(l, psi, p_l, sign, steps)
+    if track_disk:
+        return res, (ex[1], ex[2]), (ex[3], ex[4])
+    if vol:
+        return res, ex[1], (ex[2], ex[3], ex[4])
+    return res
 
 
 def march_kerr_rk45(metric, x0, p0, *, escape_radius, capture_radius=None,
                     max_steps=4_000, rtol=1e-4, atol=1e-7, dt0=0.1,
-                    dt_min=1e-5, dt_max=None, max_iters=None):
+                    dt_min=1e-5, dt_max=None, max_iters=None,
+                    return_iters=False):
     """Error-controlled Boyer-Lindquist march: Dormand-Prince 5(4) with
     per-ray adaptive dt on the general Hamiltonian flow (Kerr/Kerr-Newman/
     any metric physics/hamiltonian.py accepts).
@@ -187,8 +303,12 @@ def march_kerr_rk45(metric, x0, p0, *, escape_radius, capture_radius=None,
     shape = x0.shape[:-1]
 
     def body(c):
-        x, p, dt, sign, steps, it = c
+        x, p, dt, sign, steps, iters, it = c
         active = sign == 0
+        # per-ray lock-step iteration count (accepted + rejected): the
+        # checkpointed-recompute adjoint (integrate/rk45_adjoint.py) replays
+        # exactly iters[i] iterations of this body per ray
+        iters = iters + active.astype(jnp.int32)
         dte = dt[..., None]
 
         ks = []                                  # 7 stages of (dx, dp)
@@ -277,15 +397,19 @@ def march_kerr_rk45(metric, x0, p0, *, escape_radius, capture_radius=None,
         dt = jnp.where(over & (sign == 0), dt_b, dt)
         over = (sign == 0) & (steps >= max_steps)
         sign = jnp.where(over, -128, sign)
-        return x, p, dt, sign, steps, it + 1
+        return x, p, dt, sign, steps, iters, it + 1
 
     def cond(c):
-        _, _, _, sign, _, it = c
+        sign = c[3]
+        it = c[-1]
         return (it < max_iters) & jnp.any(sign == 0)
 
     init = (x0, p0, jnp.full(shape, dt0, dtype),
             jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
-            jnp.int32(0))
-    x, p, _, sign, steps, _ = lax.while_loop(cond, body, init)
+            jnp.zeros(shape, jnp.int32), jnp.int32(0))
+    x, p, _, sign, steps, iters, _ = lax.while_loop(cond, body, init)
     sign = jnp.where(sign == -128, 0, sign)
-    return HamiltonianResult(x, p, sign, steps)
+    res = HamiltonianResult(x, p, sign, steps)
+    if return_iters:
+        return res, iters
+    return res

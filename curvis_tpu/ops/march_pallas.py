@@ -69,6 +69,13 @@ VOL_BLOCK_KERR = 10                # _kerr_vol_emission / Kerr kernels reads
 CHEB_OFF_COMPACT = 10              # compact-row Chebyshev tail offset
 CHEB_OFF_VOL = VOL_BLOCK_PLANAR + len(VOL_SLOT)       # = 16
 KERR_RK45_BOUNDS = {False: 10, True: VOL_BLOCK_KERR + len(VOL_SLOT)}
+# planar rk45 disk/vol rows keep the bare-rk45 controller slots ([6]=rtol
+# [7]=atol [8]=dt_max) and insert (r_in, r_out) after them — every vol/
+# emission read shifts by RK45_EXTRA_OFF relative to the Euler vol row
+# (_vol_emission takes the shift as its ``off`` argument).
+RK45_EXTRA_OFF = 3
+CHEB_OFF_RK45_DISK = 12            # [9]=r_in [10]=r_out [11]=spare, tail
+CHEB_OFF_RK45_VOL = CHEB_OFF_VOL + RK45_EXTRA_OFF     # = 19
 
 
 def _atan_poly(x):
@@ -474,36 +481,75 @@ _DP_B4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
 
 
 def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
-                 params_ref, l_ref, psi_ref, pl_ref, b_ref,
-                 ol_ref, opsi_ref, opl_ref, osign_ref, osteps_ref):
-    deriv = _deriv_fns(kind)
+                 track_disk: bool, vol: bool, blackbody: bool,
+                 redshift: bool, doppler: bool, params_ref, *refs):
+    """Adaptive planar DP5(4) march (integrate/rk45.py semantics).
+
+    Compile-time variants (round-4: the planar stepper x surface matrix is
+    now complete — VERDICT round-3 next-step #2):
+      * ``track_disk``: records the first two equatorial-crossing
+        (radius, p_l) pairs on accepted steps — inputs gain (c1, c2),
+        outputs gain (h1, h1p, h2, h2p); render/disk.py shading contract.
+      * ``vol``: per-accepted-step radiative transfer through the flared
+        Gaussian gas disk (_vol_emission, weighted by each ray's accepted
+        dt) — inputs gain (c1, c2, nz), outputs gain (tau, em_rgb).
+    Row layouts per the module-top contract: both variants keep the bare
+    controller slots ([6]=rtol [7]=atol [8]=dt_max) and append
+    (r_in, r_out) at 9/10 (+ the 8 _vol_param_slots for vol), shifting the
+    Chebyshev tail to CHEB_OFF_RK45_DISK / CHEB_OFF_RK45_VOL."""
+    n_in = 4 + (2 if (track_disk or vol) else 0) + (1 if vol else 0)
+    in_refs = refs[:n_in]
+    out_refs = refs[n_in:]
+    l_ref, psi_ref, pl_ref, b_ref = in_refs[:4]
+    cheb_off = (CHEB_OFF_RK45_VOL if vol
+                else CHEB_OFF_RK45_DISK if track_disk else CHEB_OFF_COMPACT)
+    deriv = _deriv_fns(kind, cheb_off)
     R = params_ref[0, 1]
     dt0 = params_ref[0, 0]
     r_cap = params_ref[0, 5]
     rtol = params_ref[0, 6]
     atol = params_ref[0, 7]
     dt_max = params_ref[0, 8]
+    if track_disk or vol:
+        r_in = params_ref[0, 9]
+        r_out = params_ref[0, 10]
+    if vol:
+        V = VOL_BLOCK_PLANAR + RK45_EXTRA_OFF
+        tau_max = params_ref[0, V + VOL_SLOT["tau_max"]]
+        h2s = params_ref[0, V + VOL_SLOT["h2"]]
 
     l = l_ref[:]
     psi = psi_ref[:]
     p_l = pl_ref[:]
     b = b_ref[:]
+    if track_disk or vol:
+        c1 = in_refs[4][:]
+        c2 = in_refs[5][:]
+    nz = in_refs[6][:] if vol else None
     b2 = b * b
     one = jnp.ones_like(l)
     zero = jnp.zeros_like(l)
     dt = jnp.full_like(l, 1.0) * dt0
     sign = jnp.zeros_like(l)
     steps = jnp.zeros_like(l)
+    extras0 = ()
+    if track_disk or vol:
+        zq0 = c1 * jnp.cos(psi) + c2 * jnp.sin(psi)
+        extras0 = (zq0, zero, zero, zero, zero)
+        # disk: (zq, h1, h1p, h2, h2p); vol: (zq, tau, em_r, em_g, em_b)
 
     def rhs(li, pli):
         return deriv(params_ref, li, pli, b, b2)
 
     def cond(c):
-        _, _, _, _, sign, _, it = c
+        sign = c[4]
+        it = c[-1]
         return (it < max_iters) & jnp.any(sign == 0.0)
 
     def body(c):
-        l, psi, p_l, dt, sign, steps, it = c
+        l, psi, p_l, dt, sign, steps = c[:6]
+        ex = c[6:-1]
+        it = c[-1]
         alive = jnp.where((sign == 0.0) & (steps < max_steps), one, zero)
         ks = []
         for i in range(7):
@@ -547,11 +593,49 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
         frac = jnp.clip((target - l) / denom, 0.0, 1.0)
         frac = jnp.where(esc > 0, frac, one)
 
+        l_prev = l
+        pl_prev = p_l
         l = l + accept * frac * (l5 - l)
         psi = psi + accept * frac * (psi5 - psi)
         p_l = p_l + accept * frac * (pl5 - p_l)
+        acc_b = accept > 0.5
+        if track_disk or vol:
+            zq_prev = ex[0]
+            # rejected/frozen rays keep psi, so zq_new == zq_prev there
+            zq_new = c1 * jnp.cos(psi) + c2 * jnp.sin(psi)
+        if track_disk:
+            _, h1, h1p, h2, h2p = ex
+            crossed = acc_b & (zq_prev * zq_new < 0.0)
+            cden = jnp.abs(zq_prev) + jnp.abs(zq_new)
+            cfrac = jnp.abs(zq_prev) / jnp.maximum(cden, 1e-30)
+            r_hit = jnp.abs(l_prev + cfrac * (l - l_prev))
+            pl_hit = pl_prev + cfrac * (p_l - pl_prev)
+            in_disk = crossed & (r_hit >= r_in) & (r_hit <= r_out)
+            new1 = in_disk & (h1 == 0.0)
+            new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
+            h1 = jnp.where(new1, r_hit, h1)
+            h1p = jnp.where(new1, pl_hit, h1p)
+            h2 = jnp.where(new2, r_hit, h2)
+            h2p = jnp.where(new2, pl_hit, h2p)
+            ex = (zq_new, h1, h1p, h2, h2p)
+        if vol:
+            _, tau, emr, emg, emb = ex
+            # emission at the post-step state weighted by the accepted dt
+            # with the PRE-update tau (the Euler vol kernel's quadrature)
+            dtau, dr_, dg_, db_ = _vol_emission(
+                kind, blackbody, redshift, doppler, params_ref,
+                l, p_l, b, zq_new, tau, nz, cheb_off, RK45_EXTRA_OFF)
+            emr = emr + jnp.where(acc_b, dt * dr_, zero)
+            emg = emg + jnp.where(acc_b, dt * dg_, zero)
+            emb = emb + jnp.where(acc_b, dt * db_, zero)
+            tau = tau + jnp.where(acc_b, dt * dtau, zero)
+            ex = (zq_new, tau, emr, emg, emb)
         capd = accept * jnp.where((l < r_cap) & (sign == 0.0), one, zero)
         sign = sign + esc_pos - esc_neg + 2.0 * capd
+        if vol:
+            # tau_max freeze: OPAQUE == CAPTURED == 2 (render/disk.py)
+            still = jnp.where(sign == 0.0, one, zero)
+            sign = sign + still * 2.0 * jnp.where(tau > tau_max, one, zero)
         steps = steps + accept
 
         # a reject at the dt floor can never pass (the controller cannot
@@ -572,25 +656,61 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
         factor = jnp.where(factor > 0.0, factor, 0.2)
         newdt = jnp.clip(dt * factor, 1e-6, dt_max)
         dt = jnp.where((alive > 0) & (esc == 0.0) & (sign == 0.0), newdt, dt)
+        if track_disk or vol:
+            # surface-resolution clamps (the Kerr rk45 kernel's rules in
+            # planar geometry): a multi-unit adaptive step can straddle a
+            # full psi oscillation the crossing detector cannot see, and
+            # the gas quadrature is first-order in ds
+            if vol:
+                # ANTICIPATORY slab-distance clamp: inside/approaching the
+                # gas, dt <= max(dt0, half the larger of the radial gap to
+                # the r_out + 2 cylinder and the vertical gap to the
+                # 5-sigma density shell).  |dl/dlambda| = |p_l| <= 1, so a
+                # step can never leap from dt_max across the gas.
+                if kind in ("schwarzschild", "rn"):
+                    rl = l
+                else:
+                    inv_r2, _ = _shape_fns(kind, cheb_off)(params_ref, l)
+                    rl = lax.rsqrt(jnp.maximum(inv_r2, 1e-30))
+                s2v = jnp.clip(1.0 - zq_new * zq_new, 1e-12, 1.0)
+                r_cyl = rl * jnp.sqrt(s2v)
+                gap_r = r_cyl - (r_out + 2.0)
+                h_rel5 = 5.0 * jnp.sqrt(h2s)
+                gap_z = rl * jnp.abs(zq_new) - h_rel5 * r_cyl
+                dt_gas = jnp.maximum(dt0, 0.5 * jnp.maximum(gap_r, gap_z))
+                dt = jnp.where(sign == 0.0, jnp.minimum(dt, dt_gas), dt)
+            else:
+                near = jnp.abs(l) < (r_out + 2.0)
+                dt = jnp.where(near & (sign == 0.0),
+                               jnp.minimum(dt, dt0), dt)
         # rays that hit the step cap freeze with a sentinel
         capped = (sign == 0.0) & (steps >= max_steps)
         sign = jnp.where(capped, -128.0, sign)
-        return l, psi, p_l, dt, sign, steps, it + 1
+        return (l, psi, p_l, dt, sign, steps) + ex + (it + 1,)
 
-    l, psi, p_l, dt, sign, steps, _ = lax.while_loop(
-        cond, body, (l, psi, p_l, dt, sign, steps, jnp.int32(0)))
+    out = lax.while_loop(cond, body, (l, psi, p_l, dt, sign, steps)
+                         + extras0 + (jnp.int32(0),))
+    l, psi, p_l, dt, sign, steps = out[:6]
+    ex = out[6:-1]
     sign = jnp.where(sign == -128.0, zero, sign)
-    ol_ref[:] = l
-    opsi_ref[:] = psi
-    opl_ref[:] = p_l
-    osign_ref[:] = sign.astype(jnp.int32)
-    osteps_ref[:] = steps.astype(jnp.int32)
+    out_refs[0][:] = l
+    out_refs[1][:] = psi
+    out_refs[2][:] = p_l
+    out_refs[3][:] = sign.astype(jnp.int32)
+    out_refs[4][:] = steps.astype(jnp.int32)
+    if track_disk or vol:
+        for i, v in enumerate(ex[1:]):         # h1,h1p,h2,h2p | tau,em_rgb
+            out_refs[5 + i][:] = v
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "max_steps", "max_iters",
+                                             "track_disk", "vol", "blackbody",
+                                             "redshift", "doppler",
                                              "tile_rows", "interpret"))
-def _rk45_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, max_iters,
-                      tile_rows, interpret=False):
+def _rk45_flat_arrays(kind, params, l, psi, p_l, b, c1=None, c2=None,
+                      nz=None, *, max_steps, max_iters, track_disk=False,
+                      vol=False, blackbody=False, redshift=False,
+                      doppler=False, tile_rows, interpret=False):
     n_rows = l.shape[0]
     grid = (n_rows // tile_rows,)
     dtype = l.dtype
@@ -599,39 +719,65 @@ def _rk45_flat_arrays(kind, params, l, psi, p_l, b, *, max_steps, max_iters,
         return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_rk45_kernel, kind, max_steps, max_iters)
-    out_shape = [
-        jax.ShapeDtypeStruct((n_rows, LANES), dtype),
-        jax.ShapeDtypeStruct((n_rows, LANES), dtype),
-        jax.ShapeDtypeStruct((n_rows, LANES), dtype),
-        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
-    ]
+    kernel = functools.partial(_rk45_kernel, kind, max_steps, max_iters,
+                               track_disk, vol, blackbody, redshift, doppler)
+    f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
+    i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
+    out_shape = [f, f, f, i32, i32]
+    ins = [params, l, psi, p_l, b]
+    if track_disk or vol:
+        ins += [c1, c2]
+        out_shape += [f, f, f, f]     # h1,h1p,h2,h2p | tau,em_r,em_g,em_b
+    if vol:
+        ins += [nz]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            row_spec(), row_spec(), row_spec(), row_spec(),
-        ],
-        out_specs=[row_spec()] * 5,
+        ] + [row_spec()] * (len(ins) - 1),
+        out_specs=[row_spec()] * len(out_shape),
         out_shape=out_shape,
         interpret=interpret,
-    )(params, l, psi, p_l, b)
+    )(*ins)
 
 
 def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
                              escape_radius, max_steps=10_000, rtol=1e-5,
                              atol=1e-7, dt0=0.05, dt_max=10.0, tile_rows=64,
-                             interpret=False) -> PlanarResult:
-    """Pallas adaptive RK45 march (integrate/rk45.py semantics on-device)."""
+                             c1=None, c2=None, nz=None, disk=None,
+                             vol_disk=None, interpret=False):
+    """Pallas adaptive RK45 march (integrate/rk45.py semantics on-device).
+
+    ``disk=(r_in, r_out)`` (+ per-ray plane coefficients ``c1, c2``)
+    records the first two equatorial-crossing (radius, p_l) pairs and
+    returns ``(PlanarResult, (h1, h1p), (h2, h2p))`` — the
+    march_planar_disk_pallas contract.  ``vol_disk`` (DiskParams with
+    volumetric=True, + ``c1, c2, nz``) instead runs in-kernel radiative
+    transfer and returns ``(PlanarResult, tau, (em_r, em_g, em_b))`` —
+    the march_planar_disk_volumetric_pallas contract."""
+    vol = vol_disk is not None
+    if vol and disk is not None:
+        raise ValueError("pass disk=(r_in, r_out) OR vol_disk, not both")
+    track_disk = disk is not None
     kind, params = _metric_kind_and_params(metric, dt0, escape_radius,
                                            rays.l.dtype)
+    extra = [rtol, atol, dt_max]
+    if track_disk:
+        extra += [disk[0], disk[1], 0.0]
+        assert 6 + len(extra) == CHEB_OFF_RK45_DISK
+    elif vol:
+        extra += [vol_disk.r_inner, vol_disk.r_outer]
+        extra += _vol_param_slots(vol_disk)
+        assert 6 + len(extra) == CHEB_OFF_RK45_VOL
+    else:
+        extra += [0.0]
+        assert 6 + len(extra) == CHEB_OFF_COMPACT
     params = jnp.concatenate(
         [params[:, :6],
-         jnp.asarray([[rtol, atol, dt_max, 0.0]], params.dtype),
-         params[:, CHEB_OFF_COMPACT:]], axis=1)   # extras fill 6:10 exactly
+         jnp.asarray([extra], params.dtype),
+         params[:, CHEB_OFF_COMPACT:]], axis=1)
 
     n = rays.l.reshape(-1).shape[0]
     block = tile_rows * LANES
@@ -641,19 +787,33 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
         a = a.reshape(-1)
         return jnp.concatenate([a, jnp.full((n_pad - n,), a[0], a.dtype)])
 
-    l, psi, p_l, b = (pad(rays.l), pad(rays.psi), pad(rays.p_l), pad(rays.b))
     shape2 = (n_pad // LANES, LANES)
-    outs = _rk45_flat_arrays(kind, params, l.reshape(shape2),
-                             psi.reshape(shape2), p_l.reshape(shape2),
-                             b.reshape(shape2), max_steps=max_steps,
-                             max_iters=4 * max_steps, tile_rows=tile_rows,
-                             interpret=interpret)
-    l, psi, p_l, sign, steps = (a.reshape(-1) for a in outs)
-    out_shape = rays.l.shape
-    return PlanarResult(l[:n].reshape(out_shape), psi[:n].reshape(out_shape),
-                        p_l[:n].reshape(out_shape),
-                        sign[:n].reshape(out_shape),
-                        steps[:n].reshape(out_shape))
+
+    def prep(a):
+        return pad(jnp.broadcast_to(a, rays.l.shape)).reshape(shape2)
+
+    arrs = dict(l=prep(rays.l), psi=prep(rays.psi), p_l=prep(rays.p_l),
+                b=prep(rays.b))
+    if track_disk or vol:
+        arrs["c1"] = prep(c1)
+        arrs["c2"] = prep(c2)
+    if vol:
+        arrs["nz"] = prep(nz)
+    outs = _rk45_flat_arrays(
+        kind, params, *arrs.values(), max_steps=max_steps,
+        max_iters=4 * max_steps, track_disk=track_disk, vol=vol,
+        blackbody=vol and vol_disk.color_mode == "blackbody",
+        redshift=vol and vol_disk.redshift, doppler=vol and vol_disk.doppler,
+        tile_rows=tile_rows, interpret=interpret)
+    outs = [a.reshape(-1)[:n].reshape(rays.l.shape) for a in outs]
+    res = PlanarResult(*outs[:5])
+    if track_disk:
+        h1, h1p, h2, h2p = outs[5:9]
+        return res, (h1, h1p), (h2, h2p)
+    if vol:
+        tau, emr, emg, emb = outs[5:9]
+        return res, tau, (emr, emg, emb)
+    return res
 
 
 def march_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
@@ -838,7 +998,8 @@ _VOL_BB_L5 = tuple(-5.0 * float(np.log(lam))
 
 
 def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
-                  pr, l, p_l, b, zq, tau, nz, cheb_off=CHEB_OFF_VOL):
+                  pr, l, p_l, b, zq, tau, nz, cheb_off=CHEB_OFF_VOL,
+                  off=0):
     """SoA per-step volumetric emission — (dtau, demr, demg, demb).
 
     Mirrors render/disk.py:step_emission exactly (same clips, same guards);
@@ -846,9 +1007,9 @@ def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
     this module: the 8 _vol_param_slots ride at VOL_BLOCK_PLANAR, so a
     table metric's coefficient tail rides at CHEB_OFF_VOL — NOT the
     compact kernels' CHEB_OFF_COMPACT)."""
-    V = VOL_BLOCK_PLANAR
-    r_in = pr[0, 6]
-    r_out = pr[0, 7]
+    V = VOL_BLOCK_PLANAR + off
+    r_in = pr[0, 6 + off]
+    r_out = pr[0, 7 + off]
     h2 = pr[0, V + VOL_SLOT["h2"]]
     inv_norm = pr[0, V + VOL_SLOT["inv_norm"]]
     kappa = pr[0, V + VOL_SLOT["kappa"]]
@@ -900,7 +1061,7 @@ def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
         f = jnp.exp(-0.75 * ln_r + 0.25 * jnp.log(jnp.maximum(1.0 - sq,
                                                               1e-20)))
         # t_peak / f_peak, precomputed host-side
-        t_scale = pr[0, VOL_BLOCK_PLANAR + VOL_SLOT["t_scale"]]
+        t_scale = pr[0, VOL_BLOCK_PLANAR + off + VOL_SLOT["t_scale"]]
         t_obs = g * t_scale * f
         rel_sq = t_obs / t_peak
         rel = rel_sq * rel_sq
@@ -1515,6 +1676,7 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     zero = jnp.zeros_like(r)
     sign = jnp.zeros_like(r)
     steps = jnp.zeros_like(r)
+    itersv = jnp.zeros_like(r)         # per-ray lock-step iteration count
     dt = jnp.full_like(r, 1.0) * params_ref[0, 0]
     ct_prev = jnp.cos(th)
     h1 = jnp.zeros_like(r)
@@ -1533,11 +1695,16 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     def body(c):
         if vol:
             (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2,
-             tau, emr, emg, emb, it) = c
+             tau, emr, emg, emb, itersv, it) = c
         else:
-            r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2, it = c
+            (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2,
+             itersv, it) = c
         for _ in range(unroll):
             alive = sign == 0.0
+            # counts accepted AND rejected iterations while live — the
+            # checkpointed-recompute adjoint replays exactly this many
+            # iterations per ray (integrate/rk45_adjoint.py)
+            itersv = itersv + jnp.where(alive, one, zero)
             ks = []
             for i in range(7):
                 ri, ti, pri, pti = r, th, p_r, p_th
@@ -1704,15 +1871,16 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
                              sign)
         if vol:
             return (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2,
-                    tau, emr, emg, emb, it + unroll)
+                    tau, emr, emg, emb, itersv, it + unroll)
         return r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2, \
-            it + unroll
+            itersv, it + unroll
 
     carry0 = (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2)
     if vol:
         carry0 = carry0 + (tau, emr, emg, emb)
-    out = lax.while_loop(cond, body, carry0 + (jnp.int32(0),))
+    out = lax.while_loop(cond, body, carry0 + (itersv, jnp.int32(0)))
     r, th, ph, p_r, p_th, _, sign, steps, _, h1, h2 = out[:11]
+    itersv = out[-2]
     sign = jnp.where(sign == -128.0, 0.0, sign)
     out_refs[0][:] = r
     out_refs[1][:] = th
@@ -1730,6 +1898,7 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
         out_refs[8][:] = emr
         out_refs[9][:] = emg
         out_refs[10][:] = emb
+    out_refs[-1][:] = itersv.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "max_iters",
@@ -1758,6 +1927,7 @@ def _kerr_rk45_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
         out_shape += [f, f]
     if vol:
         out_shape += [f, f, f, f]            # tau, em_r, em_g, em_b
+    out_shape += [i32]                       # per-ray iteration count (last)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1775,7 +1945,8 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
                            max_iters=None, escape_radius, rtol=1e-4,
                            atol=1e-7, dt_min=1e-5, dt_max=None,
                            capture_radius=None, disk=None, vol_disk=None,
-                           tile_rows=32, unroll=2, interpret=False):
+                           tile_rows=32, unroll=2, interpret=False,
+                           return_iters=False):
     """Error-controlled Pallas Kerr/KN march — the kernel twin of
     integrate/rk45.py:march_kerr_rk45 (same contract as march_kerr_pallas;
     ``steps`` counts accepted steps).  ``vol_disk`` (DiskParams with
@@ -1840,8 +2011,11 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
     E = -p0[:, 0]
     L = p0[:, 3]
     p = jnp.stack([-E, p_r, p_th, L], axis=-1)
+    ret = [x, p, sign, steps]
     if vol:
-        return x, p, sign, steps, (outs[7], (outs[8], outs[9], outs[10]))
-    if disk is not None:
-        return x, p, sign, steps, (outs[7], outs[8])
-    return x, p, sign, steps
+        ret.append((outs[7], (outs[8], outs[9], outs[10])))
+    elif disk is not None:
+        ret.append((outs[7], outs[8]))
+    if return_iters:
+        ret.append(outs[-1])               # iteration count is always last
+    return tuple(ret)

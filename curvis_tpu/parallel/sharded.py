@@ -259,28 +259,141 @@ def render_kerr_sharded(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
     return colors.reshape(len(cams), W, H, 3).transpose(0, 2, 1, 3)
 
 
+def march_kerr_shardmap(metric, x0, p0, mesh: Mesh, *, dt, max_steps,
+                        escape_radius, stepper="rk4", rtol=1e-4,
+                        far_r0=None, differentiable=False, interpret=False,
+                        segment=None):
+    """Per-device Kerr KERNEL launches under ``mesh`` — the production pod
+    path for the Boyer-Lindquist marchers (VERDICT round-3 next-step #5).
+
+    GSPMD cannot partition a ``pallas_call``, so each device gets its own
+    kernel launch over its ray shard via ``shard_map``:
+
+      * forward: ops/march_pallas.march_kerr_pallas (``stepper='rk4'``) or
+        march_kerr_rk45_pallas (``'rk45'``);
+      * ``differentiable=True``: the checkpointed-recompute custom-VJP
+        pairs (integrate/kerr_adjoint.py / integrate/rk45_adjoint.py) with
+        backend='pallas' — Pallas forward AND Pallas backward run
+        per-shard, and the transpose of the replicated ``metric`` input
+        psums the (m, a, q) cotangents across devices automatically.
+
+    ``interpret=True`` runs the kernels in interpreter mode (virtual-mesh
+    CPU testing).  Returns ``(x, p, sign, steps)`` on the original ray
+    count (the bundle is edge-padded to a devices multiple internally)."""
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.sharding import PartitionSpec as P
+    from curvis_tpu.parallel.mesh import RAYS
+    n_dev = mesh.devices.size
+    n = x0.shape[0]
+    x0p, _ = pad_to_multiple(x0, n_dev)
+    p0p, _ = pad_to_multiple(p0, n_dev)
+    backend = "pallas_interpret" if interpret else "pallas"
+
+    def _march(metric, x0s, p0s):
+        if differentiable:
+            if stepper == "rk45":
+                from curvis_tpu.integrate.rk45_adjoint import (
+                    march_kerr_rk45_adjoint)
+                return march_kerr_rk45_adjoint(
+                    metric, x0s, p0s, dt0=dt, max_steps=max_steps,
+                    escape_radius=escape_radius, rtol=rtol,
+                    atol=rtol * 1e-3, backend=backend, segment=segment)
+            from curvis_tpu.integrate.kerr_adjoint import march_kerr_adjoint
+            return march_kerr_adjoint(
+                metric, x0s, p0s, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius, far_r0=far_r0,
+                backend=backend, segment=segment)
+        if stepper == "rk45":
+            from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
+            return march_kerr_rk45_pallas(
+                metric, x0s, p0s, dt0=dt, max_steps=max_steps,
+                escape_radius=escape_radius, rtol=rtol, atol=rtol * 1e-3,
+                interpret=interpret)
+        from curvis_tpu.ops.march_pallas import march_kerr_pallas
+        return march_kerr_pallas(
+            metric, x0s, p0s, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, far_r0=far_r0,
+            interpret=interpret)
+
+    out = _shard_map(_march, mesh=mesh,
+                     in_specs=(P(), P(RAYS, None), P(RAYS, None)),
+                     out_specs=(P(RAYS, None), P(RAYS, None), P(RAYS),
+                                P(RAYS)),
+                     check_vma=False)(metric, x0p, p0p)
+    return tuple(a[:n] for a in out)
+
+
+def render_kerr_shardmap(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
+                        dt, max_steps, escape_radius=None, stepper="rk4",
+                        rtol=1e-4, filtering="bilinear", far_r0=None,
+                        interpret=False):
+    """Kerr frames with per-device KERNEL launches (march_kerr_shardmap)
+    -> (F, H, W, 3): the explicit-collectives twin of render_kerr_sharded
+    for bare-shadow renders — march per shard, readout/shade on the
+    sharded bundle (gathers from the replicated background)."""
+    from curvis_tpu.render.kerr import _kerr_shade, _spawn_kerr_rays
+    cams = list(cameras)
+    W, H = cams[0].resolution_x, cams[0].resolution_y
+    if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
+        raise ValueError("all cameras in a batch must share a resolution")
+    if escape_radius is None:
+        escape_radius = 2.0 * max(float(c.position[1]) for c in cams)
+    bundles = [_spawn_kerr_rays(metric, c) for c in cams]
+    x0 = jnp.concatenate([b[0] for b in bundles])
+    p0 = jnp.concatenate([b[1] for b in bundles])
+    x, p, sign, steps = march_kerr_shardmap(
+        metric, x0, p0, mesh, dt=dt, max_steps=max_steps,
+        escape_radius=escape_radius, stepper=stepper, rtol=rtol,
+        far_r0=far_r0, interpret=interpret)
+    colors = _kerr_shade(metric, x0, p0, bg, x, p, sign, None, filtering,
+                         False, None, None, None, None)
+    return colors.reshape(len(cams), W, H, 3).transpose(0, 2, 1, 3)
+
+
 def make_kerr_train_step(mesh: Mesh, *, dt, max_steps, escape_radius,
-                         lr=0.05):
+                         lr=0.05, use_pallas=False, stepper="rk4",
+                         rtol=1e-4, interpret=False):
     """Differentiable Kerr/KN training step across the ray-sharded mesh:
-    render (backend='adjoint': the checkpointed-recompute custom VJP of
-    integrate/kerr_adjoint.py, which GSPMD partitions transparently — on a
-    CPU/virtual mesh it runs the XLA pair) -> L2 loss vs target frames ->
-    grads w.r.t. the metric pytree (m, a, q) -> SGD update.  The loss mean
-    over the sharded ray axis makes GSPMD psum the parameter gradients
-    across devices — the spin-recovery inverse problem at cluster scale
-    (dryrun phase 4).
+    render -> L2 loss vs target frames -> grads w.r.t. the metric pytree
+    (m, a, q) -> SGD update.  The loss mean over the sharded ray axis
+    psums the parameter gradients across devices — the spin-recovery
+    inverse problem at cluster scale (dryrun phase 4).
 
-    On real multi-chip hardware the Pallas adjoint pair additionally wants
-    a shard_map wrapper (GSPMD does not partition pallas_call); the XLA
-    pair used here is the same discrete gradient (tests pin them to 1e-15).
-    """
+    ``use_pallas=False`` (default) renders through GSPMD with the XLA
+    adjoint pair (render_kerr_sharded backend='adjoint') — correct
+    everywhere, but on a real pod the kernels idle.  ``use_pallas=True``
+    routes the march through :func:`march_kerr_shardmap`
+    (differentiable=True): per-device Pallas forward + Pallas
+    checkpointed-recompute backward — the production pod gradient path
+    (VERDICT round-3 next-step #5; ``interpret=True`` for virtual-mesh
+    testing, ``stepper='rk45'`` for the error-controlled pair)."""
 
-    def loss_fn(metric, cams, bg, target):
-        imgs = render_kerr_sharded(metric, cams, bg, mesh, dt=dt,
-                                   max_steps=max_steps,
-                                   escape_radius=escape_radius,
-                                   backend="adjoint")
-        return jnp.mean((imgs - target) ** 2)
+    if use_pallas:
+        from curvis_tpu.render.kerr import _kerr_shade, _spawn_kerr_rays
+
+        def loss_fn(metric, cams, bg, target):
+            bundles = [_spawn_kerr_rays(metric, c) for c in cams]
+            x0 = jnp.concatenate([b[0] for b in bundles])
+            p0 = jnp.concatenate([b[1] for b in bundles])
+            x, p, sign, _ = march_kerr_shardmap(
+                metric, x0, p0, mesh, dt=dt, max_steps=max_steps,
+                escape_radius=escape_radius, stepper=stepper, rtol=rtol,
+                differentiable=True, interpret=interpret)
+            colors = _kerr_shade(metric, x0, p0, bg, x, p, sign, None,
+                                 "bilinear", False, None, None, None, None)
+            W, H = cams[0].resolution_x, cams[0].resolution_y
+            imgs = colors.reshape(len(cams), W, H, 3).transpose(0, 2, 1, 3)
+            return jnp.mean((imgs - target) ** 2)
+    else:
+        def loss_fn(metric, cams, bg, target):
+            imgs = render_kerr_sharded(metric, cams, bg, mesh, dt=dt,
+                                       max_steps=max_steps,
+                                       escape_radius=escape_radius,
+                                       backend="adjoint")
+            return jnp.mean((imgs - target) ** 2)
 
     def train_step(metric, cams, bg, target):
         loss, g_metric = jax.value_and_grad(loss_fn)(metric, cams, bg,

@@ -414,12 +414,20 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
                           bg: SphericalImage, *, dt=0.02, max_steps=100_000,
                           escape_radius=100.0, disk: DiskParams = None,
                           filtering="bilinear", backend="auto",
-                          interpret=False):
+                          stepper="euler", rtol=1e-5, interpret=False):
     """(H, W, 3): lensed background + shadow + two-crossing accretion disk.
 
     ``backend='auto'`` uses the Pallas disk kernel on TPU (tile-level early
     exit), the XLA while-loop elsewhere.  Self-jitting: eager calls reuse a
-    cached compiled bundle (never run renderers eagerly on the remote TPU)."""
+    cached compiled bundle (never run renderers eagerly on the remote TPU).
+
+    ``stepper='rk45'`` switches the march (thin-crossing AND volumetric)
+    to the error-controlled DP5(4) pair with per-ray adaptive dt bounded
+    by ``rtol`` (``dt`` becomes the initial step; near/inside the disk the
+    step clamps to ``dt`` so crossing capture and the gas quadrature keep
+    base resolution) — the planar stepper x surface matrix is complete
+    (round 4; max_steps then counts ACCEPTED steps, so pass rk45-scale
+    values ~1000-2000, not the Euler 100k)."""
     disk = disk or DiskParams()
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
@@ -427,6 +435,7 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
     return _render_disk_jit(metric, (camera,), bg, jnp.asarray(dt),
                             jnp.asarray(escape_radius), max_steps=max_steps,
                             disk=disk, filtering=filtering, backend=backend,
+                            stepper=stepper, rtol=rtol,
                             interpret=interpret)[0]
 
 
@@ -434,7 +443,7 @@ def render_disk_frames_batched(metric: Metric, cameras, bg: SphericalImage,
                                *, dt=0.02, max_steps=100_000,
                                escape_radius=100.0, disk: DiskParams = None,
                                filtering="bilinear", backend="auto",
-                               interpret=False):
+                               stepper="euler", rtol=1e-5, interpret=False):
     """Several disk frames in ONE device call -> (F, H, W, 3): the video
     workload's frame axis batched into a single march bundle (same scheme as
     render/fast.render_frames_batched)."""
@@ -445,11 +454,13 @@ def render_disk_frames_batched(metric: Metric, cameras, bg: SphericalImage,
     return _render_disk_jit(metric, tuple(cameras), bg, jnp.asarray(dt),
                             jnp.asarray(escape_radius), max_steps=max_steps,
                             disk=disk, filtering=filtering, backend=backend,
+                            stepper=stepper, rtol=rtol,
                             interpret=interpret)
 
 
 def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
-                      disk, filtering, backend, interpret):
+                      disk, filtering, backend, stepper="euler", rtol=1e-5,
+                      interpret=False):
     cams = list(cameras)
     W, H = cams[0].resolution_x, cams[0].resolution_y
     if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
@@ -480,7 +491,32 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
     # photon plane normal z-component: n = e1 x e2 -> n_z = e1x e2y - e1y e2x
     nz = r_hat[0] * e2[1] - r_hat[1] * e2[0]
     vol = disk.volumetric
-    if vol and backend == "pallas":
+    if stepper == "rk45":
+        kw45 = dict(dt0=dt, max_steps=max_steps,
+                    escape_radius=escape_radius, rtol=rtol,
+                    atol=rtol * 1e-3)
+        if backend == "pallas":
+            from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+            if vol:
+                res, tau, em = march_planar_rk45_pallas(
+                    metric, rays, c1=c1, c2=c2, nz=nz, vol_disk=disk,
+                    interpret=interpret, **kw45)
+            else:
+                res, h1, h2 = march_planar_rk45_pallas(
+                    metric, rays, c1=c1, c2=c2,
+                    disk=(disk.r_inner, disk.r_outer),
+                    interpret=interpret, **kw45)
+        else:
+            from curvis_tpu.integrate.rk45 import march_planar_rk45
+            if vol:
+                res, tau, em = march_planar_rk45(
+                    metric, rays, c1=c1, c2=c2, nz=nz, vol_disk=disk,
+                    **kw45)
+            else:
+                res, h1, h2 = march_planar_rk45(
+                    metric, rays, c1=c1, c2=c2,
+                    disk=(disk.r_inner, disk.r_outer), **kw45)
+    elif vol and backend == "pallas":
         from curvis_tpu.ops.march_pallas import \
             march_planar_disk_volumetric_pallas
         res, tau, em = march_planar_disk_volumetric_pallas(
@@ -527,4 +563,4 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
 _render_disk_jit = jax.jit(
     lambda *a, **k: _render_disk_impl(*a, **k),
     static_argnames=("max_steps", "disk", "filtering", "backend",
-                     "interpret"))
+                     "stepper", "rtol", "interpret"))

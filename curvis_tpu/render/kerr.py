@@ -334,12 +334,27 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
         # error-controlled march (bare shadow / thin disk / volumetric
         # gas): the Pallas DP pair on TPU, its XLA twin elsewhere
         # (interpret kernel for the disk-tracking and volumetric variants,
-        # which only the kernel implements).  Differentiable backends keep
-        # fixed RK4 (the adjoint checkpoints assume a uniform step grid).
+        # which only the kernel implements).  Differentiable backends run
+        # the rk45 adjoint (integrate/rk45_adjoint.py): exact gradients
+        # through the adaptive march with the per-ray iteration sequence
+        # replayed as data — 'scan' = XLA pair, 'adjoint' = Pallas forward
+        # + Pallas checkpointed-recompute backward on TPU.  NB the replay
+        # cost scales with max_iters = 2*max_steps, so differentiable rk45
+        # callers should pass rk45-scale max_steps (~hundreds), not the
+        # fixed-step tens of thousands.
         if backend in ("scan", "adjoint"):
-            raise NotImplementedError(
-                "stepper='rk45' is forward-only; use backend='pallas'/'xla' "
-                "(the differentiable marches keep fixed RK4)")
+            if disk is not None:
+                raise NotImplementedError(
+                    "differentiable rk45 covers bare marches; use "
+                    "stepper='rk4' for disk/volumetric gradients")
+            from curvis_tpu.integrate.rk45_adjoint import (
+                march_kerr_rk45_adjoint)
+            x, p, sign, _ = march_kerr_rk45_adjoint(
+                metric, x0, p0, dt0=dt, max_steps=max_steps,
+                escape_radius=escape_radius, rtol=rtol, atol=rtol * 1e-3,
+                backend=("xla" if backend == "scan" else "auto"))
+            return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk,
+                               filtering, False, None, None, None, None)
         from curvis_tpu.integrate.march import _on_tpu
         kw45 = dict(dt0=dt, max_steps=max_steps, escape_radius=escape_radius,
                     rtol=rtol, atol=rtol * 1e-3)

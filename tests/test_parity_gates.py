@@ -15,9 +15,11 @@ def _interpret(monkeypatch):
     monkeypatch.setenv("CURVIS_GATES_INTERPRET", "1")
 
 
-@pytest.mark.parametrize("family", ["euler_ellis", "rk45", "kerr_rk45",
+@pytest.mark.parametrize("family", ["euler_ellis", "rk45", "rk45_disk",
+                                    "rk45_vol", "kerr_rk45",
                                     "kerr_rk45_vol", "table", "table_rk45",
-                                    "table_disk", "table_vol", "adjoint"])
+                                    "table_disk", "table_vol", "adjoint",
+                                    "rk45_adjoint"])
 def test_gate_passes_on_cpu(family):
     from parity_gates import run_gates
     res = run_gates(only=[family])[family]

@@ -140,3 +140,120 @@ def test_rk45_nonfinite_ray_freezes_not_spins():
     sb = np.asarray(b.sign)
     assert sb[3] == 3, sb
     assert (sb[np.arange(n) != 3] == 1).all(), sb
+
+
+# ---------------------------------------------------------------------------
+# Round 4: planar rk45 x {thin disk, volumetric} (VERDICT round-3 #2) —
+# the error-controlled stepper against the Euler surface oracles, f64.
+# ---------------------------------------------------------------------------
+
+def _disk_scene(dtype=jnp.float64):
+    from curvis_tpu.metrics.base import SchwarzschildMetric
+    from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0, dtype))
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 24, 12, dtype=dtype)
+    dx, dy, dz = _pixel_dirs_soa(cam, False)
+    (l, psi, p_l, b), r_hat, e2 = _spawn_planar_soa(metric, cam, dx, dy, dz)
+    c1 = jnp.broadcast_to(r_hat[2], l.shape).astype(dtype)
+    c2 = e2[2].astype(dtype)
+    nz = (r_hat[0] * e2[1] - r_hat[1] * e2[0]).astype(dtype)
+    rays = pl.PlanarRays(l, psi, p_l, b, jnp.zeros((1, 3), dtype),
+                         jnp.zeros((1, 3), dtype))
+    return metric, rays, c1, c2, nz
+
+
+def test_rk45_disk_crossings_match_fine_euler_oracle():
+    """Crossing radii from the adaptive march agree with a fine-dt Euler
+    disk march — the surfaces see the same geometry regardless of the
+    stepper (linear-in-step interpolation bounds the residual)."""
+    from curvis_tpu.render.disk import march_planar_disk
+    metric, rays, c1, c2, _ = _disk_scene()
+    r_io = dict(r_inner=5.2, r_outer=13.0)
+    res_e, (h1e, _), _ = march_planar_disk(
+        metric, rays, c1, c2, dt=0.01, max_steps=100_000,
+        escape_radius=60.0, **r_io)
+    res_a, (h1a, _), _ = march_planar_rk45(
+        metric, rays, c1=c1, c2=c2, disk=(5.2, 13.0), escape_radius=60.0,
+        rtol=1e-8, atol=1e-11, dt0=0.05, max_steps=40_000)
+    hit_e, hit_a = np.asarray(h1e) > 0, np.asarray(h1a) > 0
+    assert (hit_e == hit_a).mean() > 0.97
+    both = hit_e & hit_a
+    rel = np.abs(np.asarray(h1a)[both] - np.asarray(h1e)[both]) \
+        / np.asarray(h1e)[both]
+    # Euler at dt=0.01 carries its own O(dt) crossing jitter; the adaptive
+    # march is the more accurate of the two
+    assert np.median(rel) < 2e-3
+    assert (rel > 2e-2).mean() <= 0.05
+
+
+def test_rk45_disk_step_economy():
+    """The adaptive thin-disk march needs far fewer accepted steps than
+    the Euler march takes fixed ones, at equal-or-better crossing
+    accuracy."""
+    from curvis_tpu.render.disk import march_planar_disk
+    metric, rays, c1, c2, _ = _disk_scene()
+    res_e, _, _ = march_planar_disk(metric, rays, c1, c2, dt=0.05,
+                                    max_steps=20_000, escape_radius=60.0,
+                                    r_inner=5.2, r_outer=13.0)
+    res_a, _, _ = march_planar_rk45(
+        metric, rays, c1=c1, c2=c2, disk=(5.2, 13.0), escape_radius=60.0,
+        rtol=1e-6, atol=1e-9, dt0=0.05, max_steps=40_000)
+    esc = np.asarray(res_a.sign) != 0
+    assert np.median(np.asarray(res_a.steps)[esc]) < \
+        0.5 * np.median(np.asarray(res_e.steps)[esc])
+
+
+def test_rk45_volumetric_matches_euler_quadrature():
+    """Optical depth / emission from the adaptive vol march vs the Euler
+    volumetric oracle: the in-disk dt clamp pins both quadratures to the
+    same base resolution, so tau agrees at the percent level."""
+    from curvis_tpu.render.disk import (DiskParams,
+                                        march_planar_disk_volumetric)
+    metric, rays, c1, c2, nz = _disk_scene()
+    disk = DiskParams(r_inner=5.2, r_outer=13.0, volumetric=True,
+                      h_rel=0.08, kappa=3.0, color_mode="tint",
+                      t_peak=7000.0)
+    _, tau_e, em_e = march_planar_disk_volumetric(
+        metric, rays, c1, c2, nz, params=disk, dt=0.05, max_steps=20_000,
+        escape_radius=60.0)
+    _, tau_a, em_a = march_planar_rk45(
+        metric, rays, c1=c1, c2=c2, nz=nz, vol_disk=disk,
+        escape_radius=60.0, rtol=1e-6, atol=1e-9, dt0=0.05,
+        max_steps=40_000)
+    ta, te = np.asarray(tau_a), np.asarray(tau_e)
+    assert np.abs(ta - te).sum() / max(np.abs(te).sum(), 1e-9) < 0.03
+    ea = np.stack([np.asarray(c) for c in em_a])
+    ee = np.stack([np.asarray(c) for c in em_e])
+    assert np.abs(ea - ee).sum() / max(np.abs(ee).sum(), 1e-9) < 0.03
+
+
+def test_render_disk_stepper_rk45_images_match():
+    """render_blackhole_disk(stepper='rk45') e2e: thin and volumetric
+    images agree with their Euler counterparts at image level."""
+    from curvis_tpu.render.disk import DiskParams, render_blackhole_disk
+    rng = np.random.default_rng(3)
+    bg = cv.make_spherical_image(rng.random((32, 64, 3)))
+    th = np.pi / 2 - 0.22
+    cam = cv.make_camera([0.0, 28.0, th, 0.0],
+                         [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                         30.0, 43.0, 32, 18)
+    from curvis_tpu.metrics.base import SchwarzschildMetric
+    metric = SchwarzschildMetric(m=jnp.asarray(1.0))
+    for disk in (DiskParams(r_inner=5.2, r_outer=13.0),
+                 DiskParams(r_inner=5.2, r_outer=13.0, volumetric=True,
+                            h_rel=0.08, kappa=3.0, color_mode="tint",
+                            t_peak=7000.0)):
+        img_e = render_blackhole_disk(metric, cam, bg, dt=0.05,
+                                      max_steps=20_000, escape_radius=60.0,
+                                      disk=disk, backend="while")
+        img_a = render_blackhole_disk(metric, cam, bg, dt=0.05,
+                                      max_steps=20_000, escape_radius=60.0,
+                                      disk=disk, backend="while",
+                                      stepper="rk45", rtol=1e-6)
+        d = np.abs(np.asarray(img_e) - np.asarray(img_a)).max(-1)
+        # texel seams flip isolated pixels; the images must agree almost
+        # everywhere (CLAUDE.md comparison invariant)
+        assert (d > 0.1).mean() < 0.03, (disk.volumetric, (d > 0.1).mean())
