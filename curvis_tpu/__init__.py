@@ -26,6 +26,7 @@ from curvis_tpu.env.spherical_image import (
     save_image,
 )
 from curvis_tpu.integrate.march import MarchResult, march, compute_trajectory
+from curvis_tpu.fit import FitResult, fit
 from curvis_tpu.render.direct import render_direct
 from curvis_tpu.render.scene import Scene
 
@@ -35,6 +36,7 @@ __all__ = [
     "Camera",
     "Scene",
     "EllisMetric",
+    "FitResult",
     "FlatSphericalMetric",
     "InterstellarMetric",
     "MarchResult",
@@ -43,6 +45,7 @@ __all__ = [
     "SphericalImage",
     "TabulatedMetric",
     "compute_trajectory",
+    "fit",
     "load_spherical_image",
     "make_camera",
     "make_metric",

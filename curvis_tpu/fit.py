@@ -1,0 +1,137 @@
+"""Reusable inverse-problem harness (VERDICT round-3 next-step #7).
+
+The framework's differentiable renderers turn every "what spacetime made
+this image?" question into gradient descent; round 2-3 proved the pattern
+in three demos (spin recovery, joint (M, a), wormhole shape recovery), each
+with its own hand-rolled Adam loop.  This module promotes the loop into one
+entry point with the features those problems actually needed:
+
+  * **multi-start, vmapped**: lensing losses are multi-modal (photon-ring
+    foldovers, the (a, inclination) rim ridge) — ``n_starts`` independent
+    initializations run in ONE compiled program (``vmap`` over the start
+    axis of a ``lax.scan`` Adam loop), so a TPU explores the whole basin
+    set for the price of one trajectory;
+  * **annealing schedules**: a per-iteration auxiliary (e.g. a softmin
+    temperature) threaded through the scan as data;
+  * **projections**: per-step parameter clamps (sub-extremality, positive
+    radii) applied inside the loop;
+  * **convergence reporting**: full loss histories, per-start finals, and
+    the best parameters.
+
+The reference (/root/reference) has no gradients and nothing to compare —
+this is capability the TPU-native design gets for free from JAX transforms
+(vmap x scan x grad over the same marchers the renderer runs).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@dataclasses.dataclass
+class FitResult:
+    """Outcome of :func:`fit`.  ``params`` is the best start's final pytree;
+    ``history`` its (iters,) loss curve; ``all_params`` / ``all_finals``
+    keep every start (leading axis ``n_starts``) for basin analysis."""
+    params: Any
+    loss: float
+    history: np.ndarray
+    best_index: int
+    all_params: Any
+    all_finals: np.ndarray
+    all_histories: np.ndarray
+
+    def converged(self, rel_drop=1e-3, window=20):
+        """Heuristic: the improvement over the last ``window`` iterations
+        is below ``rel_drop`` of the TOTAL improvement — i.e. the fit has
+        extracted essentially all the progress it is going to (a loss
+        asymptoting geometrically to a tiny floor counts as converged,
+        which a drop-relative-to-current-value test would not)."""
+        h = self.history
+        if len(h) <= window:
+            return False
+        total = float(h[0]) - float(h[-1])
+        recent = float(h[-window]) - float(h[-1])
+        return recent <= rel_drop * max(total, 1e-30)
+
+
+def fit(loss_fn: Callable, init_params, *, iters=300, lr=1e-2,
+        n_starts: int = 1, init_sampler: Optional[Callable] = None,
+        optimizer=None, schedule: Optional[Callable] = None,
+        project: Optional[Callable] = None, seed=0,
+        unroll=1) -> FitResult:
+    """Minimize ``loss_fn`` with vmapped multi-start Adam.
+
+    Parameters
+    ----------
+    loss_fn : ``params -> scalar`` or, with ``schedule``, ``(params,
+        aux) -> scalar`` where ``aux = schedule(i)`` for iteration i
+        (annealed temperatures, weight ramps, ...).
+    init_params : parameter pytree (one start), or — when ``n_starts > 1``
+        and no ``init_sampler`` is given — a pytree whose leaves carry a
+        leading ``n_starts`` axis.
+    init_sampler : optional ``(numpy rng, index) -> pytree`` drawing one
+        start; called ``n_starts`` times host-side and stacked.
+    optimizer : any optax ``GradientTransformation`` (default
+        ``optax.adam(lr)``).
+    project : optional ``params -> params`` applied after every update
+        (clamps / reprojections; runs inside the compiled loop).
+    unroll : forwarded to ``lax.scan``.
+
+    The whole (starts x iters) optimization is ONE jit: n_starts
+    trajectories advance in lock-step on the device.
+    """
+    import optax
+    opt = optax.adam(lr) if optimizer is None else optimizer
+
+    if n_starts > 1 and init_sampler is not None:
+        rng = np.random.default_rng(seed)
+        starts = [init_sampler(rng, i) for i in range(n_starts)]
+        init_params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *starts)
+    elif n_starts == 1 and init_sampler is not None:
+        init_params = init_sampler(np.random.default_rng(seed), 0)
+
+    if schedule is not None:
+        aux = jnp.stack([jnp.asarray(schedule(i)) for i in range(iters)])
+        loss_at = loss_fn
+    else:
+        aux = jnp.arange(iters)
+        loss_at = lambda p, _aux: loss_fn(p)          # noqa: E731
+
+    def one_start(p0):
+        st0 = opt.init(p0)
+
+        def step(carry, aux_i):
+            p, st = carry
+            v, g = jax.value_and_grad(loss_at)(p, aux_i)
+            up, st = opt.update(g, st, p)
+            p = optax.apply_updates(p, up)
+            if project is not None:
+                p = project(p)
+            return (p, st), v
+
+        (p, _), hist = lax.scan(step, (p0, st0), aux, unroll=unroll)
+        return p, hist
+
+    if n_starts > 1:
+        params_all, hists = jax.jit(jax.vmap(one_start))(init_params)
+    else:
+        p, hist = jax.jit(one_start)(init_params)
+        params_all = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None],
+                                            p)
+        hists = jnp.asarray(hist)[None]
+
+    hists = np.asarray(hists)
+    finals = hists[:, -1]
+    best = int(np.nanargmin(finals))
+    best_params = jax.tree_util.tree_map(lambda a: a[best], params_all)
+    return FitResult(params=best_params, loss=float(finals[best]),
+                     history=hists[best], best_index=best,
+                     all_params=params_all, all_finals=finals,
+                     all_histories=hists)

@@ -223,6 +223,51 @@ def tabulate_metric(metric, *, degree=12, s=None, dtype=jnp.float32,
     return tab, report
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _diff_fit_operator(degree: int, n_nodes: int, s: float):
+    """(FIT matrix, node l values): the Chebyshev-Gauss collocation fit as
+    one fixed linear operator from node values to HORNER coefficients —
+    host-side numpy, cached per (degree, nodes, s)."""
+    t = np.cos(np.pi * (np.arange(n_nodes) + 0.5) / n_nodes)
+    l_nodes = s * t / np.sqrt(1.0 - t * t)
+    V = np.polynomial.chebyshev.chebvander(t, degree)
+    C2M = np.zeros((degree + 1, degree + 1))
+    for j in range(degree + 1):
+        e = np.zeros(degree + 1)
+        e[j] = 1.0
+        pcoef = np.polynomial.chebyshev.cheb2poly(e)
+        C2M[:len(pcoef), j] = pcoef
+    FIT = C2M @ np.linalg.pinv(V)
+    return FIT, l_nodes
+
+
+def tabulate_metric_diff(r_fn, *, degree=12, s=1.0, n_nodes=128):
+    """DIFFERENTIABLE twin of :func:`tabulate_metric` for parameterized
+    shapes: ``r_fn(l)`` may close over traced parameters, and the returned
+    :class:`TabulatedMetric` carries their gradients.
+
+    The Chebyshev collocation fit is a *fixed linear operator* on the node
+    values of (1/r^2, r'/r^3) (compactified), so tabulation under autodiff
+    is one matrix-vector product per table — the key idea behind the
+    round-3 shape-recovery capability (examples/shape_recovery.py), now a
+    package API consumed by curvis_tpu.fit inverse problems.  ``r'`` comes
+    from ``jax.grad`` of ``r_fn``.  No accuracy report / tol gate (the
+    traced values cannot be checked host-side): validate the final fitted
+    shape once with :func:`tabulate_metric` if needed."""
+    FIT, l_nodes = _diff_fit_operator(int(degree), int(n_nodes), float(s))
+    FITj = jnp.asarray(FIT)
+    LN = jnp.asarray(l_nodes)
+    r = r_fn(LN)
+    rp = jax.vmap(jax.grad(lambda l: jnp.reshape(r_fn(l), ())))(LN)
+    ls2 = LN * LN + s * s
+    return TabulatedMetric(c1=FITj @ (ls2 / (r * r)),
+                          c2=FITj @ (ls2 ** 1.5 * rp / r ** 3),
+                          s=jnp.asarray(s, r.dtype), basis="horner")
+
+
 class _FnMetric:
     """Adapter: a bare r(l) callable -> Metric protocol via autodiff."""
 

@@ -221,24 +221,21 @@ def main(argv=None):
                 / jnp.sum(w))
         return l_ob + l_po
 
-    import optax
-    vg4 = jax.jit(jax.value_and_grad(rim_loss))
-    opt4 = optax.adam(1e-2)
-    prm4 = jnp.asarray([0.7, 0.5, 0.8], fdt)
-    st4 = opt4.init(prm4)
+    # round 4: annealed multi-knob fit through the package harness — the
+    # softmin temperature rides fit()'s schedule hook, the sub-extremality
+    # clamps its project hook (curvis_tpu.fit)
+    from curvis_tpu.fit import fit as cv_fit
     print("shadow-rim fit (M, a, inclination):")
-    for i in range(400):
-        tau = jnp.asarray(max(5e-4, 0.02 * 0.97 ** i), fdt)
-        loss, g = vg4(prm4, tau)
-        up4, st4 = opt4.update(g, st4)
-        prm4 = prm4 + up4
-        prm4 = jnp.asarray([jnp.clip(prm4[0], 0.2, 3.0),
-                            jnp.clip(prm4[1], 0.05, 0.998 * prm4[0]),
-                            jnp.clip(prm4[2], 0.1, np.pi / 2 - 1e-3)])
-        if i % 80 == 0:
-            print(f"  iter {i:3d}: M={float(prm4[0]):.4f} "
-                  f"a={float(prm4[1]):.4f} i={float(prm4[2]):.4f} "
-                  f"loss={float(loss):.3e}")
+    res4 = cv_fit(
+        rim_loss, jnp.asarray([0.7, 0.5, 0.8], fdt), iters=400, lr=1e-2,
+        schedule=lambda i: jnp.asarray(max(5e-4, 0.02 * 0.97 ** i), fdt),
+        project=lambda p: jnp.asarray([
+            jnp.clip(p[0], 0.2, 3.0),
+            jnp.clip(p[1], 0.05, 0.998 * p[0]),
+            jnp.clip(p[2], 0.1, np.pi / 2 - 1e-3)]))
+    prm4 = res4.params
+    for i in range(0, 400, 80):
+        print(f"  iter {i:3d}: loss={float(res4.all_histories[0][i]):.3e}")
     # Typical result: M to ~0.1%, a to ~0.3%, inclination to ~5% — the
     # inclination is the rim's stiffest direction (a shallow (a, i) ridge,
     # the known near-degeneracy of shadow-only EHT fits).

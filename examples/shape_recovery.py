@@ -82,15 +82,12 @@ def main(argv=None):
         return jnp.sqrt(rho * rho + l * l)
 
     def tabulate_diff(theta):
-        """jnp twin of metrics/table.py:tabulate_metric — the Chebyshev fit
-        is linear, so it is one fixed matrix applied to autodiff values of
-        (r, r'); the returned pytree marches like any other metric."""
-        r = r_of(theta, LN)
-        rp = jax.vmap(jax.grad(lambda l: r_of(theta, l)))(LN)
-        ls2 = LN * LN + S * S
-        return TabulatedMetric(c1=FIT @ (ls2 / (r * r)),
-                               c2=FIT @ (ls2 ** 1.5 * rp / r ** 3),
-                               s=jnp.asarray(S), basis="horner")
+        """Differentiable tabulation — since round 4 a package API
+        (metrics/table.py:tabulate_metric_diff): the Chebyshev fit is
+        linear, one fixed matrix applied to autodiff values of (r, r')."""
+        from curvis_tpu.metrics.table import tabulate_metric_diff
+        return tabulate_metric_diff(lambda l: r_of(theta, l), degree=DEG,
+                                    s=S, n_nodes=128)
 
     # ------------------------- 2. the observations ------------------------
     L0, R = 6.0, 40.0
@@ -128,19 +125,17 @@ def main(argv=None):
         return jnp.sum(w * (beta - beta_obs) ** 2) \
             / jnp.maximum(jnp.sum(w), 1.0)
 
-    theta = jnp.zeros(M + 1)                     # init: rho = 1 (plain Ellis)
-    opt = optax.adam(3e-2)
-    state = opt.init(theta)
-    vg = jax.jit(jax.value_and_grad(loss))
+    # round 4: the hand-rolled Adam loop is now the package harness
+    # (curvis_tpu.fit — one jitted scan; histories + convergence report)
+    from curvis_tpu.fit import fit
     t0 = time.time()
     iters = 300
-    for i in range(iters):
-        v, g = vg(theta)
-        up, state = opt.update(g, state)
-        theta = optax.apply_updates(theta, up)
-        if i % 50 == 0 or i == iters - 1:
-            print(f"  it {i:3d}: loss {float(v):.3e}")
-    print(f"fit: {iters} Adam iterations in {time.time() - t0:.0f} s")
+    res = fit(loss, jnp.zeros(M + 1), iters=iters, lr=3e-2)
+    theta = res.params
+    for i in range(0, iters, 50):
+        print(f"  it {i:3d}: loss {float(res.history[i]):.3e}")
+    print(f"fit: {iters} Adam iterations in {time.time() - t0:.0f} s "
+          f"(converged: {res.converged()})")
 
     # ------------------------------ report --------------------------------
     lg = np.linspace(-6.0, 6.0, 241)
