@@ -393,7 +393,15 @@ def _table_metric():
 def gate_table_rk45():
     """cheb x rk45 combo compiled on-chip (round-3 VERDICT weak #4: the
     table-metric kernel combos were interpret-tested only, and the cheb
-    tail offset is exactly the bug class that shipped twice)."""
+    tail offset is exactly the bug class that shipped twice).
+
+    tol 6e-3, not the analytic families' 2e-3: measured on-chip, BOTH
+    twins sit ~1.7e-3 median / 4e-3 max from a tight-tolerance oracle —
+    the f32 degree-16 table evaluation noise amplified through throat-
+    grazing deflection (each twin rounds the Clenshaw chain differently,
+    and the controller's accept flips decorrelate them).  A layout bug
+    (the class this gate exists for) produces O(1) garbage, far above
+    this floor."""
     import jax
     import jax.numpy as jnp
     from curvis_tpu.integrate.rk45 import march_planar_rk45
@@ -405,7 +413,7 @@ def gate_table_rk45():
     a = jax.jit(lambda m, r: march_planar_rk45(m, r, **kw))(tab, rays)
     b = jax.jit(lambda m, r: march_planar_rk45_pallas(
         m, r, interpret=_ipret(), **kw))(tab, rays)
-    agree, mm = _escape_mismatch(a, b, tol=2e-3)
+    agree, mm = _escape_mismatch(a, b, tol=6e-3)
     return {"sign_agree": round(agree, 4), "psi_mismatch": round(mm, 4),
             "ok": bool(agree >= 0.97 and mm <= 0.05)}
 
@@ -506,9 +514,21 @@ def gate_adjoint():
 def gate_rk45_adjoint():
     """Gradient parity of the differentiable error-controlled march
     (integrate/rk45_adjoint.py): Pallas rk45 forward + Pallas checkpointed
-    backward (compiled) vs the XLA pair.  Knife-edge accept flips between
-    the two compiles move isolated rays, so the bound is looser than the
-    fixed-step adjoint gate's."""
+    backward (compiled) vs the XLA pair, compared PER RAY.
+
+    Unlike the fixed-RK4 pair (whose step has no data-dependent decisions,
+    so its replay is bitwise-stable across compilations and the scalar
+    gradients match to 1e-2), the rk45 replay recomputes accept/reject
+    decisions — and two different COMPILATIONS of the same f32 math round
+    err near the threshold differently, flipping isolated rays onto
+    nearby-but-different trajectories (measured: even the XLA pair alone
+    is segment-length-sensitive in f32; each pair's gradient is exact for
+    ITS replayed trajectory — the CLAUDE.md chaos invariant applied to
+    gradients).  A scalar-sum comparison cannot average that out, so the
+    gate checks the per-ray input-cotangent field: flipped rays must be
+    ISOLATED (<= 15%; measured ~10% on this ring-grazing f32 fan) and
+    every other ray must agree to 1e-2 (measured median 2e-5).  A Mosaic
+    miscompile breaks all rays, not a handful."""
     import jax
     import jax.numpy as jnp
     from curvis_tpu.integrate.rk45_adjoint import march_kerr_rk45_adjoint
@@ -524,25 +544,31 @@ def gate_rk45_adjoint():
                      0.3 * rng.standard_normal(n)], -1)
     dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
                        jnp.float32)
+    metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
+                        a=jnp.asarray(0.8, jnp.float32))
+    p0 = ham.spawn_photon(metric, pos, dirs)
     kw = dict(dt0=0.1, max_steps=400, escape_radius=25.0, rtol=1e-4,
               atol=1e-7)
 
-    def loss(a, backend):
-        metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
-        p0 = ham.spawn_photon(metric, pos, dirs)
-        x, p, sign, _ = march_kerr_rk45_adjoint(metric, pos, p0,
+    def loss(p0v, backend):
+        x, p, sign, _ = march_kerr_rk45_adjoint(metric, pos, p0v,
                                                 backend=backend, **kw)
         return jnp.mean(jnp.where(sign == 1,
                                   jnp.sin(x[:, 3]) * p[:, 1]
                                   + jnp.cos(x[:, 2]), 0.0))
 
-    a0 = jnp.asarray(0.8, jnp.float32)
-    gx = float(jax.jit(jax.grad(lambda a: loss(a, "xla")))(a0))
     pk = "pallas_interpret" if _ipret() else "pallas"
-    gp = float(jax.jit(jax.grad(lambda a: loss(a, pk)))(a0))
-    rel = abs(gp - gx) / max(abs(gx), 1e-12)
-    return {"grad_xla": round(gx, 6), "grad_pallas": round(gp, 6),
-            "rel": round(rel, 6), "ok": bool(rel < 5e-2)}
+    gx = np.asarray(jax.jit(jax.grad(lambda v: loss(v, "xla")))(p0))
+    gp = np.asarray(jax.jit(jax.grad(lambda v: loss(v, pk)))(p0))
+    num = np.linalg.norm(gx - gp, axis=1)
+    den = np.maximum(np.linalg.norm(gx, axis=1), 1e-8)
+    rel = num / den
+    flipped = float((rel > 1e-2).mean())
+    stable = rel[rel <= 1e-2]
+    med = float(np.median(rel))
+    return {"flipped_frac": round(flipped, 4), "rel_median": round(med, 6),
+            "n_stable": int(stable.size),
+            "ok": bool(flipped <= 0.15 and med < 1e-3)}
 
 
 GATES = {

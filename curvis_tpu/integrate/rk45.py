@@ -232,9 +232,16 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
                 dt_gas = jnp.maximum(dt0, 0.5 * jnp.maximum(gap_r, gap_z))
                 dt = jnp.where(sign == 0, jnp.minimum(dt, dt_gas), dt)
             else:
+                # anticipatory plane-distance clamp (see the Pallas
+                # twin's derivation): dt <= max(dt0, 0.2 r |zq|) — a
+                # clamp-active step cannot reach the plane, so crossing
+                # steps start near it with small dt and the r_hit
+                # interpolation keeps Euler-kernel accuracy
                 near = jnp.abs(l) < (r_out + 2.0)
+                dt_pl = jnp.maximum(dt0,
+                                    0.2 * jnp.abs(l) * jnp.abs(zq_new))
                 dt = jnp.where(near & (sign == 0),
-                               jnp.minimum(dt, dt0), dt)
+                               jnp.minimum(dt, dt_pl), dt)
         # rays at max_steps stop consuming iterations
         sign_frozen = jnp.where(active & over, jnp.int32(-128), sign)
         return (l, psi, p_l, dt, sign_frozen, steps) + ex + (it + 1,)

@@ -680,9 +680,23 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
                 dt_gas = jnp.maximum(dt0, 0.5 * jnp.maximum(gap_r, gap_z))
                 dt = jnp.where(sign == 0.0, jnp.minimum(dt, dt_gas), dt)
             else:
+                # ANTICIPATORY plane-distance clamp: the crossing
+                # surface is zq = 0 at vertical distance |z| ~ r |zq|,
+                # and |dz/dlambda| = |r' dl/dlam zq + r dzq/dlam| <= ~2
+                # (the psi term contributes ~b/r ~ 1) — so with dt <=
+                # max(dt0, 0.2 r |zq|) a clamp-active step moves z by
+                # <= 0.4 |z| and can never REACH the plane: every
+                # crossing step starts with small |zq| and small dt,
+                # keeping the linear-in-step r_hit interpolation at the
+                # Euler kernel's accuracy while off-plane segments stay
+                # adaptive (a 0.5 factor let steps land crossings from
+                # far off-plane: measured 26% of pixels off at 1024x576).
+                # Outside the radial band no crossing lands in
+                # [r_in, r_out].
                 near = jnp.abs(l) < (r_out + 2.0)
+                dt_pl = jnp.maximum(dt0, 0.2 * jnp.abs(l) * jnp.abs(zq_new))
                 dt = jnp.where(near & (sign == 0.0),
-                               jnp.minimum(dt, dt0), dt)
+                               jnp.minimum(dt, dt_pl), dt)
         # rays that hit the step cap freeze with a sentinel
         capped = (sign == 0.0) & (steps >= max_steps)
         sign = jnp.where(capped, -128.0, sign)
