@@ -36,8 +36,11 @@ from jax import lax
 @dataclasses.dataclass
 class FitResult:
     """Outcome of :func:`fit`.  ``params`` is the best start's final pytree;
-    ``history`` its (iters,) loss curve; ``all_params`` / ``all_finals``
-    keep every start (leading axis ``n_starts``) for basin analysis."""
+    ``history`` its (iters + 1,) loss curve — ``history[i]`` is the loss
+    before update ``i`` and ``history[-1]`` the loss of the RETURNED params
+    (so ``loss``/``all_finals`` rank what you actually get back);
+    ``all_params`` / ``all_finals`` keep every start (leading axis
+    ``n_starts``) for basin analysis."""
     params: Any
     loss: float
     history: np.ndarray
@@ -51,13 +54,21 @@ class FitResult:
         is below ``rel_drop`` of the TOTAL improvement — i.e. the fit has
         extracted essentially all the progress it is going to (a loss
         asymptoting geometrically to a tiny floor counts as converged,
-        which a drop-relative-to-current-value test would not)."""
-        h = self.history
-        if len(h) <= window:
+        which a drop-relative-to-current-value test would not).
+
+        Guards: non-finite histories, fits with no net improvement, and
+        runs whose tail climbed away from the best point all report False
+        (a diverging loss must never read as converged)."""
+        h = np.asarray(self.history, dtype=np.float64)
+        if len(h) <= window or not np.all(np.isfinite(h)):
             return False
-        total = float(h[0]) - float(h[-1])
-        recent = float(h[-window]) - float(h[-1])
-        return recent <= rel_drop * max(total, 1e-30)
+        total = float(h[0] - h[-1])
+        if total <= 0.0:
+            return False
+        if float(h[-1]) > float(np.min(h)) + rel_drop * total:
+            return False
+        recent = abs(float(h[-window] - h[-1]))
+        return recent <= rel_drop * total
 
 
 def fit(loss_fn: Callable, init_params, *, iters=300, lr=1e-2,
@@ -87,6 +98,8 @@ def fit(loss_fn: Callable, init_params, *, iters=300, lr=1e-2,
     trajectories advance in lock-step on the device.
     """
     import optax
+    if iters < 1:
+        raise ValueError(f"fit() needs iters >= 1, got {iters}")
     opt = optax.adam(lr) if optimizer is None else optimizer
 
     if n_starts > 1 and init_sampler is not None:
@@ -117,7 +130,10 @@ def fit(loss_fn: Callable, init_params, *, iters=300, lr=1e-2,
             return (p, st), v
 
         (p, _), hist = lax.scan(step, (p0, st0), aux, unroll=unroll)
-        return p, hist
+        # hist[i] is the loss BEFORE update i; append loss(final params)
+        # so history[-1] / finals rank the params actually returned.
+        vf = loss_at(p, aux[-1])
+        return p, jnp.concatenate([hist, vf[None]])
 
     if n_starts > 1:
         params_all, hists = jax.jit(jax.vmap(one_start))(init_params)
@@ -129,7 +145,9 @@ def fit(loss_fn: Callable, init_params, *, iters=300, lr=1e-2,
 
     hists = np.asarray(hists)
     finals = hists[:, -1]
-    best = int(np.nanargmin(finals))
+    # every start diverged to NaN: return start 0 (loss nan, converged()
+    # False) instead of crashing — callers inspect all_histories/finals.
+    best = 0 if np.all(np.isnan(finals)) else int(np.nanargmin(finals))
     best_params = jax.tree_util.tree_map(lambda a: a[best], params_all)
     return FitResult(params=best_params, loss=float(finals[best]),
                      history=hists[best], best_index=best,

@@ -242,8 +242,11 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
                                     0.2 * jnp.abs(l) * jnp.abs(zq_new))
                 dt = jnp.where(near & (sign == 0),
                                jnp.minimum(dt, dt_pl), dt)
-        # rays at max_steps stop consuming iterations
-        sign_frozen = jnp.where(active & over, jnp.int32(-128), sign)
+        # rays at max_steps stop consuming iterations.  Test CURRENT sign,
+        # not `active` (start-of-body): a ray whose max_steps-th accepted
+        # step also escapes/captures/goes opaque must keep that fate — the
+        # Pallas twin (_rk45_kernel) freezes on (sign == 0) & over too.
+        sign_frozen = jnp.where((sign == 0) & over, jnp.int32(-128), sign)
         return (l, psi, p_l, dt, sign_frozen, steps) + ex + (it + 1,)
 
     def cond(c):

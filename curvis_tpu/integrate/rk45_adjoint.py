@@ -371,6 +371,11 @@ def march_kerr_rk45_adjoint(metric, x0, p0, *, dt0, max_steps,
         backend = "pallas" if _on_tpu() else "xla"
     if max_iters is None:
         max_iters = 2 * max_steps
+    # the Pallas forward runs its unroll-2 body in full, so with an odd
+    # max_iters a still-active ray would record max_iters + 1 iterations
+    # while the backward replays only max_iters — silently truncating its
+    # gradient.  Keep the bound even (matches the kernel's own rounding).
+    max_iters = int(max_iters) + (int(max_iters) & 1)
     if segment is None:
         segment = (_PALLAS_SEG if backend.startswith("pallas")
                    else max(1, int(max_iters ** 0.5)))

@@ -227,24 +227,28 @@ import functools
 
 
 @functools.lru_cache(maxsize=16)
-def _diff_fit_operator(degree: int, n_nodes: int, s: float):
+def _diff_fit_operator(degree: int, n_nodes: int, s: float, basis: str):
     """(FIT matrix, node l values): the Chebyshev-Gauss collocation fit as
-    one fixed linear operator from node values to HORNER coefficients —
-    host-side numpy, cached per (degree, nodes, s)."""
+    one fixed linear operator from node values to coefficients in ``basis``
+    ('horner' = monomial via cheb2poly, 'clenshaw' = Chebyshev) —
+    host-side numpy, cached per (degree, nodes, s, basis)."""
     t = np.cos(np.pi * (np.arange(n_nodes) + 0.5) / n_nodes)
     l_nodes = s * t / np.sqrt(1.0 - t * t)
     V = np.polynomial.chebyshev.chebvander(t, degree)
-    C2M = np.zeros((degree + 1, degree + 1))
-    for j in range(degree + 1):
-        e = np.zeros(degree + 1)
-        e[j] = 1.0
-        pcoef = np.polynomial.chebyshev.cheb2poly(e)
-        C2M[:len(pcoef), j] = pcoef
-    FIT = C2M @ np.linalg.pinv(V)
+    FIT = np.linalg.pinv(V)
+    if basis == "horner":
+        C2M = np.zeros((degree + 1, degree + 1))
+        for j in range(degree + 1):
+            e = np.zeros(degree + 1)
+            e[j] = 1.0
+            pcoef = np.polynomial.chebyshev.cheb2poly(e)
+            C2M[:len(pcoef), j] = pcoef
+        FIT = C2M @ FIT
     return FIT, l_nodes
 
 
-def tabulate_metric_diff(r_fn, *, degree=12, s=1.0, n_nodes=128):
+def tabulate_metric_diff(r_fn, *, degree=12, s=1.0, n_nodes=128,
+                         basis="auto"):
     """DIFFERENTIABLE twin of :func:`tabulate_metric` for parameterized
     shapes: ``r_fn(l)`` may close over traced parameters, and the returned
     :class:`TabulatedMetric` carries their gradients.
@@ -256,8 +260,20 @@ def tabulate_metric_diff(r_fn, *, degree=12, s=1.0, n_nodes=128):
     package API consumed by curvis_tpu.fit inverse problems.  ``r'`` comes
     from ``jax.grad`` of ``r_fn``.  No accuracy report / tol gate (the
     traced values cannot be checked host-side): validate the final fitted
-    shape once with :func:`tabulate_metric` if needed."""
-    FIT, l_nodes = _diff_fit_operator(int(degree), int(n_nodes), float(s))
+    shape once with :func:`tabulate_metric` if needed.
+
+    ``basis``: unlike :func:`tabulate_metric`, the Horner-conversion error
+    cannot be MEASURED here (the node values are traced), so 'auto' picks
+    by degree alone — 'horner' up to degree 16 (where the measured gate
+    picks it for every smooth shape tried), 'clenshaw' (cancellation-free
+    Chebyshev recurrence, ~2x the eval cost) above.  Both bases ride the
+    kernels (kinds 'cheb{K}h' / 'cheb{K}c')."""
+    if basis == "auto":
+        basis = "horner" if degree <= 16 else "clenshaw"
+    if basis not in ("horner", "clenshaw"):
+        raise ValueError(f"basis must be horner|clenshaw|auto, got {basis}")
+    FIT, l_nodes = _diff_fit_operator(int(degree), int(n_nodes), float(s),
+                                      basis)
     FITj = jnp.asarray(FIT)
     LN = jnp.asarray(l_nodes)
     r = r_fn(LN)
@@ -265,7 +281,7 @@ def tabulate_metric_diff(r_fn, *, degree=12, s=1.0, n_nodes=128):
     ls2 = LN * LN + s * s
     return TabulatedMetric(c1=FITj @ (ls2 / (r * r)),
                           c2=FITj @ (ls2 ** 1.5 * rp / r ** 3),
-                          s=jnp.asarray(s, r.dtype), basis="horner")
+                          s=jnp.asarray(s, r.dtype), basis=basis)
 
 
 class _FnMetric:

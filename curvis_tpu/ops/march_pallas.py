@@ -1977,6 +1977,12 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
         dt_max = escape_radius / 8.0        # traced-safe (rides the SMEM row)
     if max_iters is None:
         max_iters = 4 * max_steps
+    # round UP to unroll granularity: the unrolled body always runs in
+    # full, so a live ray can consume ceil(max_iters/unroll)*unroll
+    # iterations — make that bound exact so the per-ray `iters` output
+    # never exceeds max_iters (it is the adjoint's replay bound,
+    # integrate/rk45_adjoint.py)
+    max_iters = -(-int(max_iters) // unroll) * unroll
     vol = vol_disk is not None
     if vol:
         if disk is not None:

@@ -161,6 +161,97 @@ def render_frames_sharded(metric, cameras, bg_positive: SphericalImage,
     return img
 
 
+def render_frames_shardmap(metric, cameras, bg_positive: SphericalImage,
+                           bg_negative: SphericalImage, mesh: Mesh, *, dt,
+                           max_steps, escape_radius, filtering="nearest",
+                           use_pallas="auto", tile_rows=8, interpret=False):
+    """Video pod path: ('frames', 'rays') mesh with ONE Pallas kernel
+    launch per device over its (local frames x local rays) block — the
+    shard_map twin of :func:`render_frames_sharded`.  GSPMD cannot
+    partition a ``pallas_call``, so on a real pod the GSPMD variant
+    marches at XLA speed while this one keeps every chip on the kernel
+    (same rule as render_direct_shardmap / the Kerr wrappers).
+
+    Reference context: the video loop renders frames serially on one
+    thread (/root/reference/src/rendering.rs:291-316); here F frames x N
+    rays spread over both mesh axes with a collective-free forward.
+    ``F`` must divide evenly over the 'frames' axis; the ray axis is
+    padded."""
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.sharding import PartitionSpec as P
+    from curvis_tpu.integrate.march import _on_tpu
+    from curvis_tpu.parallel.mesh import FRAMES, RAYS
+    from curvis_tpu.render.fast import _pixel_dirs_soa, _spawn_planar_soa
+
+    if use_pallas == "auto":
+        use_pallas = _on_tpu() or interpret
+    cams = list(cameras)
+    W, H = cams[0].resolution_x, cams[0].resolution_y
+    if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
+        raise ValueError("all cameras in a batch must share a resolution")
+    F = len(cams)
+    nf_dev = mesh.shape[FRAMES]
+    nr_dev = mesh.shape[RAYS]
+    if F % nf_dev:
+        raise ValueError(f"{F} frames do not divide the {nf_dev}-way "
+                         f"'frames' mesh axis")
+    states = []
+    for cam in cams:
+        dx, dy, dz = _pixel_dirs_soa(cam)
+        states.append(_spawn_planar_soa(metric, cam, dx, dy, dz))
+    n = W * H
+    n_pad = -(-n // nr_dev) * nr_dev
+
+    def stack_state(i):
+        a = jnp.stack([s[0][i] for s in states])             # (F, N)
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[:, :1], (F, n_pad - n))], axis=1)
+
+    l, psi, p_l, b = (stack_state(i) for i in range(4))
+
+    def _march_block(metric, l, psi, p_l, b):
+        blk = l.shape                       # (F/nf_dev, n_pad/nr_dev)
+        flat = tuple(a.reshape(-1) for a in (l, psi, p_l, b))
+        rays = pl.PlanarRays(*flat, jnp.zeros((1, 3), l.dtype),
+                             jnp.zeros((1, 3), l.dtype))
+        if use_pallas:
+            from curvis_tpu.ops.march_pallas import march_planar_pallas
+            res = march_planar_pallas(metric, rays, dt=dt,
+                                      max_steps=max_steps,
+                                      escape_radius=escape_radius,
+                                      sort=False, tile_rows=tile_rows,
+                                      interpret=interpret)
+        else:
+            res = pl.march_planar_while(metric, rays, dt=dt,
+                                        max_steps=max_steps,
+                                        escape_radius=escape_radius)
+        return tuple(jnp.reshape(a, blk) for a in
+                     (res.l, res.psi, res.p_l, res.sign, res.steps))
+
+    marched = _shard_map(
+        _march_block, mesh=mesh,
+        in_specs=(P(),) + (P(FRAMES, RAYS),) * 4,
+        out_specs=(P(FRAMES, RAYS),) * 5,
+        check_vma=False)
+    lo, psio, plo, sign, steps = marched(metric, l, psi, p_l, b)
+    lo, psio, plo, sign, steps = (a[:, :n].reshape(-1)
+                                  for a in (lo, psio, plo, sign, steps))
+    flat = pl.PlanarResult(lo, psio, plo, sign, steps)
+
+    def chain(idx, comp):
+        return jnp.stack([jnp.broadcast_to(s[idx][comp], (n,))
+                          for s in states]).reshape(-1)
+
+    return _finish_from_result(metric, cams[0], bg_positive, bg_negative,
+                               flat, b[:, :n].reshape(-1),
+                               (chain(1, 0), chain(1, 1), chain(1, 2)),
+                               (chain(2, 0), chain(2, 1), chain(2, 2)),
+                               filtering, n_frames=F)
+
+
 def _finish_from_result(metric, camera, bg_positive, bg_negative, res, b,
                         r_hat, e2, filtering, n_frames=1):
     from curvis_tpu.render.fast import _filter_lookup, _texture_uv

@@ -65,7 +65,7 @@ def test_fit_recovers_mass_and_spin_multistart():
     m_f, a_f = float(res.params[0]), float(res.params[1])
     assert abs(m_f - 1.0) < 0.02, (m_f, a_f, res.all_finals)
     assert abs(a_f - 0.7) < 0.05, (m_f, a_f, res.all_finals)
-    assert res.all_histories.shape == (3, 150)
+    assert res.all_histories.shape == (3, 151)   # iters + final eval
     assert res.loss <= np.nanmin(res.all_finals) + 1e-12
 
 
@@ -140,3 +140,42 @@ def test_fit_schedule_threads_aux():
     np.testing.assert_allclose(np.asarray(res.params), np.asarray(target),
                                atol=1e-2)
     assert res.converged()
+
+
+def test_converged_false_on_divergence_and_loss_matches_params():
+    """Three regressions: (1) a diverging fit must never report
+    converged(); (2) res.loss must be the loss of the RETURNED params
+    (history gained a final post-update evaluation); (3) an all-NaN
+    multi-start run returns a result instead of crashing nanargmin."""
+    from curvis_tpu.fit import FitResult
+
+    # (1) monotonically increasing loss -> not converged
+    bad = FitResult(params=None, loss=9.0,
+                    history=np.linspace(1.0, 9.0, 100), best_index=0,
+                    all_params=None, all_finals=np.array([9.0]),
+                    all_histories=None)
+    assert not bad.converged()
+    # improved early then climbed away from the best point -> not converged
+    h = np.concatenate([np.linspace(1.0, 0.1, 50), np.linspace(0.1, 0.9, 50)])
+    climb = FitResult(params=None, loss=0.9, history=h, best_index=0,
+                      all_params=None, all_finals=np.array([0.9]),
+                      all_histories=None)
+    assert not climb.converged()
+
+    # (2) quadratic: returned loss corresponds to returned params
+    def quad(p):
+        return jnp.sum((p - 3.0) ** 2)
+
+    res = fit(quad, jnp.zeros(2), iters=50, lr=2e-1)
+    assert len(res.history) == 51
+    assert abs(res.loss - float(quad(res.params))) < 1e-6
+
+    # (3) all starts NaN -> graceful result, converged() False
+    def nan_loss(p):
+        return jnp.sum(p ** 2) * jnp.nan
+
+    res_nan = fit(nan_loss, None, iters=10, lr=1e-2, n_starts=2,
+                  init_sampler=lambda rng, i: jnp.asarray(
+                      rng.standard_normal(2)))
+    assert np.isnan(res_nan.loss)
+    assert not res_nan.converged()

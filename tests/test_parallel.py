@@ -308,3 +308,28 @@ def test_kerr_shardmap_grad_matches_unsharded(rng):
     gs = float(jax.jit(jax.grad(loss_sharded))(a0))
     g1 = float(jax.jit(jax.grad(loss_single))(a0))
     assert abs(gs - g1) / max(abs(g1), 1e-12) < 1e-4, (gs, g1)
+
+
+def test_frames_shardmap_kernel_launch_per_device(rng):
+    """Video pod path (render_frames_shardmap): ('frames','rays') mesh with
+    one Pallas kernel launch per device over its (local frames x rays)
+    block.  Per-ray kernel math is tile-composition-independent, so each
+    frame must equal the rays-sharded kernel render of that camera."""
+    from curvis_tpu.parallel.mesh import make_mesh, make_mesh_2d
+    from curvis_tpu.parallel.sharded import (render_direct_shardmap,
+                                             render_frames_shardmap)
+    metric, _, bg_p, bg_n = _scene(rng)
+    cams = [cv.make_camera([0.0, 5.0, np.pi / 2, 0.05 * k], [-1.0, 0.0, 0.0],
+                           [0.0, 0.0, 1.0], 15.0, 43.0, 32, 16,
+                           dtype=jnp.float64) for k in range(4)]
+    mesh2 = make_mesh_2d(2, 4)
+    frames = np.asarray(render_frames_shardmap(
+        metric, cams, bg_p, bg_n, mesh2, interpret=True, use_pallas=True,
+        **KW))
+    assert frames.shape == (4, 16, 32, 3)
+    mesh = make_mesh(8)
+    for k, cam in enumerate(cams):
+        single = np.asarray(render_direct_shardmap(
+            metric, cam, bg_p, bg_n, mesh, interpret=True, use_pallas=True,
+            **KW))
+        np.testing.assert_array_equal(frames[k], single)

@@ -257,3 +257,29 @@ def test_render_disk_stepper_rk45_images_match():
         # texel seams flip isolated pixels; the images must agree almost
         # everywhere (CLAUDE.md comparison invariant)
         assert (d > 0.1).mean() < 0.03, (disk.volumetric, (d > 0.1).mean())
+
+
+def test_rk45_cap_boundary_ray_keeps_escape_fate():
+    """A ray whose max_steps-th ACCEPTED step also escapes must report
+    sign=1, not be clobbered to NotEscaped by the step-cap freeze — the
+    Pallas twin tests the CURRENT sign and the XLA twin must match
+    (regression: the freeze used the start-of-body active mask)."""
+    metric = EllisMetric(rho=jnp.asarray(1.0))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.2, 0.1],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 12, 8,
+                         dtype=jnp.float64)
+    rays = pl.spawn_planar(metric, cam.position, pixel_rays_world(cam))
+    full = march_planar_rk45(metric, rays, escape_radius=100.0, rtol=1e-6,
+                             atol=1e-9)
+    steps = np.asarray(full.steps)
+    sign = np.asarray(full.sign)
+    assert (sign != 0).all()
+    smin = int(steps[sign == 1].min())
+    capped = march_planar_rk45(metric, rays, escape_radius=100.0,
+                               rtol=1e-6, atol=1e-9, max_steps=smin)
+    boundary = (steps == smin) & (sign == 1)
+    assert boundary.any()
+    np.testing.assert_array_equal(np.asarray(capped.sign)[boundary],
+                                  sign[boundary])
+    # everyone needing more accepted steps is capped (sign 0)
+    assert (np.asarray(capped.sign)[steps > smin] == 0).all()

@@ -196,3 +196,32 @@ def test_thin_disk_gradient_guard():
                     cam, bg, dt=0.1, max_steps=200, escape_radius=25.0,
                     stepper="rk45", backend="scan",
                     disk=DiskParams(r_inner=3.0, r_outer=8.0))
+
+
+def test_odd_max_iters_matches_even_on_pallas_pair():
+    """The unroll-2 Pallas forward runs its last body in full, so an odd
+    max_iters would let capped rays record max_iters+1 iterations while
+    the backward replays max_iters — silent gradient truncation.  The
+    bound is now rounded to the unroll granularity: odd and even calls
+    must produce identical states AND gradients (regression)."""
+    pos, dirs = _bundle()
+    m0 = jnp.asarray(1.0)
+
+    def loss(a, max_iters):
+        metric = KerrMetric(m=m0, a=a)
+        p0 = ham.spawn_photon(metric, pos, dirs)
+        x, p, sign, _ = march_kerr_rk45_adjoint(
+            metric, pos, p0, backend="pallas_interpret", dt0=0.1,
+            max_steps=30, max_iters=max_iters, escape_radius=25.0,
+            rtol=1e-9, atol=1e-12, dt_min=1e-7)
+        smooth = (sign == 0) | (sign == 1)        # capped rays included
+        return jnp.mean(jnp.where(smooth,
+                                  jnp.sin(x[:, 3]) * p[:, 1]
+                                  + jnp.cos(x[:, 2]), 0.0))
+
+    a0 = jnp.asarray(0.8)
+    v_odd, g_odd = jax.value_and_grad(loss)(a0, 61)
+    v_even, g_even = jax.value_and_grad(loss)(a0, 62)
+    np.testing.assert_array_equal(np.asarray(v_odd), np.asarray(v_even))
+    np.testing.assert_array_equal(np.asarray(g_odd), np.asarray(g_even))
+    assert np.isfinite(float(g_odd))

@@ -251,3 +251,27 @@ def test_disk_kernel_supports_table():
                                rtol=5e-4, atol=1e-9)
     np.testing.assert_allclose(np.asarray(h2a), np.asarray(h2b),
                                rtol=5e-4, atol=1e-9)
+
+
+def test_tabulate_metric_diff_basis_auto_gate():
+    """tabulate_metric_diff cannot MEASURE Horner conversion error (traced
+    values), so basis='auto' gates on degree: <=16 keeps Horner (matches
+    the measured gate's choice on smooth shapes), above switches to the
+    cancellation-free Clenshaw basis — high-degree diff tables must not
+    silently ship catastrophically-cancelled monomial coefficients."""
+    from curvis_tpu.metrics.table import tabulate_metric_diff
+
+    r_fn = lambda l: jnp.sqrt(1.0 + l * l)                    # noqa: E731
+    low = tabulate_metric_diff(r_fn, degree=12)
+    high = tabulate_metric_diff(r_fn, degree=24)
+    assert low.basis == "horner"
+    assert high.basis == "clenshaw"
+
+    # both evaluate the same shape: r and 1/r^2 agree with truth
+    l = jnp.asarray(np.linspace(-8.0, 8.0, 101))
+    for tab in (low, high):
+        np.testing.assert_allclose(np.asarray(tab.r(l)),
+                                   np.asarray(r_fn(l)), rtol=5e-5)
+    # explicit basis override still works and matches auto at high degree
+    h24 = tabulate_metric_diff(r_fn, degree=24, basis="clenshaw")
+    np.testing.assert_array_equal(np.asarray(h24.c1), np.asarray(high.c1))
