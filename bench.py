@@ -227,7 +227,11 @@ def main():
         # number — one-sided dispatch hiccups can only ADD time, so `min`
         # tracks kernel capability and [q1, q3] tracks reproducibility.
         # Decision rule: treat a round-over-round change as real drift iff
-        # the [mrays_q3_floor, mrays_q1_ceil] intervals do not overlap.
+        # the [mrays_q3_floor, mrays_q1_ceil] intervals do not overlap AND
+        # mrays_min_time moved commensurately — uniform tunnel-load epochs
+        # shift the whole interval while min-time stays put (measured:
+        # same-day medians 45.5/43.0 with min-times 45.7/45.4, no kernel
+        # change).
         "rep_times_ms": [round(t * 1e3, 1) for t in times],
         "iqr_pct": round(100.0 * (q3 - q1) / secs, 1),
         "mrays_min_time": round(rays / min(times) / 1e6, 3),

@@ -99,6 +99,33 @@ def main(argv=None):
                                                        **PARITY).mean(),
            dneg, cams, bgp, bgn)
 
+    # 3b. user-defined (Chebyshev table) and charged (RN) metrics through
+    # the FUSED kernel — round-4 BASELINE rows (VERDICT round-3 #6): any
+    # user r(l) marches at ~DNEG speed, rn is Ellis-class.  Schedules from
+    # the round-4 on-chip sweep (NEXT.md): cheb is op-count-bound like
+    # DNEG and prefers 64/8; rn matches the Ellis headline's 32/8.
+    from curvis_tpu.metrics.table import tabulate_metric
+    from curvis_tpu.ops.render_fused import render_planar_fused
+    tab, _ = tabulate_metric(ellis, degree=12, dtype=jnp.float32, tol=1e-3)
+    rn = cv.make_metric("rn", m=1.0, q=0.5)
+    rn = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), rn)
+
+    def fused_batch(tile_rows, unroll):
+        def fn(m, cs, bp, bn):
+            out = jnp.zeros((), jnp.float32)
+            for c in cs:
+                out = out + jnp.mean(render_planar_fused(
+                    m, c, bp, bn, dt=0.05, max_steps=40_000,
+                    escape_radius=100.0, filtering="nearest",
+                    tile_rows=tile_rows, unroll=unroll))
+            return out
+        return fn
+
+    record(f"table_cheb12_{res}_euler_parity_sustained", 4 * res * res,
+           fused_batch(64, 8), tab, cams, bgp, bgn)
+    record(f"rn_q0.5_{res}_euler_parity_sustained", 4 * res * res,
+           fused_batch(32, 8), rn, cams, bgp, bgn)
+
     # 4. 4K render
     record(f"ellis_{res4k[0]}x{res4k[1]}_euler", res4k[0] * res4k[1],
            lambda m, c, bp, bn: render_planar_fast(m, c, bp, bn,
