@@ -231,24 +231,38 @@ def ckpt_adjoint_backward_pallas(make_step, params, y0, theta, steps, cot, *,
     ``steps`` the per-ray active-step counts (any numeric dtype), ``params``
     the (1, k) SMEM scalar row consumed by ``make_step``.  Returns
     ``(d_y0 tuple, per-ray d_theta tuple)`` — the caller sums the broadcast
-    slots.  ``make_step`` must be hashable-stable (module-level function or
-    cached partial) so the jit cache keys correctly."""
+    slots.  NB: this is the TRANSPOSE of the XLA twin's order
+    (integrate/ckpt.ckpt_adjoint_backward returns ``(d_theta, d_y0)``);
+    every backend-switching caller unpacks per branch.  ``make_step`` must
+    be hashable-stable (module-level function or cached partial) so the jit
+    cache keys correctly."""
     dtype = y0[0].dtype
     n_state, n_theta = len(y0), len(theta)
     n_seg = -(-max_steps // seg)
     n = y0[0].shape[0]
+    if max_steps == 0 or n == 0:
+        # exact degenerate gradient, matching the XLA twin (a zero-length
+        # replay is the identity map): d_y0 = cot, d_theta = 0.  Without
+        # this guard the grids below are zero-trip and the output buffers
+        # come back unwritten.
+        return (tuple(jnp.asarray(c) for c in cot),
+                tuple(jnp.zeros_like(jnp.asarray(t)) for t in theta))
     block = tile_rows * LANES
     n_pad = -(-n // block) * block
 
-    def pad(a, fill=None):
-        a = a.reshape(-1).astype(dtype)
-        f = a[0] if fill is None else jnp.asarray(fill, dtype)
-        return jnp.concatenate([a, jnp.full((n_pad - n,), f, dtype)])
+    def pad(a, fill=None, dt=dtype):
+        a = a.reshape(-1).astype(dt)
+        f = a[0] if fill is None else jnp.asarray(fill, dt)
+        return jnp.concatenate([a, jnp.full((n_pad - n,), f, dt)])
 
     shape2 = (n_pad // LANES, LANES)
     y0p = tuple(pad(a).reshape(shape2) for a in y0)          # benign fill
     thetap = tuple(pad(a).reshape(shape2) for a in theta)
-    stepsp = pad(steps, 0.0).reshape(shape2)                 # padded frozen
+    # steps rides in a dtype that represents its integer range exactly —
+    # a bf16/f16 state tuple must not truncate counts > 256 (the replay
+    # mask would silently march a different trajectory than the forward)
+    steps_dt = jnp.promote_types(dtype, jnp.float32)
+    stepsp = pad(steps, 0.0, steps_dt).reshape(shape2)       # padded frozen
     cotp = tuple(pad(a, 0.0).reshape(shape2) for a in cot)
     lam, g = _ckpt_adjoint_arrays(make_step, n_state, n_theta, seg, n_seg,
                                   tile_rows, params, y0p, thetap, stepsp,

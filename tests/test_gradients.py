@@ -598,3 +598,33 @@ def test_shape_recovery_from_deflection_data():
     # diluted quadratically in r = sqrt(rho^2 + l^2))
     r_fit = np.asarray(r_of(theta, jnp.asarray(np.array([-5.0, 5.0]))))
     np.testing.assert_allclose(r_fit[1] - r_fit[0], 0.1376, atol=0.03)
+
+
+def test_ckpt_pallas_degenerate_inputs():
+    """max_steps=0 (and n=0) must return the exact degenerate gradient
+    (d_y0 = cot, d_theta = 0) like the XLA twin, not unwritten buffers —
+    and the steps mask must ride a dtype that represents its integer
+    range exactly regardless of the state dtype."""
+    import jax.numpy as jnp
+    from curvis_tpu.ops.ckpt_adjoint_pallas import ckpt_adjoint_backward_pallas
+
+    def mk(params_ref):
+        def step(theta, y):
+            return (y[0] + theta[0] * 0.1,)
+        return step
+
+    params = jnp.zeros((1, 1))
+    y0 = (jnp.arange(6.0),)
+    theta = (jnp.ones(6),)
+    steps = jnp.full(6, 0.0)
+    cot = (jnp.linspace(1.0, 2.0, 6),)
+    lam, g = ckpt_adjoint_backward_pallas(mk, params, y0, theta, steps, cot,
+                                          max_steps=0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(lam[0]), np.asarray(cot[0]))
+    np.testing.assert_array_equal(np.asarray(g[0]), np.zeros(6))
+
+    empty = jnp.zeros((0,))
+    lam0, g0 = ckpt_adjoint_backward_pallas(mk, params, (empty,), (empty,),
+                                            empty, (empty,), max_steps=4,
+                                            interpret=True)
+    assert lam0[0].shape == (0,) and g0[0].shape == (0,)
