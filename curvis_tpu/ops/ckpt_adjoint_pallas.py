@@ -23,6 +23,12 @@ VMEM-resident:
 HBM traffic is the checkpoint buffer once out + once in: ``n_state x
 ceil(max_steps/seg) x n_rays x 4`` bytes each way (~0.4 ms at HBM bandwidth
 for a 147k-ray, 50-checkpoint f32 march) — negligible next to the compute.
+(The backward kernel's y0/theta/steps/cot rows and lam/g outputs have
+segment-constant block indices; the Pallas pipeline's revisiting elision
+skips their per-segment DMAs — measured on-chip: forcing the input index
+map to move costs exactly the 800 GB/s DMA bound, the s-constant map runs
+4x faster, and guarding the output write changes nothing.  See NEXT.md
+"CLOSED (measured no-ops)".)
 Segment-state scratch is ``n_state x seg x tile_rows x 128`` floats (~0.7 MB
 for the Kerr 5-state at seg=16, tile_rows=16), comfortably VMEM-resident.
 Everything is elementwise VPU work, (8, 128)-tiled SoA like every marcher in
