@@ -571,6 +571,50 @@ def gate_rk45_adjoint():
             "ok": bool(flipped <= 0.15 and med < 1e-3)}
 
 
+def gate_rk45_adjoint_planar():
+    """Planar twin of gate_rk45_adjoint (integrate/rk45_adjoint_planar.py):
+    Pallas planar rk45 forward + Pallas checkpointed backward (compiled) vs
+    the XLA pair, compared per ray on the input-cotangent field.  Same
+    isolated-flip tolerance rationale: each pair's gradient is exact for
+    ITS replayed f32 trajectory; knife-edge accept decisions round
+    differently across compilations on throat-grazing rays, so flips must
+    be isolated while stable rays agree tightly."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.integrate.rk45_adjoint_planar import (
+        march_planar_rk45_adjoint)
+    from curvis_tpu.metrics.base import EllisMetric
+    from curvis_tpu.physics import planar as pl
+    import curvis_tpu as cv
+    from curvis_tpu.camera.camera import pixel_rays_world
+    metric = EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.25, 0.1],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 16, 8,
+                         dtype=jnp.float32)
+    rays = pl.spawn_planar(metric, cam.position, pixel_rays_world(cam))
+    kw = dict(dt0=0.05, max_steps=400, escape_radius=25.0, rtol=1e-4,
+              atol=1e-7)
+
+    def loss(b, backend):
+        l, psi, p_l, sign, _ = march_planar_rk45_adjoint(
+            metric, (rays.l, rays.psi, rays.p_l), b, backend=backend, **kw)
+        esc = (sign == 1) | (sign == -1)
+        return jnp.mean(jnp.where(esc, jnp.sin(psi) + 0.3 * p_l * l / 25.0,
+                                  0.0))
+
+    pk = "pallas_interpret" if _ipret() else "pallas"
+    gx = np.asarray(jax.jit(jax.grad(lambda v: loss(v, "xla")))(rays.b))
+    gp = np.asarray(jax.jit(jax.grad(lambda v: loss(v, pk)))(rays.b))
+    num = np.abs(gx - gp)
+    den = np.maximum(np.abs(gx), 1e-8)
+    rel = num / den
+    flipped = float((rel > 1e-2).mean())
+    med = float(np.median(rel))
+    return {"flipped_frac": round(flipped, 4), "rel_median": round(med, 6),
+            "n_stable": int((rel <= 1e-2).sum()),
+            "ok": bool(flipped <= 0.15 and med < 1e-3)}
+
+
 GATES = {
     "euler_ellis": lambda: gate_euler("ellis"),
     "euler_dneg": lambda: gate_euler("dneg"),
@@ -589,6 +633,7 @@ GATES = {
     "table_vol": gate_table_vol,
     "adjoint": gate_adjoint,
     "rk45_adjoint": gate_rk45_adjoint,
+    "rk45_adjoint_planar": gate_rk45_adjoint_planar,
 }
 
 

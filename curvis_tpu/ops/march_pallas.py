@@ -548,9 +548,14 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
 
     def body(c):
         l, psi, p_l, dt, sign, steps = c[:6]
-        ex = c[6:-1]
+        ex = c[6:-2]
+        itersv = c[-2]
         it = c[-1]
         alive = jnp.where((sign == 0.0) & (steps < max_steps), one, zero)
+        # counts accepted AND rejected iterations while live — the
+        # checkpointed-recompute adjoint replays exactly this many
+        # iterations per ray (integrate/rk45_adjoint_planar.py)
+        itersv = itersv + alive
         ks = []
         for i in range(7):
             li = l
@@ -700,12 +705,18 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
         # rays that hit the step cap freeze with a sentinel
         capped = (sign == 0.0) & (steps >= max_steps)
         sign = jnp.where(capped, -128.0, sign)
-        return (l, psi, p_l, dt, sign, steps) + ex + (it + 1,)
+        return (l, psi, p_l, dt, sign, steps) + ex + (itersv, it + 1)
 
+    # itersv init: l * 0.0 (not the splat `zero`) — Mosaic v5e infers a
+    # replicated layout for a splat-constant carry in THIS slot and then
+    # fails relayouting the laid-out yielded value onto it ("Invalid
+    # relayout ... replicated in destination"); a data-dependent zero pins
+    # the laid-out layout from the start.
     out = lax.while_loop(cond, body, (l, psi, p_l, dt, sign, steps)
-                         + extras0 + (jnp.int32(0),))
+                         + extras0 + (l * 0.0, jnp.int32(0)))
     l, psi, p_l, dt, sign, steps = out[:6]
-    ex = out[6:-1]
+    ex = out[6:-2]
+    itersv = out[-2]
     sign = jnp.where(sign == -128.0, zero, sign)
     out_refs[0][:] = l
     out_refs[1][:] = psi
@@ -715,6 +726,7 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
     if track_disk or vol:
         for i, v in enumerate(ex[1:]):         # h1,h1p,h2,h2p | tau,em_rgb
             out_refs[5 + i][:] = v
+    out_refs[-1][:] = itersv.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "max_steps", "max_iters",
@@ -744,6 +756,7 @@ def _rk45_flat_arrays(kind, params, l, psi, p_l, b, c1=None, c2=None,
         out_shape += [f, f, f, f]     # h1,h1p,h2,h2p | tau,em_r,em_g,em_b
     if vol:
         ins += [nz]
+    out_shape += [i32]                # per-ray iteration count (last)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -758,10 +771,11 @@ def _rk45_flat_arrays(kind, params, l, psi, p_l, b, c1=None, c2=None,
 
 
 def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
-                             escape_radius, max_steps=10_000, rtol=1e-5,
-                             atol=1e-7, dt0=0.05, dt_max=10.0, tile_rows=64,
-                             c1=None, c2=None, nz=None, disk=None,
-                             vol_disk=None, interpret=False):
+                             escape_radius, max_steps=10_000, max_iters=None,
+                             rtol=1e-5, atol=1e-7, dt0=0.05, dt_max=10.0,
+                             tile_rows=64, c1=None, c2=None, nz=None,
+                             disk=None, vol_disk=None, interpret=False,
+                             return_iters=False):
     """Pallas adaptive RK45 march (integrate/rk45.py semantics on-device).
 
     ``disk=(r_in, r_out)`` (+ per-ray plane coefficients ``c1, c2``)
@@ -770,7 +784,10 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
     march_planar_disk_pallas contract.  ``vol_disk`` (DiskParams with
     volumetric=True, + ``c1, c2, nz``) instead runs in-kernel radiative
     transfer and returns ``(PlanarResult, tau, (em_r, em_g, em_b))`` —
-    the march_planar_disk_volumetric_pallas contract."""
+    the march_planar_disk_volumetric_pallas contract.  ``return_iters``
+    appends the per-ray lock-step iteration count (accepted + rejected
+    while live) — the checkpointed-recompute adjoint's replay bound
+    (integrate/rk45_adjoint_planar.py)."""
     vol = vol_disk is not None
     if vol and disk is not None:
         raise ValueError("pass disk=(r_in, r_out) OR vol_disk, not both")
@@ -815,19 +832,23 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
         arrs["nz"] = prep(nz)
     outs = _rk45_flat_arrays(
         kind, params, *arrs.values(), max_steps=max_steps,
-        max_iters=4 * max_steps, track_disk=track_disk, vol=vol,
+        max_iters=4 * max_steps if max_iters is None else int(max_iters),
+        track_disk=track_disk, vol=vol,
         blackbody=vol and vol_disk.color_mode == "blackbody",
         redshift=vol and vol_disk.redshift, doppler=vol and vol_disk.doppler,
         tile_rows=tile_rows, interpret=interpret)
     outs = [a.reshape(-1)[:n].reshape(rays.l.shape) for a in outs]
     res = PlanarResult(*outs[:5])
+    ret = [res]
     if track_disk:
         h1, h1p, h2, h2p = outs[5:9]
-        return res, (h1, h1p), (h2, h2p)
+        ret += [(h1, h1p), (h2, h2p)]
     if vol:
         tau, emr, emg, emb = outs[5:9]
-        return res, tau, (emr, emg, emb)
-    return res
+        ret += [tau, (emr, emg, emb)]
+    if return_iters:
+        ret.append(outs[-1])               # iteration count is always last
+    return tuple(ret) if len(ret) > 1 else res
 
 
 def march_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,

@@ -119,10 +119,21 @@ def render_direct(metric, camera: Camera, bg_positive: SphericalImage,
         kw = dict(dt=dt, max_steps=max_steps, escape_radius=escape_radius,
                   stepper=stepper)
         if differentiable == "adjoint":
-            from curvis_tpu.integrate.adjoint import march_planar_adjoint_rays
-            res = march_planar_adjoint_rays(
-                metric, rays, dt=dt, max_steps=max_steps,
-                escape_radius=escape_radius)
+            if stepper == "rk45":
+                # error-controlled march with exact checkpointed-recompute
+                # gradients (integrate/rk45_adjoint_planar.py): the planar
+                # cell of the stepper x gradient matrix
+                from curvis_tpu.integrate.rk45_adjoint_planar import (
+                    march_planar_rk45_adjoint_rays)
+                res = march_planar_rk45_adjoint_rays(
+                    metric, rays, dt0=dt, max_steps=max_steps,
+                    escape_radius=escape_radius)
+            else:
+                from curvis_tpu.integrate.adjoint import (
+                    march_planar_adjoint_rays)
+                res = march_planar_adjoint_rays(
+                    metric, rays, dt=dt, max_steps=max_steps,
+                    escape_radius=escape_radius)
         elif differentiable or backend == "scan":
             res = pl.march_planar_scan(metric, rays, **kw)
         elif backend == "pallas" or (backend == "auto" and _on_tpu()

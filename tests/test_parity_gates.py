@@ -19,7 +19,7 @@ def _interpret(monkeypatch):
                                     "rk45_vol", "kerr_rk45",
                                     "kerr_rk45_vol", "table", "table_rk45",
                                     "table_disk", "table_vol", "adjoint",
-                                    "rk45_adjoint"])
+                                    "rk45_adjoint", "rk45_adjoint_planar"])
 def test_gate_passes_on_cpu(family):
     from parity_gates import run_gates
     res = run_gates(only=[family])[family]
