@@ -122,10 +122,10 @@ def gate_disk():
     metric, rays, c1, c2, _ = _disk_setup()
     kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0,
               r_inner=5.2, r_outer=13.0)
-    res_a, (h1a, _), _ = jax.jit(
+    res_a, (h1a, _, s1a), _ = jax.jit(
         lambda m, r, a, b: march_planar_disk(m, r, a, b, **kw))(
             metric, rays, c1, c2)
-    res_b, (h1b, _), _ = jax.jit(
+    res_b, (h1b, _, s1b), _ = jax.jit(
         lambda m, r, a, b: march_planar_disk_pallas(m, r, a, b, interpret=_ipret(), **kw))(
             metric, rays, c1, c2)
     sign_agree = float((np.asarray(res_a.sign) == np.asarray(res_b.sign))
@@ -136,11 +136,16 @@ def gate_disk():
     rel = (np.abs(np.asarray(h1a)[both] - np.asarray(h1b)[both])
            / np.maximum(np.asarray(h1a)[both], 1e-6)) if both.any() else \
         np.zeros(1)
+    # psi-at-crossing (starlight shading input, round 4): same crossings
+    # -> the interpolated psi must agree to the same f32 tolerance
+    psi_err = (np.abs(np.asarray(s1a)[both] - np.asarray(s1b)[both])
+               if both.any() else np.zeros(1))
     return {"sign_agree": round(sign_agree, 4),
             "hit_agree": round(hit_agree, 4),
             "hit_r_relmax": round(float(rel.max()), 5),
+            "hit_psi_max": round(float(psi_err.max()), 5),
             "ok": bool(sign_agree >= 0.97 and hit_agree >= 0.95
-                       and rel.max() < 1e-2)}
+                       and rel.max() < 1e-2 and psi_err.max() < 1e-2)}
 
 
 def gate_volumetric():
@@ -177,9 +182,9 @@ def gate_rk45_disk():
     metric, rays, c1, c2, _ = _disk_setup()
     kw = dict(escape_radius=60.0, rtol=1e-5, atol=1e-7, dt0=0.05,
               max_steps=20_000)
-    res_a, (h1a, _), _ = jax.jit(lambda m, r, a, b: march_planar_rk45(
+    res_a, (h1a, _, _s1a), _ = jax.jit(lambda m, r, a, b: march_planar_rk45(
         m, r, c1=a, c2=b, disk=(5.2, 13.0), **kw))(metric, rays, c1, c2)
-    res_b, (h1b, _), _ = jax.jit(
+    res_b, (h1b, _, _s1b), _ = jax.jit(
         lambda m, r, a, b: march_planar_rk45_pallas(
             m, r, c1=a, c2=b, disk=(5.2, 13.0), interpret=_ipret(),
             **kw))(metric, rays, c1, c2)
@@ -426,10 +431,10 @@ def gate_table_disk():
     metric, rays, c1, c2, _ = _disk_setup(_table_metric())
     kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0,
               r_inner=3.0, r_outer=13.0)
-    res_a, (h1a, _), _ = jax.jit(
+    res_a, (h1a, _, _s1a), _ = jax.jit(
         lambda m, r, a, b: march_planar_disk(m, r, a, b, **kw))(
             metric, rays, c1, c2)
-    res_b, (h1b, _), _ = jax.jit(
+    res_b, (h1b, _, _s1b), _ = jax.jit(
         lambda m, r, a, b: march_planar_disk_pallas(
             m, r, a, b, interpret=_ipret(), **kw))(metric, rays, c1, c2)
     sign_agree = float((np.asarray(res_a.sign) == np.asarray(res_b.sign))

@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "self-obscuration; planar renderers only)")
         sp.add_argument("--disk-h", type=float, default=0.08,
                         help="volumetric disk scale height H / r")
+        sp.add_argument("--disk-starlight", action="store_true",
+                        help="Lambertian reflection of the lensed sky off "
+                             "the disk surface (shadowing by the hole and "
+                             "the annulus, gravitational blueshift; "
+                             "thin-crossing planar renderers)")
+        sp.add_argument("--disk-albedo", type=float, nargs=3,
+                        default=(0.4, 0.4, 0.4), metavar=("R", "G", "B"),
+                        help="disk surface albedo for --disk-starlight")
         sp.add_argument("--camera-velocity", type=float, nargs=3,
                         default=None, metavar=("VX", "VY", "VZ"),
                         help="camera 3-velocity (fraction of c, world "
@@ -131,7 +139,9 @@ def _disk_params(args):
     from curvis_tpu.render.disk import DiskParams
     return DiskParams(color_mode=args.disk_color,
                       thickness=args.disk_thickness,
-                      volumetric=args.disk_volumetric, h_rel=args.disk_h)
+                      volumetric=args.disk_volumetric, h_rel=args.disk_h,
+                      starlight=args.disk_starlight,
+                      albedo=tuple(args.disk_albedo))
 
 
 def _load_common(args):

@@ -47,8 +47,10 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
     Round-4 surface variants (the XLA twins of the Pallas rk45 kernel's
     track_disk/vol modes — VERDICT round-3 next-step #2):
       * ``disk=(r_in, r_out)`` + per-ray plane coefficients ``c1, c2``:
-        records the first two equatorial-crossing (radius, p_l) pairs ->
-        ``(PlanarResult, (h1, h1p), (h2, h2p))``.
+        records the first two equatorial-crossing (radius, p_l, psi)
+        triples -> ``(PlanarResult, (h1, h1p, h1s), (h2, h2p, h2s))``
+        (psi at the crossing: the starlight shading contract,
+        render/starlight.py).
       * ``vol_disk`` (DiskParams, volumetric=True) + ``c1, c2, nz``:
         per-accepted-step radiative transfer, evaluating the SAME
         ops/march_pallas._vol_emission the kernel compiles (emission
@@ -153,6 +155,7 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
 
         am = accept
         l_prev = l
+        psi_prev = psi
         pl_prev = p_l
         l = jnp.where(am, l_new, l)
         psi = jnp.where(am, psi_new, psi)
@@ -161,20 +164,23 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
             zq_prev = ex[0]
             zq_new = c1 * jnp.cos(psi) + c2 * jnp.sin(psi)
         if track_disk:
-            _, h1, h1p, h2, h2p = ex
+            _, h1, h1p, h1s, h2, h2p, h2s = ex
             crossed = am & (zq_prev * zq_new < 0.0)
             cden = jnp.abs(zq_prev) + jnp.abs(zq_new)
             cfrac = jnp.abs(zq_prev) / jnp.maximum(cden, 1e-30)
             r_hit = jnp.abs(l_prev + cfrac * (l - l_prev))
             pl_hit = pl_prev + cfrac * (p_l - pl_prev)
+            psi_hit = psi_prev + cfrac * (psi - psi_prev)
             in_disk = crossed & (r_hit >= r_in) & (r_hit <= r_out)
             new1 = in_disk & (h1 == 0.0)
             new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
             h1 = jnp.where(new1, r_hit, h1)
             h1p = jnp.where(new1, pl_hit, h1p)
+            h1s = jnp.where(new1, psi_hit, h1s)
             h2 = jnp.where(new2, r_hit, h2)
             h2p = jnp.where(new2, pl_hit, h2p)
-            ex = (zq_new, h1, h1p, h2, h2p)
+            h2s = jnp.where(new2, psi_hit, h2s)
+            ex = (zq_new, h1, h1p, h1s, h2, h2p, h2s)
         if vol:
             _, tau, emr, emg, emb = ex
             dtau, dr_, dg_, db_ = _vol_emission(
@@ -258,7 +264,7 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
     extras0 = ()
     if track_disk or vol:
         zq0 = c1 * jnp.cos(rays.psi) + c2 * jnp.sin(rays.psi)
-        extras0 = (zq0, zero, zero, zero, zero)
+        extras0 = (zq0,) + (zero,) * (6 if track_disk else 4)
     init = (rays.l, rays.psi, rays.p_l,
             jnp.full(shape, dt0, dtype),
             jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32)) \
@@ -270,7 +276,7 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
     sign = jnp.where(sign == -128, 0, sign)
     res = PlanarResult(l, psi, p_l, sign, steps)
     if track_disk:
-        return res, (ex[1], ex[2]), (ex[3], ex[4])
+        return res, (ex[1], ex[2], ex[3]), (ex[4], ex[5], ex[6])
     if vol:
         return res, ex[1], (ex[2], ex[3], ex[4])
     return res

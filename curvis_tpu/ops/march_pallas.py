@@ -488,8 +488,9 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
     Compile-time variants (round-4: the planar stepper x surface matrix is
     now complete — VERDICT round-3 next-step #2):
       * ``track_disk``: records the first two equatorial-crossing
-        (radius, p_l) pairs on accepted steps — inputs gain (c1, c2),
-        outputs gain (h1, h1p, h2, h2p); render/disk.py shading contract.
+        (radius, p_l, psi) triples on accepted steps — inputs gain
+        (c1, c2), outputs gain (h1, h1p, h1s, h2, h2p, h2s);
+        render/disk.py + render/starlight.py shading contract.
       * ``vol``: per-accepted-step radiative transfer through the flared
         Gaussian gas disk (_vol_emission, weighted by each ray's accepted
         dt) — inputs gain (c1, c2, nz), outputs gain (tau, em_rgb).
@@ -516,7 +517,10 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
     if vol:
         V = VOL_BLOCK_PLANAR + RK45_EXTRA_OFF
         tau_max = params_ref[0, V + VOL_SLOT["tau_max"]]
-        h2s = params_ref[0, V + VOL_SLOT["h2"]]
+        # NB not `h2s`: the track_disk branch of body() assigns a local of
+        # that name (hit-2 psi), which would shadow this closure cell in
+        # EVERY body() path (Python locals are static per function)
+        h2_slab = params_ref[0, V + VOL_SLOT["h2"]]
 
     l = l_ref[:]
     psi = psi_ref[:]
@@ -535,8 +539,12 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
     extras0 = ()
     if track_disk or vol:
         zq0 = c1 * jnp.cos(psi) + c2 * jnp.sin(psi)
-        extras0 = (zq0, zero, zero, zero, zero)
-        # disk: (zq, h1, h1p, h2, h2p); vol: (zq, tau, em_r, em_g, em_b)
+        # hit/accumulator carries init with data-dependent zeros (l * 0.0)
+        # to pin a laid-out Mosaic layout (see the itersv note below)
+        extras0 = (zq0,) + tuple(l * 0.0 for _ in
+                                 range(6 if track_disk else 4))
+        # disk: (zq, h1, h1p, h1s, h2, h2p, h2s);
+        # vol:  (zq, tau, em_r, em_g, em_b)
 
     def rhs(li, pli):
         return deriv(params_ref, li, pli, b, b2)
@@ -599,6 +607,7 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
         frac = jnp.where(esc > 0, frac, one)
 
         l_prev = l
+        psi_prev = psi
         pl_prev = p_l
         l = l + accept * frac * (l5 - l)
         psi = psi + accept * frac * (psi5 - psi)
@@ -609,20 +618,23 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
             # rejected/frozen rays keep psi, so zq_new == zq_prev there
             zq_new = c1 * jnp.cos(psi) + c2 * jnp.sin(psi)
         if track_disk:
-            _, h1, h1p, h2, h2p = ex
+            _, h1, h1p, h1s, h2, h2p, h2s = ex
             crossed = acc_b & (zq_prev * zq_new < 0.0)
             cden = jnp.abs(zq_prev) + jnp.abs(zq_new)
             cfrac = jnp.abs(zq_prev) / jnp.maximum(cden, 1e-30)
             r_hit = jnp.abs(l_prev + cfrac * (l - l_prev))
             pl_hit = pl_prev + cfrac * (p_l - pl_prev)
+            psi_hit = psi_prev + cfrac * (psi - psi_prev)
             in_disk = crossed & (r_hit >= r_in) & (r_hit <= r_out)
             new1 = in_disk & (h1 == 0.0)
             new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
             h1 = jnp.where(new1, r_hit, h1)
             h1p = jnp.where(new1, pl_hit, h1p)
+            h1s = jnp.where(new1, psi_hit, h1s)
             h2 = jnp.where(new2, r_hit, h2)
             h2p = jnp.where(new2, pl_hit, h2p)
-            ex = (zq_new, h1, h1p, h2, h2p)
+            h2s = jnp.where(new2, psi_hit, h2s)
+            ex = (zq_new, h1, h1p, h1s, h2, h2p, h2s)
         if vol:
             _, tau, emr, emg, emb = ex
             # emission at the post-step state weighted by the accepted dt
@@ -680,7 +692,7 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
                 s2v = jnp.clip(1.0 - zq_new * zq_new, 1e-12, 1.0)
                 r_cyl = rl * jnp.sqrt(s2v)
                 gap_r = r_cyl - (r_out + 2.0)
-                h_rel5 = 5.0 * jnp.sqrt(h2s)
+                h_rel5 = 5.0 * jnp.sqrt(h2_slab)
                 gap_z = rl * jnp.abs(zq_new) - h_rel5 * r_cyl
                 dt_gas = jnp.maximum(dt0, 0.5 * jnp.maximum(gap_r, gap_z))
                 dt = jnp.where(sign == 0.0, jnp.minimum(dt, dt_gas), dt)
@@ -753,7 +765,8 @@ def _rk45_flat_arrays(kind, params, l, psi, p_l, b, c1=None, c2=None,
     ins = [params, l, psi, p_l, b]
     if track_disk or vol:
         ins += [c1, c2]
-        out_shape += [f, f, f, f]     # h1,h1p,h2,h2p | tau,em_r,em_g,em_b
+        # h1,h1p,h1s,h2,h2p,h2s | tau,em_r,em_g,em_b
+        out_shape += [f] * (6 if track_disk else 4)
     if vol:
         ins += [nz]
     out_shape += [i32]                # per-ray iteration count (last)
@@ -779,8 +792,8 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
     """Pallas adaptive RK45 march (integrate/rk45.py semantics on-device).
 
     ``disk=(r_in, r_out)`` (+ per-ray plane coefficients ``c1, c2``)
-    records the first two equatorial-crossing (radius, p_l) pairs and
-    returns ``(PlanarResult, (h1, h1p), (h2, h2p))`` — the
+    records the first two equatorial-crossing (radius, p_l, psi) triples
+    and returns ``(PlanarResult, (h1, h1p, h1s), (h2, h2p, h2s))`` — the
     march_planar_disk_pallas contract.  ``vol_disk`` (DiskParams with
     volumetric=True, + ``c1, c2, nz``) instead runs in-kernel radiative
     transfer and returns ``(PlanarResult, tau, (em_r, em_g, em_b))`` —
@@ -841,8 +854,8 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
     res = PlanarResult(*outs[:5])
     ret = [res]
     if track_disk:
-        h1, h1p, h2, h2p = outs[5:9]
-        ret += [(h1, h1p), (h2, h2p)]
+        h1, h1p, h1s, h2, h2p, h2s = outs[5:11]
+        ret += [(h1, h1p, h1s), (h2, h2p, h2s)]
     if vol:
         tau, emr, emg, emb = outs[5:9]
         ret += [tau, (emr, emg, emb)]
@@ -868,7 +881,7 @@ def march_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
 def _disk_kernel(kind: str, max_steps: int, unroll: int,
                  params_ref, l_ref, psi_ref, pl_ref, b_ref, c1_ref, c2_ref,
                  ol_ref, opsi_ref, opl_ref, osign_ref, osteps_ref,
-                 oh1_ref, oh1p_ref, oh2_ref, oh2p_ref):
+                 oh1_ref, oh1p_ref, oh1s_ref, oh2_ref, oh2p_ref, oh2s_ref):
     deriv = _deriv_fns(kind)
     dt = params_ref[0, 0]
     R = params_ref[0, 1]
@@ -892,18 +905,26 @@ def _disk_kernel(kind: str, max_steps: int, unroll: int,
     # z / r(l): crossing detection only needs the sign, and c1 u + c2 v
     # avoids recomputing r(l) for z
     zq = c1 * u + c2 * v
-    h1 = jnp.zeros_like(l)
-    h1p = jnp.zeros_like(l)
-    h2 = jnp.zeros_like(l)
-    h2p = jnp.zeros_like(l)
+    # hit carries init with data-dependent zeros (l * 0.0, not the splat
+    # `zero`): Mosaic v5e can infer a replicated layout for splat-constant
+    # while carries and then fail relayouting the laid-out yielded value
+    # ("Invalid relayout ... replicated in destination") — same trap as the
+    # rk45 kernel's itersv carry, and interpret mode cannot see it.
+    h1 = l * 0.0
+    h1p = l * 0.0
+    h1s = l * 0.0
+    h2 = l * 0.0
+    h2p = l * 0.0
+    h2s = l * 0.0
 
     def cond(c):
         sign = c[7]
-        it = c[12]
+        it = c[14]
         return (it < max_steps) & jnp.any(sign == 0.0)
 
     def body(c):
-        l, psi, p_l, u, v, zq, steps, sign, h1, h1p, h2, h2p, it = c
+        l, psi, p_l, u, v, zq, steps, sign, h1, h1p, h1s, h2, h2p, h2s, \
+            it = c
         for _ in range(unroll):
             alive = jnp.where(sign == 0.0, one, zero)
             dte = dt * alive
@@ -922,13 +943,16 @@ def _disk_kernel(kind: str, max_steps: int, unroll: int,
             in_disk = crossed * jnp.where(r_hit >= r_in, one, zero) \
                 * jnp.where(r_hit <= r_out, one, zero)
             pl_hit = p_l + frac * (pl1 - p_l)
+            psi_hit = psi + frac * du
             new1 = in_disk * jnp.where(h1 == 0.0, one, zero)
             new2 = in_disk * jnp.where(h1 != 0.0, one, zero) \
                 * jnp.where(h2 == 0.0, one, zero)
             h1 = h1 + new1 * r_hit
             h1p = h1p + new1 * pl_hit
+            h1s = h1s + new1 * psi_hit
             h2 = h2 + new2 * r_hit
             h2p = h2p + new2 * pl_hit
+            h2s = h2s + new2 * psi_hit
             l = l1
             psi = psi + dte * dpsi
             p_l = pl1
@@ -939,12 +963,13 @@ def _disk_kernel(kind: str, max_steps: int, unroll: int,
                                    - jnp.where(l < -R, one, zero)
                                    + 2.0 * jnp.where(l < r_cap, one, zero))
             steps = steps + alive
-        return l, psi, p_l, u, v, zq, steps, sign, h1, h1p, h2, h2p, \
-            it + unroll
+        return l, psi, p_l, u, v, zq, steps, sign, h1, h1p, h1s, h2, h2p, \
+            h2s, it + unroll
 
     out = lax.while_loop(cond, body, (l, psi, p_l, u, v, zq, steps, sign,
-                                      h1, h1p, h2, h2p, jnp.int32(0)))
-    l, psi, p_l, _, _, _, steps, sign, h1, h1p, h2, h2p, _ = out
+                                      h1, h1p, h1s, h2, h2p, h2s,
+                                      jnp.int32(0)))
+    l, psi, p_l, _, _, _, steps, sign, h1, h1p, h1s, h2, h2p, h2s, _ = out
     ol_ref[:] = l
     opsi_ref[:] = psi
     opl_ref[:] = p_l
@@ -952,8 +977,10 @@ def _disk_kernel(kind: str, max_steps: int, unroll: int,
     osteps_ref[:] = steps.astype(jnp.int32)
     oh1_ref[:] = h1
     oh1p_ref[:] = h1p
+    oh1s_ref[:] = h1s
     oh2_ref[:] = h2
     oh2p_ref[:] = h2p
+    oh2s_ref[:] = h2s
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "max_steps", "tile_rows",
@@ -978,8 +1005,8 @@ def _disk_flat_arrays(kind, params, l, psi, p_l, b, c1, c2, *, max_steps,
             pl.BlockSpec((1, params.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ] + [row_spec()] * 6,
-        out_specs=[row_spec()] * 9,
-        out_shape=[f, f, f, i, i, f, f, f, f],
+        out_specs=[row_spec()] * 11,
+        out_shape=[f, f, f, i, i, f, f, f, f, f, f],
         interpret=interpret,
     )(params, l, psi, p_l, b, c1, c2)
 
@@ -1011,8 +1038,9 @@ def march_planar_disk_pallas(metric: Metric, rays: PlanarRays, c1, c2, *, dt,
                              max_steps=max_steps, tile_rows=tile_rows,
                              unroll=unroll, interpret=interpret)
     outs = [a.reshape(-1)[:n].reshape(rays.l.shape) for a in outs]
-    l, psi, p_l, sign, steps, h1, h1p, h2, h2p = outs
-    return (PlanarResult(l, psi, p_l, sign, steps), (h1, h1p), (h2, h2p))
+    l, psi, p_l, sign, steps, h1, h1p, h1s, h2, h2p, h2s = outs
+    return (PlanarResult(l, psi, p_l, sign, steps),
+            (h1, h1p, h1s), (h2, h2p, h2s))
 
 
 # ---------------------------------------------------------------------------

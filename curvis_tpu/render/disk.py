@@ -75,6 +75,21 @@ class DiskParams:
     h_rel: float = 0.08                 # disk scale height H / r_cyl
     kappa: float = 2.0                  # absorption per vertical column
     tau_max: float = 12.0               # stop marching once this opaque
+    # Starlight on the disk (render/starlight.py): Lambertian reflection of
+    # the LENSED background sky off the disk surface — light bent around
+    # the hole illuminates the far side, the horizon casts its shadow onto
+    # the disk, the annulus can shadow itself, and infalling starlight is
+    # gravitationally blueshifted.  The illumination integral is collapsed
+    # by spherical symmetry to one (n_r x n_samples) reduced-ray march
+    # (independent of image resolution and camera pose — video batches
+    # amortize it to ~zero).  Thin-crossing shading only (volumetric gas
+    # scattering is a different transfer problem).
+    starlight: bool = False
+    albedo: tuple = (0.4, 0.4, 0.4)     # Lambertian surface albedo (RGB)
+    starlight_samples: int = 128        # hemisphere rays per map texel row
+    starlight_grid: tuple = (48, 128)   # (n_r, n_phi) map resolution
+    starlight_blueshift: bool = True    # A^-2 infall boost (Liouville)
+    starlight_self_shadow: bool = True  # annulus attenuates its own sky
 
 
 _BB_C2 = 1.4388e-2                      # Planck c2 = h c / k_B  [m K]
@@ -110,7 +125,8 @@ def disk_temperature(r, params: DiskParams):
     return params.t_peak * f / f_peak
 
 
-def _emission_rgb(r_hit, g, params: DiskParams, dtype, path=None):
+def _emission_rgb(r_hit, g, params: DiskParams, dtype, path=None,
+                  starlight=None):
     """Shared disk emission (planar + Kerr shaders): color and alpha of a
     crossing at radius r_hit (0 = no hit) with total shift factor g.
 
@@ -120,7 +136,13 @@ def _emission_rgb(r_hit, g, params: DiskParams, dtype, path=None):
     blackbody mode), and absorption follows Beer's law — alpha =
     1 - (1 - alpha_thin)^path, which reduces EXACTLY to the thin model at
     path = None (the thin formula is used verbatim, not path = 1 through
-    pow, so thickness = 0 stays bit-identical)."""
+    pow, so thickness = 0 stays bit-identical).
+
+    ``starlight``: (N, 3) albedo-weighted reflected-sky radiance at the hit
+    (render/starlight.py).  Added to the emission with the surface-presence
+    edge fades and the same g^3 beaming as the tint emission (a moving
+    reflector beams exactly like a moving emitter); it does not change
+    alpha (opacity is a property of the material, not its illumination)."""
     hit = r_hit > 0.0
     w = params.r_outer - params.r_inner
     edge_in = jnp.clip((r_hit - params.r_inner) / (0.1 * w), 0.0, 1.0)
@@ -139,6 +161,9 @@ def _emission_rgb(r_hit, g, params: DiskParams, dtype, path=None):
         glow = glow * jnp.clip(g, 0.0, 4.0) ** 3
         tint = jnp.asarray(params.tint, dtype)
         rgb = glow[:, None] * tint[None, :]
+    if starlight is not None:
+        beam = (edge_in * edge_out * jnp.clip(g, 0.0, 4.0) ** 3)
+        rgb = rgb + starlight * beam[:, None]
     alpha_thin = params.opacity * jnp.clip(glow, 0.25, 1.0)
     if path is not None:
         alpha_thin = 1.0 - (1.0 - alpha_thin) ** path
@@ -153,9 +178,14 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
 
     ``c1``, ``c2``: per-ray z-components of the orbital-plane basis
     (e1_z, e2_z) so that z = r(l) (c1 cos psi + c2 sin psi).
-    Returns (PlanarResult, (hit1_r, hit1_pl), (hit2_r, hit2_pl)) with
-    r = 0.0 marking "no hit"; pl is the radial momentum at the crossing
-    (for Doppler shading).
+    Returns (PlanarResult, (hit1_r, hit1_pl, hit1_psi),
+    (hit2_r, hit2_pl, hit2_psi)) with r = 0.0 marking "no hit"; pl is the
+    radial momentum at the crossing (Doppler shading) and psi the in-plane
+    angle at the crossing, from which the shader reconstructs the WORLD
+    hit position r_hit (e1 cos psi + e2 sin psi) and the approach side
+    sign(z_before) = -sign(b) sign(c2 cos psi - c1 sin psi) (psi is
+    monotone with sign(b), so z just before the crossing sits opposite the
+    zq derivative) — the starlight shading contract (render/starlight.py).
     """
     dtype = rays.l.dtype
     dt = jnp.asarray(dt, dtype)
@@ -167,17 +197,17 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
     z0 = metric.r(l0) * (c1 * u0 + c2 * v0)
     zeros = jnp.zeros_like(l0)
     state0 = (rays.l, rays.psi, rays.p_l, u0, v0, z0,
-              zeros, zeros, zeros, zeros,
+              zeros, zeros, zeros, zeros, zeros, zeros,
               jnp.zeros(l0.shape, jnp.int32), jnp.zeros(l0.shape, jnp.int32),
               jnp.int32(0))
 
     def cond(c):
-        sign = c[10]
-        it = c[12]
+        sign = c[12]
+        it = c[14]
         return (it < max_steps) & jnp.any(sign == 0)
 
     def body(c):
-        l, psi, p_l, u, v, z, h1, h1p, h2, h2p, sign, steps, it = c
+        l, psi, p_l, u, v, z, h1, h1p, h1s, h2, h2p, h2s, sign, steps, it = c
         active = sign == 0
         # geodesic step + incremental rotation of (cos psi, sin psi)
         dl, dpsi, dpl = pl.planar_rhs(metric, l, psi, p_l, rays.b)
@@ -194,12 +224,15 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
         r_hit = jnp.abs(l + frac * (l1 - l))          # coordinate radius
         in_disk = crossed & (r_hit >= r_inner) & (r_hit <= r_outer)
         pl_hit = p_l + frac * (pl1 - p_l)
+        psi_hit = psi + frac * (psi1 - psi)
         new_h1 = in_disk & (h1 == 0.0)
         new_h2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
         h1 = jnp.where(new_h1, r_hit, h1)
         h1p = jnp.where(new_h1, pl_hit, h1p)
+        h1s = jnp.where(new_h1, psi_hit, h1s)
         h2 = jnp.where(new_h2, r_hit, h2)
         h2p = jnp.where(new_h2, pl_hit, h2p)
+        h2s = jnp.where(new_h2, psi_hit, h2s)
 
         l = jnp.where(active, l1, l)
         psi = jnp.where(active, psi1, psi)
@@ -212,11 +245,13 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
         if r_cap is not None:
             sign = jnp.where(active & (l < r_cap), pl.CAPTURED, sign)
         steps = steps + active.astype(jnp.int32)
-        return l, psi, p_l, u, v, z, h1, h1p, h2, h2p, sign, steps, it + 1
+        return (l, psi, p_l, u, v, z, h1, h1p, h1s, h2, h2p, h2s, sign,
+                steps, it + 1)
 
     out = lax.while_loop(cond, body, state0)
-    l, psi, p_l, _, _, _, h1, h1p, h2, h2p, sign, steps, _ = out
-    return pl.PlanarResult(l, psi, p_l, sign, steps), (h1, h1p), (h2, h2p)
+    l, psi, p_l, _, _, _, h1, h1p, h1s, h2, h2p, h2s, sign, steps, _ = out
+    return (pl.PlanarResult(l, psi, p_l, sign, steps),
+            (h1, h1p, h1s), (h2, h2p, h2s))
 
 
 # Rays frozen by the tau_max cutoff: rendered with their accumulated
@@ -356,7 +391,8 @@ def _volumetric_rgb(tau, em, params: DiskParams, dtype):
     return rgb, jnp.exp(-tau)
 
 
-def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype):
+def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype,
+              starlight=None):
     """Emission color+alpha of a disk crossing at radius r_hit (0 = none).
 
     Doppler beaming: disk material orbits at v = sqrt(M/r)/sqrt(1-2M/r)
@@ -407,7 +443,8 @@ def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype):
         # ~ 1/aspect: grazing rays through a fat slab saturate sooner
         cap = float(np.clip(1.0 / params.thickness, 1.0, 8.0))
         path = jnp.clip(speed / jnp.maximum(zvel, 1e-30), 1.0, cap)
-    return _emission_rgb(r_hit, g, params, dtype, path=path)
+    return _emission_rgb(r_hit, g, params, dtype, path=path,
+                         starlight=starlight)
 
 
 def render_blackhole_disk(metric: Metric, camera: Camera,
@@ -491,6 +528,10 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
     # photon plane normal z-component: n = e1 x e2 -> n_z = e1x e2y - e1y e2x
     nz = r_hat[0] * e2[1] - r_hat[1] * e2[0]
     vol = disk.volumetric
+    if disk.starlight and vol:
+        raise NotImplementedError(
+            "starlight is thin-crossing shading (a surface reflection); "
+            "volumetric gas scattering is a different transfer problem")
     if stepper == "rk45":
         kw45 = dict(dt0=dt, max_steps=max_steps,
                     escape_radius=escape_radius, rtol=rtol,
@@ -551,8 +592,28 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
         rgb, trans = _volumetric_rgb(tau, em, disk, l.dtype)
         out = jnp.clip(rgb + trans[:, None] * bg_colors, 0.0, 1.0)
         return out.reshape(F, W, H, 3).transpose(0, 2, 1, 3)
-    rgb1, a1 = _disk_rgb(metric, h1[0], h1[1], b, nz, disk, l.dtype)
-    rgb2, a2 = _disk_rgb(metric, h2[0], h2[1], b, nz, disk, l.dtype)
+    star1 = star2 = None
+    if disk.starlight:
+        from curvis_tpu.render.starlight import (
+            compute_disk_starlight_map, hit_phi_side, starlight_lookup)
+        n_r_s, n_phi_s = disk.starlight_grid
+        smap = compute_disk_starlight_map(
+            metric, bg, bg, r_inner=disk.r_inner, r_outer=disk.r_outer,
+            escape_radius=escape_radius, dt=dt, max_steps=max_steps,
+            n_r=n_r_s, n_phi=n_phi_s, n_samples=disk.starlight_samples,
+            filtering=filtering, backend=backend, stepper=stepper,
+            rtol=rtol, blueshift=disk.starlight_blueshift,
+            shadow_params=disk if disk.starlight_self_shadow else None,
+            interpret=interpret)
+        albedo = jnp.asarray(disk.albedo, l.dtype)[None, :]
+        phi1, side1 = hit_phi_side(h1[0], h1[2], b, c1, c2, r_hat, e2)
+        phi2, side2 = hit_phi_side(h2[0], h2[2], b, c1, c2, r_hat, e2)
+        star1 = albedo * starlight_lookup(smap, h1[0], phi1, side1)
+        star2 = albedo * starlight_lookup(smap, h2[0], phi2, side2)
+    rgb1, a1 = _disk_rgb(metric, h1[0], h1[1], b, nz, disk, l.dtype,
+                         starlight=star1)
+    rgb2, a2 = _disk_rgb(metric, h2[0], h2[1], b, nz, disk, l.dtype,
+                         starlight=star2)
     # composite: hit1 over hit2 over background
     behind = rgb2 * a2[:, None] + bg_colors * (1.0 - a2[:, None])
     out = rgb1 * a1[:, None] + behind * (1.0 - a1[:, None])

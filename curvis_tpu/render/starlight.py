@@ -1,0 +1,245 @@
+"""Starlight on the disk — the lensed background sky illuminating the
+accretion-disk surface (the reflected component the emission-only shaders
+omit; the round-2 backlog's last genuinely open rendering item).
+
+Physical model: each disk face is a Lambertian reflector with albedo rho.
+The radiance it reflects toward ANY outgoing direction is
+
+    L_out(x) = rho / pi * E(x),    E(x) = int_hemi L_in(x, w) cos(th) dw
+
+where L_in is the sky radiance arriving at x along the true (curved) photon
+path: light bent around the hole illuminates the far side of the disk, rays
+into the horizon contribute nothing (the hole casts a shadow ON the disk),
+the annulus can shadow itself, and infalling starlight is gravitationally
+blueshifted (Liouville: bolometric I scales as (nu_loc / nu_inf)^4 = A^-2
+for lapse A).  The reflected light then picks up the same redshift/Doppler
+factor as the disk's own emission on its way to the camera (applied by the
+disk shader, render/disk.py:_emission_rgb).
+
+TPU-native design — spherical symmetry collapses the illumination integral:
+the reduced planar orbit of a secondary ray depends only on (launch radius
+r, launch angle alpha from the radial direction), never on WHERE on the
+disk it starts or which face it leaves.  A cosine-weighted hemisphere
+sample set defined in the local (r_hat, phi_hat, n_hat) surface frame has a
+fixed alpha per sample, so ONE march of n_r x K reduced rays covers every
+disk point, both faces, and every azimuth: the map value at (side, r_i,
+phi_j) is a pure basis rotation of the per-(i, k) in-plane escape angles
+followed by equirect lookups.  Marching cost is independent of the map's
+phi resolution and of the image resolution — the default 48 x 128 table
+marches 6k rays, under 1%% of one 512x288 frame — and the map is valid for
+every camera pose, so video batches amortize it to ~zero.
+
+Cosine-weighted sampling makes the estimator trivial: E = pi * mean_k(L_k),
+so the map stores mean_k(L_k) = E / pi and the reflected radiance is just
+albedo * map — no pi bookkeeping anywhere downstream.
+
+Secondary rays that neither escape nor get captured within the step budget
+(bound photon orbits, measure zero) contribute black.  The self-shadow
+attenuation uses the thin-disk alpha model at the first two annulus
+crossings of each secondary ray — the same two-crossing truncation the
+primary renderer uses.
+
+This capability has no analogue in the reference (no disks at all:
+/root/reference/README.md:111-113) nor in its wishlist.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from curvis_tpu.metrics.base import Metric
+from curvis_tpu.physics import planar as pl
+from curvis_tpu.render.fast import _shade_soa
+
+
+class StarlightMap(NamedTuple):
+    """Reflected-sky map over the disk: values[(1-side)//2, i, j] is
+    E / pi (mean incident radiance under cosine weighting) at radius
+    radii[i], world azimuth 2 pi j / n_phi, on the +z (index 0) or -z
+    (index 1) face."""
+    radii: jax.Array        # (n_r,)
+    values: jax.Array       # (2, n_r, n_phi, 3)
+
+
+def _cosine_hemisphere(n_samples: int):
+    """Deterministic cosine-weighted hemisphere set around the face normal
+    n_hat, in local (r_hat, phi_hat, n_hat) coordinates (a_r, a_p, a_n):
+    a Fibonacci lattice in (u, phi) with cos(th) = sqrt(1 - u) — the
+    standard cosine warp, quasi-random so K samples integrate smooth skies
+    at ~1/K instead of 1/sqrt(K)."""
+    k = np.arange(n_samples)
+    u = (k + 0.5) / n_samples
+    ang = np.pi * (3.0 - np.sqrt(5.0)) * k          # golden angle
+    sin_t = np.sqrt(u)
+    a_n = np.sqrt(1.0 - u)                          # cos(th) > 0: upper hemi
+    a_r = sin_t * np.cos(ang)
+    a_p = sin_t * np.sin(ang)
+    return a_r, a_p, a_n
+
+
+def hit_phi_side(r_hit, psi_hit, b, c1, c2, e1, e2):
+    """World azimuth and approach side of a recorded disk crossing.
+
+    ``e1``, ``e2``: per-ray orbital-plane basis as component tuples
+    ((x, y, z) each).  The hit position is p = r_hit (e1 cos psi +
+    e2 sin psi); its azimuth is atan2(p_y, p_x).  The approach side is the
+    sign of z just BEFORE the crossing: psi advances monotonically with
+    sign(b) and z = r (c1 cos psi + c2 sin psi), so sign(z_before) =
+    -sign(b) sign(d(zq)/dpsi) = -sign(b) sign(c2 cos psi - c1 sin psi)
+    evaluated at the crossing.  Returns (phi_world, side) with side in
+    {+1.0, -1.0} (meaningless where r_hit == 0)."""
+    cu = jnp.cos(psi_hit)
+    sv = jnp.sin(psi_hit)
+    px = e1[0] * cu + e2[0] * sv
+    py = e1[1] * cu + e2[1] * sv
+    phi = jnp.arctan2(py, px)
+    dz = c2 * cu - c1 * sv
+    side = -jnp.sign(b) * jnp.sign(dz)
+    side = jnp.where(side == 0.0, 1.0, side)
+    return phi, side
+
+
+def compute_disk_starlight_map(
+        metric: Metric, bg_positive, bg_negative=None, *, r_inner, r_outer,
+        escape_radius, dt=0.02, max_steps=100_000, n_r=48, n_phi=128,
+        n_samples=128, filtering="bilinear", backend="while",
+        stepper="euler", rtol=1e-5, blueshift=True, shadow_params=None,
+        interpret=False) -> StarlightMap:
+    """March the (n_r x n_samples) reduced secondary-ray table and expand
+    it to the (2, n_r, n_phi, 3) reflected-sky map (module docstring).
+
+    ``shadow_params`` (a render/disk.DiskParams or None): when given, each
+    secondary ray is attenuated by (1 - alpha) at its first two annulus
+    crossings using the thin-disk alpha model — the disk shadowing itself.
+    ``backend``/``stepper`` mirror render_blackhole_disk's knobs (the map
+    march reuses the same kernels).  Everything is jittable; n_r / n_phi /
+    n_samples / backend / stepper are static.
+    """
+    dtype = bg_positive.texture.dtype
+    if bg_negative is None:
+        bg_negative = bg_positive
+    rr = jnp.linspace(jnp.asarray(r_inner, dtype),
+                      jnp.asarray(r_outer, dtype), n_r)
+    a_r, a_p, a_n = _cosine_hemisphere(n_samples)
+    a_r = jnp.asarray(a_r, dtype)
+    a_p = jnp.asarray(a_p, dtype)
+    a_n = jnp.asarray(a_n, dtype)
+
+    # reduced spawn at (r_i, alpha_k): the planar specialization of
+    # physics/planar.spawn_planar with per-ray launch radius
+    l0 = jnp.broadcast_to(rr[:, None], (n_r, n_samples)).reshape(-1)
+    cos_a = jnp.broadcast_to(a_r[None, :], (n_r, n_samples)).reshape(-1)
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    r0 = metric.r(l0)
+    p_l0 = cos_a
+    b0 = sin_a * r0
+    if not pl._unit_lapse(metric):
+        A0 = metric.lapse(l0)
+        B0 = metric.radial_B(l0)
+        p_l0 = cos_a * jnp.sqrt(B0 / A0)
+        b0 = b0 / jnp.sqrt(A0)
+    dummy = jnp.zeros((1, 3), dtype)
+    rays = pl.PlanarRays(l0, jnp.zeros_like(l0), p_l0, b0, dummy, dummy)
+
+    # march with annulus-crossing capture (c1 = 0, c2 = 1: the launch point
+    # sits ON the plane, so crossings are at psi = m pi for every sample —
+    # the canonical plane coefficients are sample-independent)
+    c1 = jnp.zeros_like(l0)
+    c2 = jnp.ones_like(l0)
+    kw = dict(max_steps=max_steps, escape_radius=escape_radius)
+    if stepper == "rk45":
+        kw45 = dict(dt0=dt, rtol=rtol, atol=rtol * 1e-3,
+                    disk=(r_inner, r_outer), c1=c1, c2=c2, **kw)
+        if backend == "pallas":
+            from curvis_tpu.ops.march_pallas import march_planar_rk45_pallas
+            res, h1, h2 = march_planar_rk45_pallas(metric, rays,
+                                                   interpret=interpret,
+                                                   **kw45)
+        else:
+            from curvis_tpu.integrate.rk45 import march_planar_rk45
+            res, h1, h2 = march_planar_rk45(metric, rays, **kw45)
+    elif backend == "pallas":
+        from curvis_tpu.ops.march_pallas import march_planar_disk_pallas
+        res, h1, h2 = march_planar_disk_pallas(
+            metric, rays, c1, c2, dt=dt, r_inner=r_inner, r_outer=r_outer,
+            interpret=interpret, **kw)
+    else:
+        from curvis_tpu.render.disk import march_planar_disk
+        res, h1, h2 = march_planar_disk(
+            metric, rays, c1, c2, dt=dt, r_inner=r_inner, r_outer=r_outer,
+            **kw)
+
+    beta = pl.escape_angle_beta(metric, res, b0).reshape(n_r, n_samples)
+    sign = res.sign.reshape(n_r, n_samples)
+
+    # self-shadow: Beer attenuation at the first two annulus crossings
+    att = jnp.ones((n_r, n_samples), dtype)
+    if shadow_params is not None:
+        from curvis_tpu.render.disk import _emission_rgb
+        g1 = jnp.ones_like(h1[0])
+        _, alpha1 = _emission_rgb(h1[0], g1, shadow_params, dtype)
+        _, alpha2 = _emission_rgb(h2[0], g1, shadow_params, dtype)
+        att = ((1.0 - alpha1) * (1.0 - alpha2)).reshape(n_r, n_samples)
+
+    # expand: w(side, i, j, k) = cos(beta_ik) r_hat_j + sin(beta_ik) t_hat
+    # with t_hat = (a_p phi_hat_j + a_n side z_hat) / sin(alpha_k)
+    pp = (2.0 * jnp.pi / n_phi) * jnp.arange(n_phi, dtype=dtype)
+    cj = jnp.cos(pp)[None, None, :, None]           # (1, 1, n_phi, 1)
+    sj = jnp.sin(pp)[None, None, :, None]
+    cb = jnp.cos(beta)[None, :, None, :]            # (1, n_r, 1, K)
+    sb = jnp.sin(beta)[None, :, None, :]
+    inv_s = (1.0 / jnp.maximum(sin_a.reshape(n_r, n_samples), 1e-12)
+             )[None, :, None, :]
+    apk = a_p[None, None, None, :]
+    ank = a_n[None, None, None, :]
+    sides = jnp.asarray([1.0, -1.0], dtype)[:, None, None, None]
+    shape = (2, n_r, n_phi, n_samples)
+    wx = jnp.broadcast_to(cb * cj + sb * inv_s * apk * (-sj), shape)
+    wy = jnp.broadcast_to(cb * sj + sb * inv_s * apk * cj, shape)
+    wz = jnp.broadcast_to(sb * inv_s * ank * sides, shape)
+    esc_pos = (sign == 1)[None, :, None, :]
+    esc_neg = (sign == -1)[None, :, None, :]
+    flat = (-1,)
+    L = _shade_soa(bg_positive, wx.reshape(flat), wy.reshape(flat),
+                   wz.reshape(flat), filtering).reshape(shape + (3,))
+    L = jnp.where(jnp.broadcast_to(esc_pos, shape)[..., None], L, 0.0)
+    if pl._capture_radius(metric) is None:
+        Ln = _shade_soa(bg_negative, wx.reshape(flat), wy.reshape(flat),
+                        wz.reshape(flat), filtering).reshape(shape + (3,))
+        L = jnp.where(jnp.broadcast_to(esc_neg, shape)[..., None], Ln, L)
+    L = L * att[None, :, None, :, None]
+    E = jnp.mean(L, axis=3)                          # (2, n_r, n_phi, 3)
+    if blueshift and not pl._unit_lapse(metric):
+        A = jnp.clip(metric.lapse(rr), 1e-3, 1.0)
+        E = E * (1.0 / (A * A))[None, :, None, None]
+    return StarlightMap(radii=rr, values=E)
+
+
+def starlight_lookup(smap: StarlightMap, r_hit, phi_world, side):
+    """Bilinear (r, phi) lookup with azimuthal wraparound; ``side`` in
+    {+1, -1} selects the face.  Returns (N, 3) reflected-sky radiance
+    E / pi (multiply by albedo for the Lambertian exitance)."""
+    vals = smap.values
+    _, n_r, n_phi, _ = vals.shape
+    r0 = smap.radii[0]
+    r1 = smap.radii[-1]
+    tr = jnp.clip((r_hit - r0) / (r1 - r0), 0.0, 1.0) * (n_r - 1)
+    i0 = jnp.clip(jnp.floor(tr).astype(jnp.int32), 0, n_r - 2)
+    fr = (tr - i0)[:, None]
+    tp = jnp.mod(phi_world / (2.0 * jnp.pi), 1.0) * n_phi
+    j0 = jnp.clip(jnp.floor(tp).astype(jnp.int32), 0, n_phi - 1)
+    fp = (tp - j0)[:, None]
+    j1 = jnp.mod(j0 + 1, n_phi)
+    s = ((1.0 - side) * 0.5).astype(jnp.int32)       # +1 -> 0, -1 -> 1
+    rows = vals.reshape(-1, 3)
+    base = (s * n_r + i0) * n_phi
+
+    def gather(i_off, j):
+        return rows[base + i_off * n_phi + j]
+
+    top = gather(0, j0) * (1.0 - fp) + gather(0, j1) * fp
+    bot = gather(1, j0) * (1.0 - fp) + gather(1, j1) * fp
+    return top * (1.0 - fr) + bot * fr

@@ -58,6 +58,17 @@ def main(argv=None):
         bh, cam(28.0), sky, dt=0.05, max_steps=40_000, escape_radius=80.0,
         disk=disk_bb)))
 
+    # starlight on the disk: the lensed sky reflecting off a dim surface —
+    # the hole's shadow is visible ON the disk as a dark inner lane, and
+    # light bent around the hole illuminates the far side
+    disk_star = DiskParams(r_inner=5.2, r_outer=14.0, doppler=True,
+                           redshift=True, brightness=0.35,
+                           starlight=True, albedo=(0.55, 0.55, 0.6),
+                           starlight_samples=256, starlight_grid=(64, 128))
+    jobs.append(("gargantua_starlight.png", lambda: render_blackhole_disk(
+        bh, cam(28.0), sky, dt=0.05, max_steps=40_000, escape_radius=80.0,
+        disk=disk_star)))
+
     kerr = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
                       a=jnp.asarray(0.9, jnp.float32))
     kdisk = DiskParams(r_inner=2.6, r_outer=12.0, doppler=True,

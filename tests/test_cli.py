@@ -91,6 +91,18 @@ def test_cli_image_kerr_newman_disk(scene):
     assert img.max() > 0.05                       # disk/background visible
 
 
+def test_cli_image_disk_starlight(scene):
+    """Thin disk with starlight reflection (--disk-starlight) through the
+    planar disk renderer."""
+    args = _image_args(
+        scene, 'kind = "schwarzschild"\nm = 1.0\n',
+        "--disk", "--disk-starlight", "--disk-albedo", "0.6", "0.6", "0.6")
+    assert main(args) == 0
+    img = _out_image(scene)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+
+
 def test_cli_image_rn_shadow(scene):
     """Reissner-Nordstrom through the planar direct renderer: central
     shadow pixels are black, surroundings lit."""

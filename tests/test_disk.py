@@ -24,7 +24,7 @@ def test_flat_space_disk_crossing_radius():
                          p_l=jnp.asarray([np.cos(alpha)]),
                          b=jnp.asarray([np.sin(alpha) * l0]),
                          r_hat=jnp.zeros((1, 3)), e2=jnp.zeros((1, 3)))
-    res, (h1, _h1p), _h2 = march_planar_disk(
+    res, (h1, _h1p, _h1s), _h2 = march_planar_disk(
         metric, rays, jnp.asarray([c1]), jnp.asarray([c2]), dt=0.002,
         max_steps=100_000, escape_radius=60.0, r_inner=0.1, r_outer=60.0)
     # analytic: straight line P(t) = l0 e1 + t d, d = cos(a) e1 + sin(a) e2
@@ -117,9 +117,9 @@ def test_disk_pallas_kernel_interpret_matches_while():
     kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0,
               r_inner=5.2, r_outer=13.0)
     from curvis_tpu.render.disk import march_planar_disk
-    res_a, (h1a, p1a), (h2a, p2a) = march_planar_disk(
+    res_a, (h1a, p1a, s1a), (h2a, p2a, s2a) = march_planar_disk(
         metric, rays32, c1, c2, **kw)
-    res_b, (h1b, p1b), (h2b, p2b) = march_planar_disk_pallas(
+    res_b, (h1b, p1b, s1b), (h2b, p2b, s2b) = march_planar_disk_pallas(
         metric, rays32, c1, c2, interpret=True, tile_rows=8, **kw)
     np.testing.assert_array_equal(np.asarray(res_a.sign),
                                   np.asarray(res_b.sign))
@@ -129,6 +129,11 @@ def test_disk_pallas_kernel_interpret_matches_while():
     both = hit_a & hit_b
     np.testing.assert_allclose(np.asarray(h1a)[both], np.asarray(h1b)[both],
                                rtol=1e-3)
+    # psi-at-crossing (the starlight shading input) twin parity: the while
+    # twin interpolates psi within the step, the kernel uses psi + frac*du
+    # — same first-order rule, so the agreement is tight off edge flips
+    np.testing.assert_allclose(np.asarray(s1a)[both], np.asarray(s1b)[both],
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_blackbody_rgb_chromaticity():

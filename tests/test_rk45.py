@@ -172,10 +172,10 @@ def test_rk45_disk_crossings_match_fine_euler_oracle():
     from curvis_tpu.render.disk import march_planar_disk
     metric, rays, c1, c2, _ = _disk_scene()
     r_io = dict(r_inner=5.2, r_outer=13.0)
-    res_e, (h1e, _), _ = march_planar_disk(
+    res_e, (h1e, _, _se), _ = march_planar_disk(
         metric, rays, c1, c2, dt=0.01, max_steps=100_000,
         escape_radius=60.0, **r_io)
-    res_a, (h1a, _), _ = march_planar_rk45(
+    res_a, (h1a, _, _sa), _ = march_planar_rk45(
         metric, rays, c1=c1, c2=c2, disk=(5.2, 13.0), escape_radius=60.0,
         rtol=1e-8, atol=1e-11, dt0=0.05, max_steps=40_000)
     hit_e, hit_a = np.asarray(h1e) > 0, np.asarray(h1a) > 0

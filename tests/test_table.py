@@ -241,9 +241,9 @@ def test_disk_kernel_supports_table():
     c2 = jnp.full((n,), 0.6)
     kw = dict(dt=0.05, max_steps=4000, escape_radius=40.0,
               r_inner=3.0, r_outer=10.0)
-    res_a, (h1a, h2a), _ = march_planar_disk(tab, rays, c1, c2, **kw)
-    res_b, (h1b, h2b), _ = march_planar_disk_pallas(tab, rays, c1, c2,
-                                                    interpret=True, **kw)
+    res_a, (h1a, h2a, _s1a), _ = march_planar_disk(tab, rays, c1, c2, **kw)
+    res_b, (h1b, h2b, _s1b), _ = march_planar_disk_pallas(
+        tab, rays, c1, c2, interpret=True, **kw)
     np.testing.assert_array_equal(np.asarray(res_a.sign),
                                   np.asarray(res_b.sign))
     assert (np.asarray(h1a) > 0).any()       # rays actually hit the disk
