@@ -451,7 +451,8 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
                           bg: SphericalImage, *, dt=0.02, max_steps=100_000,
                           escape_radius=100.0, disk: DiskParams = None,
                           filtering="bilinear", backend="auto",
-                          stepper="euler", rtol=1e-5, interpret=False):
+                          stepper="euler", rtol=1e-5, interpret=False,
+                          starlight_map=None):
     """(H, W, 3): lensed background + shadow + two-crossing accretion disk.
 
     ``backend='auto'`` uses the Pallas disk kernel on TPU (tile-level early
@@ -464,13 +465,19 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
     step clamps to ``dt`` so crossing capture and the gas quadrature keep
     base resolution) — the planar stepper x surface matrix is complete
     (round 4; max_steps then counts ACCEPTED steps, so pass rk45-scale
-    values ~1000-2000, not the Euler 100k)."""
+    values ~1000-2000, not the Euler 100k).
+
+    ``starlight_map``: a precomputed render/starlight.StarlightMap.  The
+    map depends only on (metric, background, disk), never on the camera —
+    compute it once with ``compute_starlight_map`` and reuse it for every
+    frame of a video (None recomputes it inside this call)."""
     disk = disk or DiskParams()
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() or interpret) else "while"
     return _render_disk_jit(metric, (camera,), bg, jnp.asarray(dt),
-                            jnp.asarray(escape_radius), max_steps=max_steps,
+                            jnp.asarray(escape_radius), starlight_map,
+                            max_steps=max_steps,
                             disk=disk, filtering=filtering, backend=backend,
                             stepper=stepper, rtol=rtol,
                             interpret=interpret)[0]
@@ -480,24 +487,69 @@ def render_disk_frames_batched(metric: Metric, cameras, bg: SphericalImage,
                                *, dt=0.02, max_steps=100_000,
                                escape_radius=100.0, disk: DiskParams = None,
                                filtering="bilinear", backend="auto",
-                               stepper="euler", rtol=1e-5, interpret=False):
+                               stepper="euler", rtol=1e-5, interpret=False,
+                               starlight_map=None):
     """Several disk frames in ONE device call -> (F, H, W, 3): the video
     workload's frame axis batched into a single march bundle (same scheme as
-    render/fast.render_frames_batched)."""
+    render/fast.render_frames_batched).  ``starlight_map``: see
+    render_blackhole_disk (precompute once per video)."""
     disk = disk or DiskParams()
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() or interpret) else "while"
     return _render_disk_jit(metric, tuple(cameras), bg, jnp.asarray(dt),
-                            jnp.asarray(escape_radius), max_steps=max_steps,
+                            jnp.asarray(escape_radius), starlight_map,
+                            max_steps=max_steps,
                             disk=disk, filtering=filtering, backend=backend,
                             stepper=stepper, rtol=rtol,
                             interpret=interpret)
 
 
-def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
-                      disk, filtering, backend, stepper="euler", rtol=1e-5,
-                      interpret=False):
+def compute_starlight_map(metric: Metric, bg: SphericalImage,
+                          disk: DiskParams, *, dt=0.02, max_steps=100_000,
+                          escape_radius=100.0, filtering="bilinear",
+                          backend="auto", stepper="euler", rtol=1e-5,
+                          interpret=False):
+    """The camera-independent starlight map for ``disk`` around ``metric``
+    under sky ``bg`` — precompute once and pass as ``starlight_map=`` to
+    the disk renderers to amortize the illumination integral across a
+    whole video (it is by far the dominant part of the starlight overhead:
+    ~90 ms vs ~1 ms of per-frame lookups at 512x288).  Jitted; reuses the
+    same march backend/stepper knobs as the renderers."""
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if (_on_tpu() or interpret) else "while"
+    return _starlight_map_jit(metric, bg, jnp.asarray(dt),
+                              jnp.asarray(escape_radius),
+                              max_steps=max_steps, disk=disk,
+                              filtering=filtering, backend=backend,
+                              stepper=stepper, rtol=rtol,
+                              interpret=interpret)
+
+
+def _starlight_map_impl(metric, bg, dt, escape_radius, *, max_steps, disk,
+                        filtering, backend, stepper, rtol, interpret):
+    from curvis_tpu.render.starlight import compute_disk_starlight_map
+    n_r_s, n_phi_s = disk.starlight_grid
+    return compute_disk_starlight_map(
+        metric, bg, bg, r_inner=disk.r_inner, r_outer=disk.r_outer,
+        escape_radius=escape_radius, dt=dt, max_steps=max_steps,
+        n_r=n_r_s, n_phi=n_phi_s, n_samples=disk.starlight_samples,
+        filtering=filtering, backend=backend, stepper=stepper, rtol=rtol,
+        blueshift=disk.starlight_blueshift,
+        shadow_params=disk if disk.starlight_self_shadow else None,
+        interpret=interpret)
+
+
+_starlight_map_jit = jax.jit(
+    lambda *a, **k: _starlight_map_impl(*a, **k),
+    static_argnames=("max_steps", "disk", "filtering", "backend",
+                     "stepper", "rtol", "interpret"))
+
+
+def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None, *,
+                      max_steps, disk, filtering, backend, stepper="euler",
+                      rtol=1e-5, interpret=False):
     cams = list(cameras)
     W, H = cams[0].resolution_x, cams[0].resolution_y
     if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
@@ -594,17 +646,13 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, *, max_steps,
         return out.reshape(F, W, H, 3).transpose(0, 2, 1, 3)
     star1 = star2 = None
     if disk.starlight:
-        from curvis_tpu.render.starlight import (
-            compute_disk_starlight_map, hit_phi_side, starlight_lookup)
-        n_r_s, n_phi_s = disk.starlight_grid
-        smap = compute_disk_starlight_map(
-            metric, bg, bg, r_inner=disk.r_inner, r_outer=disk.r_outer,
-            escape_radius=escape_radius, dt=dt, max_steps=max_steps,
-            n_r=n_r_s, n_phi=n_phi_s, n_samples=disk.starlight_samples,
-            filtering=filtering, backend=backend, stepper=stepper,
-            rtol=rtol, blueshift=disk.starlight_blueshift,
-            shadow_params=disk if disk.starlight_self_shadow else None,
-            interpret=interpret)
+        from curvis_tpu.render.starlight import (hit_phi_side,
+                                                 starlight_lookup)
+        if smap is None:
+            smap = _starlight_map_impl(
+                metric, bg, dt, escape_radius, max_steps=max_steps,
+                disk=disk, filtering=filtering, backend=backend,
+                stepper=stepper, rtol=rtol, interpret=interpret)
         albedo = jnp.asarray(disk.albedo, l.dtype)[None, :]
         phi1, side1 = hit_phi_side(h1[0], h1[2], b, c1, c2, r_hat, e2)
         phi2, side2 = hit_phi_side(h2[0], h2[2], b, c1, c2, r_hat, e2)

@@ -87,6 +87,13 @@ def render_video_frames(metric: Metric, path: CameraPath,
             max_iterations_sampling=max_iterations_sampling,
             thr1=sampling_convergence_threshold_1,
             thr2=sampling_convergence_threshold_2, seam=seam)
+    smap = None
+    if renderer == "disk" and disk is not None and disk.starlight:
+        # camera-independent: one illumination integral for the whole video
+        from curvis_tpu.render.disk import compute_starlight_map
+        smap = compute_starlight_map(
+            metric, bg_positive, disk, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, filtering=filtering)
     for i, t in enumerate(times):
         frame_path = tmp / f"frame_{i}.png"
         frames.append(frame_path)
@@ -117,7 +124,8 @@ def render_video_frames(metric: Metric, path: CameraPath,
             img = render_blackhole_disk(metric, camera, bg_positive,
                                         dt=dt, max_steps=max_steps,
                                         escape_radius=escape_radius,
-                                        filtering=filtering, disk=disk)
+                                        filtering=filtering, disk=disk,
+                                        starlight_map=smap)
         elif renderer == "kerr":
             from curvis_tpu.render.kerr import render_kerr
             img = render_kerr(metric, camera, bg_positive, dt=dt,
@@ -167,12 +175,20 @@ def _render_frames_device_batched(metric, path, bg_positive, bg_negative,
                 sampling_convergence_threshold_2=thr2,
                 filtering=filtering, seam=seam, stepper=stepper)
     elif renderer == "disk":
-        from curvis_tpu.render.disk import render_disk_frames_batched
+        from curvis_tpu.render.disk import (compute_starlight_map,
+                                            render_disk_frames_batched)
+        # the starlight map is camera-independent: one compute for the
+        # whole video (vs ~90 ms per batch recomputed inside the call)
+        smap = compute_starlight_map(
+            metric, bg_positive, disk, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, filtering=filtering) \
+            if (disk is not None and disk.starlight) else None
 
         def jit_batch(m, cams, bp, bn):
             return render_disk_frames_batched(
                 m, cams, bp, dt=dt, max_steps=max_steps,
-                escape_radius=escape_radius, filtering=filtering, disk=disk)
+                escape_radius=escape_radius, filtering=filtering, disk=disk,
+                starlight_map=smap)
     elif renderer == "kerr":
         from curvis_tpu.render.kerr import render_kerr_frames_batched
 

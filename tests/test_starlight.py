@@ -276,6 +276,26 @@ def test_render_starlight_rk45_stepper():
     assert img.max() > 0.05
 
 
+def test_precomputed_map_matches_inline():
+    """render(starlight_map=precomputed) matches the inline recompute to
+    fusion-reassociation ulps — the video amortization path changes cost,
+    not pixels."""
+    from curvis_tpu.render.disk import compute_starlight_map
+    m = SchwarzschildMetric(m=jnp.asarray(1.0))
+    star = DiskParams(r_inner=5.2, r_outer=13.0, brightness=0.3,
+                      starlight=True, albedo=(0.5, 0.5, 0.5),
+                      starlight_samples=32, starlight_grid=(10, 12))
+    kw = dict(dt=0.05, max_steps=20_000, escape_radius=60.0,
+              backend="while")
+    bg = _sky(4)
+    smap = compute_starlight_map(m, bg, star, **kw)
+    a = np.asarray(render_blackhole_disk(m, _cam(24, 12), bg, disk=star,
+                                         **kw))
+    b = np.asarray(render_blackhole_disk(m, _cam(24, 12), bg, disk=star,
+                                         starlight_map=smap, **kw))
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
 def test_render_starlight_volumetric_rejected():
     m = SchwarzschildMetric(m=jnp.asarray(1.0))
     bad = DiskParams(volumetric=True, starlight=True)
