@@ -185,6 +185,26 @@ def test_map_self_shadow_attenuates():
     assert d.sum() < 0.995 * c.sum()
 
 
+def test_map_wormhole_two_universes():
+    """Disk around an Ellis throat: secondary rays that dive through the
+    throat fetch the NEGATIVE universe's sky.  With sky(+)=1, sky(-)=0 the
+    map sits strictly between, dimmer near the throat (larger solid angle
+    leads through); with both skies = 1 it is exactly 1 (no capture in a
+    wormhole — every secondary ray escapes somewhere)."""
+    from curvis_tpu.metrics.base import EllisMetric
+    m = EllisMetric(rho=jnp.asarray(1.0))
+    kw = dict(r_inner=2.0, r_outer=10.0, escape_radius=40.0, dt=0.05,
+              max_steps=20_000, n_r=6, n_phi=4, n_samples=64)
+    both = compute_disk_starlight_map(m, _uniform_bg(1.0), _uniform_bg(1.0),
+                                      **kw)
+    np.testing.assert_allclose(np.asarray(both.values), 1.0, rtol=1e-6)
+    split = compute_disk_starlight_map(m, _uniform_bg(1.0),
+                                       _uniform_bg(0.0), **kw)
+    prof = np.asarray(split.values)[0, :, 0, 0]
+    assert 0.3 < prof[0] < 1.0                 # throat leaks to the dark side
+    assert prof[0] < prof[-1] <= 1.0 + 1e-9    # more leakage closer in
+
+
 def test_starlight_lookup_bilinear_and_wrap():
     """Lookup interpolates the radial axis and wraps the phi axis."""
     n_r, n_phi = 4, 8
