@@ -148,6 +148,27 @@ def main(argv=None):
                                doppler=True)).mean(),
            bh, cam_bh, bgp)
 
+    # 5a1. starlight on the disk (round 4): map compute (once per scene)
+    #      and the amortized per-frame render with a precomputed map
+    from curvis_tpu.render.disk import compute_starlight_map
+    star_disk = DiskParams(r_inner=5.2, r_outer=13.0, doppler=True,
+                           starlight=True, albedo=(0.6, 0.6, 0.6),
+                           starlight_samples=256, starlight_grid=(64, 128))
+    star_kw = dict(dt=0.05, max_steps=40_000, escape_radius=80.0,
+                   backend="pallas")
+    if want("starlight"):
+        record("starlight_map_64x128_k256", 64 * 256,
+               lambda m, bp: compute_starlight_map(
+                   m, bp, star_disk, **star_kw).values.mean(),
+               bh, bgp)
+        smap_b = compute_starlight_map(bh, bgp, star_disk, **star_kw)
+        record(f"schwarzschild_disk_starlight_{res}x{res * 9 // 16}",
+               res * (res * 9 // 16),
+               lambda m, c, bp, sm: render_blackhole_disk(
+                   m, c, bp, disk=star_disk, starlight_map=sm,
+                   **star_kw).mean(),
+               bh, cam_bh, bgp, smap_b)
+
     # 5a2. volumetric disk (DNGR-style per-step radiative transfer in the
     #      march) — Pallas kernel, blackbody + chromatic Doppler
     record(f"schwarzschild_voldisk_{res}x{res * 9 // 16}",
