@@ -41,6 +41,12 @@ primary renderer uses.
 
 This capability has no analogue in the reference (no disks at all:
 /root/reference/README.md:111-113) nor in its wishlist.
+
+Sheet caveat (wormholes): the map table launches at l = +r.  Disk-hit
+radii are recorded as |l| on EITHER sheet, so negative-sheet hits reuse
+the positive-sheet map — exact for the l -> -l symmetric Ellis/DNEG
+shapes, an approximation for asymmetric user tables (whose far-sheet
+illumination differs by the sheet's own r(l) profile).
 """
 from __future__ import annotations
 
