@@ -139,6 +139,46 @@ def _grad_bench(jax, jnp, cv):
     return out
 
 
+def _drift_verdict(out):
+    """Self-contained round-over-round drift verdict (VERDICT round-4 #5):
+    loads the newest committed BENCH_r*.json at the repo root and applies
+    the documented decision rule — a change is REAL drift iff (a) the two
+    runs' [mrays_q3_floor, mrays_q1_ceil] throughput intervals are disjoint
+    AND (b) the min-time throughput moved commensurately (> 3% relative;
+    measured same-day no-change runs under uniform tunnel load shift the
+    whole interval while min-time stays within 0.7%, see NEXT.md).  Returns
+    a dict (or None when no prior round file exists)."""
+    import pathlib
+    import re
+    here = pathlib.Path(__file__).parent
+    rounds = {}
+    for p in here.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            rounds[int(m.group(1))] = p
+    if not rounds:
+        return None
+    n = max(rounds)
+    try:
+        prior = json.loads(rounds[n].read_text()).get("parsed") or {}
+    except Exception as e:
+        return {"vs_round": n, "error": f"{type(e).__name__}: {e}"}
+    keys = ("mrays_q1_ceil", "mrays_q3_floor", "mrays_min_time")
+    if not all(k in prior for k in keys):
+        return {"vs_round": n, "error": "prior round lacks interval fields"}
+    # throughput intervals: [q3_floor, q1_ceil] (q3 time -> lower Mrays/s)
+    lo_a, hi_a = prior["mrays_q3_floor"], prior["mrays_q1_ceil"]
+    lo_b, hi_b = out["mrays_q3_floor"], out["mrays_q1_ceil"]
+    disjoint = (hi_a < lo_b) or (hi_b < lo_a)
+    mt_a, mt_b = prior["mrays_min_time"], out["mrays_min_time"]
+    rel = abs(mt_b - mt_a) / mt_a
+    moved = rel > 0.03
+    return {"vs_round": n, "intervals_disjoint": bool(disjoint),
+            "min_time_rel_change_pct": round(100.0 * rel, 2),
+            "min_time_moved": bool(moved),
+            "verdict": bool(disjoint and moved)}
+
+
 def main():
     import jax
     # persistent compilation cache: the remote-TPU compiles cost minutes the
@@ -238,6 +278,10 @@ def main():
         "mrays_q1_ceil": round(rays / q1 / 1e6, 3),
         "mrays_q3_floor": round(rays / q3 / 1e6, 3),
     }
+    # the drift rule, computed rather than prose (VERDICT round-4 #5)
+    drift = _drift_verdict(out)
+    if drift is not None:
+        out["drift"] = drift
 
     if os.environ.get("CURVIS_BENCH_PARITY", "1") != "0":
         sys.path.insert(0, str(pathlib.Path(__file__).parent / "benchmarks"))

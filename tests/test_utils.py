@@ -97,6 +97,41 @@ def test_time_fn_and_materialize():
     assert t >= 0
 
 
+def test_bench_drift_rule():
+    """bench.py's computed drift verdict (VERDICT round-4 #5): disjoint
+    [q3-floor, q1-ceil] throughput intervals AND a >3% min-time move are
+    BOTH required — a shifted interval alone (uniform tunnel-load epoch)
+    must not read as drift."""
+    import importlib.util
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    prior_files = sorted(root.glob("BENCH_r*.json"))
+    if not prior_files:
+        pytest.skip("no committed BENCH_r*.json to compare against")
+    import json
+    import re
+    n = max(int(re.fullmatch(r"BENCH_r(\d+)\.json", p.name).group(1))
+            for p in prior_files
+            if re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
+    prior = json.loads((root / f"BENCH_r{n:02d}.json").read_text())["parsed"]
+    same = {k: prior[k] for k in
+            ("mrays_q1_ceil", "mrays_q3_floor", "mrays_min_time")}
+    v = bench._drift_verdict(same)
+    assert v["vs_round"] == n and v["verdict"] is False
+    # interval shifted but min-time put: tunnel-load epoch, NOT drift
+    shifted = {"mrays_q1_ceil": same["mrays_q1_ceil"] * 0.9,
+               "mrays_q3_floor": same["mrays_q3_floor"] * 0.9,
+               "mrays_min_time": same["mrays_min_time"] * 0.995}
+    v = bench._drift_verdict(shifted)
+    assert v["intervals_disjoint"] and not v["min_time_moved"]
+    assert v["verdict"] is False
+    # both conditions: real drift
+    real = {k: x * 1.2 for k, x in same.items()}
+    assert bench._drift_verdict(real)["verdict"] is True
+
+
 def test_logger_and_nan_checks():
     log = get_logger("test")
     log.info("hello")
