@@ -136,6 +136,49 @@ def _grad_bench(jax, jnp, cv):
     out["rk45_scan_ms_256x144"] = r45["scan_ms"]
     out["rk45_adjoint_ms_256x144"] = r45["adjoint_ms"]
     out["rk45_speedup_256x144"] = r45["speedup"]
+
+    # round-5 row: differentiable DISK rendering (VERDICT round-4 #1) —
+    # value_and_grad through render_kerr(disk=...) with the surface
+    # adjoints (integrate/kerr_surface_adjoint.py): 12-state crossing-
+    # tracking pair, captured rays' hit gradients included.
+    def run_disk(w, h, reps):
+        from curvis_tpu.render.disk import DiskParams
+        yy, xx = np.mgrid[0:h, 0:w]
+        smooth = np.stack([np.sin(2 * np.pi * xx / w) * 0.5 + 0.5, yy / h,
+                           0.3 + 0.4 * np.cos(2 * np.pi * yy / h)], -1)
+        bg = cv.make_spherical_image(np.asarray(smooth, np.float32))
+        th = np.pi / 2 - 0.4
+        f = np.array([-np.sin(th), 0.0, -np.cos(th)])
+        f /= np.linalg.norm(f)
+        cam = cv.make_camera([0.0, 18.0, th, 0.0], list(f), [0.0, 0.0, 1.0],
+                             35.0, 43.0, w, h, dtype=jnp.float32)
+        disk = DiskParams(r_inner=3.0, r_outer=10.0)
+        res = {}
+        a0 = jnp.asarray(0.7, jnp.float32)
+        for backend in ("scan", "adjoint"):
+            def loss(a, _backend=backend):
+                m = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
+                img = render_kerr(m, cam, bg, dt=0.1, max_steps=800,
+                                  escape_radius=25.0, disk=disk,
+                                  backend=_backend)
+                return jnp.mean(img)
+            fn = jax.jit(jax.value_and_grad(loss))
+            v, g = fn(a0)
+            float(v), float(g)
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                v, g = fn(a0)
+                float(v), float(g)
+                ts.append(time.time() - t0)
+            res[backend + "_ms"] = round(float(np.median(ts)) * 1e3, 1)
+        res["speedup"] = round(res["scan_ms"] / res["adjoint_ms"], 1)
+        return res
+
+    rd = run_disk(256, 144, 3)
+    out["disk_scan_ms_256x144"] = rd["scan_ms"]
+    out["disk_adjoint_ms_256x144"] = rd["adjoint_ms"]
+    out["disk_speedup_256x144"] = rd["speedup"]
     return out
 
 

@@ -620,6 +620,189 @@ def gate_rk45_adjoint_planar():
             "ok": bool(flipped <= 0.15 and med < 1e-3)}
 
 
+def gate_kerr_disk():
+    """Fixed-step Kerr DISK kernel (crossing (r, phi, side) triples, round
+    5) vs the XLA disk twin: fates equal, hit triples allclose on stable
+    rays (crossing interpolation is chaos-amplified on ring-grazers, so a
+    small mismatch fraction is physics, not a miscompile)."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.ops.march_pallas import march_kerr_pallas
+    from curvis_tpu.render.kerr import march_kerr_disk
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.physics import hamiltonian as ham
+    rng = np.random.default_rng(3)
+    n = 512
+    th0 = np.pi / 2 - 0.5
+    pos = jnp.asarray(np.stack([np.zeros(n), np.full(n, 18.0),
+                                np.full(n, th0), np.zeros(n)], -1),
+                      jnp.float32)
+    dirs = np.stack([-np.ones(n), 0.25 * rng.standard_normal(n),
+                     -0.25 - 0.4 * rng.random(n)], -1)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       jnp.float32)
+    metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
+                        a=jnp.asarray(0.7, jnp.float32))
+    p0 = ham.spawn_photon(metric, pos, dirs)
+    kw = dict(dt=0.1, max_steps=2000, escape_radius=25.0)
+    xk, pk_, sk, _, (h1k, h2k) = jax.jit(
+        lambda m, x, p: march_kerr_pallas(m, x, p, disk=(2.0, 12.0),
+                                          interpret=_ipret(), **kw))(
+        metric, pos, p0)
+    xd, pd, sd, (h1x, h2x) = jax.jit(
+        lambda m, x, p: march_kerr_disk(m, x, p, r_inner=2.0, r_outer=12.0,
+                                        **kw))(metric, pos, p0)
+    sign_eq = float((np.asarray(sk) == np.asarray(sd)).mean())
+    hk = np.asarray(h1k[0])
+    hx = np.asarray(h1x[0])
+    hit_agree = float(((hk > 0) == (hx > 0)).mean())
+    both = (hk > 0) & (hx > 0)
+    dr = np.abs(hk[both] - hx[both])
+    dphi = np.abs(np.asarray(h1k[1])[both] - np.asarray(h1x[1])[both])
+    dside = np.abs(np.asarray(h1k[2])[both] - np.asarray(h1x[2])[both])
+    frac_r = float((dr > 1e-2).mean()) if both.any() else 0.0
+    return {"sign_eq": round(sign_eq, 4), "hit_agree": round(hit_agree, 4),
+            "r_mismatch_frac": round(frac_r, 4),
+            "phi_max": round(float(dphi.max() if both.any() else 0), 5),
+            "side_max": round(float(dside.max() if both.any() else 0), 5),
+            "n_hits": int(both.sum()),
+            "ok": bool(sign_eq > 0.98 and hit_agree > 0.97
+                       and frac_r < 0.05 and both.sum() > 50
+                       and (not both.any() or dside.max() == 0.0))}
+
+
+def gate_disk_adjoint():
+    """Gradient parity of the fixed-step Kerr DISK adjoint (round 5):
+    Pallas forward + Pallas checkpointed backward (compiled, 12-state) vs
+    the XLA pair — captured rays' hit cotangents included."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.integrate.kerr_surface_adjoint import (
+        march_kerr_disk_adjoint)
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.physics import hamiltonian as ham
+    rng = np.random.default_rng(3)
+    n = 128
+    th0 = np.pi / 2 - 0.5
+    pos = jnp.asarray(np.stack([np.zeros(n), np.full(n, 18.0),
+                                np.full(n, th0), np.zeros(n)], -1),
+                      jnp.float32)
+    dirs = np.stack([-np.ones(n), 0.25 * rng.standard_normal(n),
+                     -0.25 - 0.4 * rng.random(n)], -1)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       jnp.float32)
+    kw = dict(dt=0.1, max_steps=512, escape_radius=25.0)
+
+    def loss(a, backend):
+        metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
+        p0 = ham.spawn_photon(metric, pos, dirs)
+        _, _, sg, _, (H1, _h2) = march_kerr_disk_adjoint(
+            metric, pos, p0, r_inner=2.0, r_outer=12.0, backend=backend,
+            **kw)
+        w = jnp.where(H1[0] > 0, 1.0, 0.0)
+        return jnp.mean(w * jnp.sin(H1[0]) * jnp.cos(H1[1]))
+
+    a0 = jnp.asarray(0.7, jnp.float32)
+    gx = float(jax.jit(jax.grad(lambda a: loss(a, "xla")))(a0))
+    pk = "pallas_interpret" if _ipret() else "pallas"
+    gp = float(jax.jit(jax.grad(lambda a: loss(a, pk)))(a0))
+    rel = abs(gp - gx) / max(abs(gx), 1e-12)
+    return {"grad_xla": round(gx, 6), "grad_pallas": round(gp, 6),
+            "rel": round(rel, 6), "ok": bool(rel < 1e-2)}
+
+
+def gate_vol_adjoint():
+    """Gradient parity of the fixed-step Kerr VOLUMETRIC adjoint (round 5):
+    the 9-state radiative-transfer pair, with a traced disk parameter
+    (kappa) riding the emission row."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.integrate.kerr_surface_adjoint import (
+        march_kerr_vol_adjoint)
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.physics import hamiltonian as ham
+    from curvis_tpu.render.disk import DiskParams
+    rng = np.random.default_rng(3)
+    n = 128
+    th0 = np.pi / 2 - 0.5
+    pos = jnp.asarray(np.stack([np.zeros(n), np.full(n, 18.0),
+                                np.full(n, th0), np.zeros(n)], -1),
+                      jnp.float32)
+    dirs = np.stack([-np.ones(n), 0.25 * rng.standard_normal(n),
+                     -0.25 - 0.4 * rng.random(n)], -1)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       jnp.float32)
+    disk = DiskParams(r_inner=3.0, r_outer=12.0, volumetric=True,
+                      h_rel=0.1, kappa=2.0, tau_max=8.0)
+    kw = dict(dt=0.1, max_steps=512, escape_radius=25.0)
+
+    def loss(a, kappa, backend):
+        metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32), a=a)
+        p0 = ham.spawn_photon(metric, pos, dirs)
+        _, _, sg, _, tau, em = march_kerr_vol_adjoint(
+            metric, pos, p0, disk, backend=backend,
+            disk_theta={"kappa": kappa}, **kw)
+        return jnp.mean(em[0]) + jnp.mean(jnp.exp(-tau))
+
+    import functools
+    a0 = jnp.asarray(0.7, jnp.float32)
+    k0 = jnp.asarray(2.0, jnp.float32)
+    gx = jax.jit(jax.grad(functools.partial(loss, backend="xla"),
+                          argnums=(0, 1)))(a0, k0)
+    pk = "pallas_interpret" if _ipret() else "pallas"
+    gp = jax.jit(jax.grad(functools.partial(loss, backend=pk),
+                          argnums=(0, 1)))(a0, k0)
+    rel_a = abs(float(gp[0]) - float(gx[0])) / max(abs(float(gx[0])), 1e-12)
+    rel_k = abs(float(gp[1]) - float(gx[1])) / max(abs(float(gx[1])), 1e-12)
+    return {"grad_a_xla": round(float(gx[0]), 6),
+            "grad_a_pallas": round(float(gp[0]), 6),
+            "rel_a": round(rel_a, 6), "rel_kappa": round(rel_k, 6),
+            "ok": bool(rel_a < 1e-2 and rel_k < 1e-2)}
+
+
+def gate_surface_adjoint_planar():
+    """Gradient parity of the planar Euler VOLUMETRIC adjoint pair (round
+    5, integrate/planar_surface_adjoint.py): the 9-state map with metric +
+    disk-parameter cotangents, Pallas pair vs XLA pair."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.integrate.planar_surface_adjoint import (
+        march_planar_vol_adjoint)
+    from curvis_tpu.metrics.base import SchwarzschildMetric
+    from curvis_tpu.render.disk import DiskParams
+    rng = np.random.default_rng(2)
+    n = 256
+    l0 = jnp.full((n,), 18.0, jnp.float32)
+    psi0 = jnp.zeros((n,), jnp.float32)
+    alpha = jnp.asarray(np.pi - (0.12 + 0.5 * rng.random(n)), jnp.float32)
+    ang = rng.random(n) * 2 * np.pi
+    c1 = jnp.asarray(0.3 * np.cos(ang), jnp.float32)
+    c2 = jnp.asarray(0.8 * np.sin(ang) + 0.1, jnp.float32)
+    nz = jnp.asarray(0.5 + 0.4 * rng.random(n), jnp.float32)
+    disk = DiskParams(r_inner=3.0, r_outer=12.0, volumetric=True,
+                      h_rel=0.1, kappa=2.0, tau_max=8.0)
+
+    def loss(m, backend):
+        met = SchwarzschildMetric(m=m)
+        A0 = met.lapse(l0)
+        B0 = met.radial_B(l0)
+        p_l = jnp.cos(alpha) * jnp.sqrt(B0 / A0)
+        b = met.r(l0) * jnp.sin(alpha) / jnp.sqrt(A0)
+        out = march_planar_vol_adjoint(
+            met, (l0, psi0, p_l), b, c1, c2, nz, disk, stepper="euler",
+            backend=backend, dt=0.05, max_steps=2048, escape_radius=25.0)
+        tau, em = out[5]
+        return jnp.mean(em[0]) + jnp.mean(jnp.exp(-tau))
+
+    m0 = jnp.asarray(1.0, jnp.float32)
+    gx = float(jax.jit(jax.grad(lambda m: loss(m, "xla")))(m0))
+    pk = "pallas_interpret" if _ipret() else "pallas"
+    gp = float(jax.jit(jax.grad(lambda m: loss(m, pk)))(m0))
+    rel = abs(gp - gx) / max(abs(gx), 1e-12)
+    return {"grad_xla": round(gx, 6), "grad_pallas": round(gp, 6),
+            "rel": round(rel, 6), "ok": bool(rel < 1e-2)}
+
+
 GATES = {
     "euler_ellis": lambda: gate_euler("ellis"),
     "euler_dneg": lambda: gate_euler("dneg"),
@@ -639,6 +822,10 @@ GATES = {
     "adjoint": gate_adjoint,
     "rk45_adjoint": gate_rk45_adjoint,
     "rk45_adjoint_planar": gate_rk45_adjoint_planar,
+    "kerr_disk": gate_kerr_disk,
+    "disk_adjoint": gate_disk_adjoint,
+    "vol_adjoint": gate_vol_adjoint,
+    "surface_adjoint_planar": gate_surface_adjoint_planar,
 }
 
 

@@ -787,8 +787,8 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
                              escape_radius, max_steps=10_000, max_iters=None,
                              rtol=1e-5, atol=1e-7, dt0=0.05, dt_max=10.0,
                              tile_rows=64, c1=None, c2=None, nz=None,
-                             disk=None, vol_disk=None, interpret=False,
-                             return_iters=False):
+                             disk=None, vol_disk=None, vol_row=None,
+                             interpret=False, return_iters=False):
     """Pallas adaptive RK45 march (integrate/rk45.py semantics on-device).
 
     ``disk=(r_in, r_out)`` (+ per-ray plane coefficients ``c1, c2``)
@@ -812,8 +812,11 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
         extra += [disk[0], disk[1], 0.0]
         assert 6 + len(extra) == CHEB_OFF_RK45_DISK
     elif vol:
-        extra += [vol_disk.r_inner, vol_disk.r_outer]
-        extra += _vol_param_slots(vol_disk)
+        if vol_row is None:
+            extra += [vol_disk.r_inner, vol_disk.r_outer]
+            extra += _vol_param_slots(vol_disk)
+        else:
+            extra += [vol_row[i] for i in range(10)]
         assert 6 + len(extra) == CHEB_OFF_RK45_VOL
     else:
         extra += [0.0]
@@ -1263,18 +1266,21 @@ def _disk_vol_arrays(kind, blackbody, redshift, doppler, params, l, psi, p_l,
 
 def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
                                         c1, c2, nz, *, dt, max_steps,
-                                        escape_radius, disk, tile_rows=32,
-                                        unroll=4, interpret=False):
+                                        escape_radius, disk, vol_row=None,
+                                        tile_rows=32, unroll=4,
+                                        interpret=False):
     """Pallas counterpart of render/disk.march_planar_disk_volumetric.
 
     ``disk`` is a render.disk.DiskParams with volumetric=True; returns
-    (PlanarResult, tau, (em_r, em_g, em_b)).
+    (PlanarResult, tau, (em_r, em_g, em_b)).  ``vol_row``: traced (10,)
+    (r_in, r_out, 8 slots) override — see march_kerr_pallas.
     """
     while max_steps % unroll:        # exact step cap (see march_planar_pallas)
         unroll //= 2
     kind, params = _metric_kind_and_params(metric, dt, escape_radius,
                                            rays.l.dtype)
-    extra = [disk.r_inner, disk.r_outer] + _vol_param_slots(disk)
+    extra = ([disk.r_inner, disk.r_outer] + _vol_param_slots(disk)
+             if vol_row is None else [vol_row[i] for i in range(10)])
     assert 6 + 2 == VOL_BLOCK_PLANAR and 6 + len(extra) == CHEB_OFF_VOL
     params = jnp.concatenate(
         [params[:, :6],
@@ -1436,8 +1442,16 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
     sign = jnp.zeros_like(r)
     steps = jnp.zeros_like(r)
     ct_prev = jnp.cos(th)
-    h1 = jnp.zeros_like(r)
-    h2 = jnp.zeros_like(r)
+    # hit carries init with data-dependent zeros (r * 0.0): Mosaic v5e can
+    # infer a replicated layout for splat-constant while carries and fail
+    # the relayout ("Invalid relayout ... replicated in destination") —
+    # carry-count/order sensitive, so play safe (same trap as _rk45_kernel)
+    h1 = r * 0.0
+    h1f = r * 0.0
+    h1d = r * 0.0
+    h2 = r * 0.0
+    h2f = r * 0.0
+    h2d = r * 0.0
     if vol:
         tau_max = params_ref[0, VOL_BLOCK_KERR + VOL_SLOT["tau_max"]]
         b_ph = L / E                       # per-ray impact parameter L/E
@@ -1453,11 +1467,14 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
     far_r0 = params_ref[0, 9]          # far-field accel radius (1e30 = off)
 
     def body(c):
+        r, th, ph, p_r, p_th, sign, steps, ct_prev = c[:8]
+        k0 = 8
+        if track_disk:
+            h1, h1f, h1d, h2, h2f, h2d = c[8:14]
+            k0 = 14
         if vol:
-            (r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2,
-             tau, emr, emg, emb, it) = c
-        else:
-            r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2, it = c
+            tau, emr, emg, emb = c[k0:k0 + 4]
+        it = c[-1]
         for _ in range(unroll):
             # the steps < max_steps term makes the iteration cap exact even
             # when max_steps is not a multiple of unroll (the while cond
@@ -1496,6 +1513,11 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
                 den = jnp.abs(ct_prev) + jnp.abs(ct)
                 frac = jnp.abs(ct_prev) / jnp.maximum(den, 1e-30)
                 r_hit = r + frac * (r1 - r)
+                # BL azimuth at the crossing + approach side (sign of
+                # cos theta just before) — the Kerr starlight-map lookup
+                # coordinates (render/starlight.py contract in BL form)
+                ph_hit = ph + frac * (ph1 - ph)
+                side = jnp.where(ct_prev > 0.0, one, -one)
                 in_disk = crossed * jnp.where(r_hit >= r_in, one, zero) \
                     * jnp.where(r_hit <= r_out, one, zero)
                 new1 = in_disk * jnp.where(h1 == 0.0, one, zero)
@@ -1504,7 +1526,11 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
                 # select, not h += new*r_hit: a NaN r_hit (blown-up ray,
                 # new = 0) would otherwise poison h via 0 * NaN
                 h1 = jnp.where(new1 > 0.5, r_hit, h1)
+                h1f = jnp.where(new1 > 0.5, ph_hit, h1f)
+                h1d = jnp.where(new1 > 0.5, side, h1d)
                 h2 = jnp.where(new2 > 0.5, r_hit, h2)
+                h2f = jnp.where(new2 > 0.5, ph_hit, h2f)
+                h2d = jnp.where(new2 > 0.5, side, h2d)
                 ct_prev = jnp.where(live, ct, ct_prev)
             # select-gated writeback, not unconditional assignment: a frozen
             # ray (dte = 0) whose state sits where _kerr_rhs overflows
@@ -1550,18 +1576,20 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
                 sign = sign + still * 2.0 * jnp.where(tau > tau_max, one,
                                                       zero)
             steps = steps + alive
+        ret = (r, th, ph, p_r, p_th, sign, steps, ct_prev)
+        if track_disk:
+            ret = ret + (h1, h1f, h1d, h2, h2f, h2d)
         if vol:
-            return (r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2,
-                    tau, emr, emg, emb, it + unroll)
-        return r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2, \
-            it + unroll
+            ret = ret + (tau, emr, emg, emb)
+        return ret + (it + unroll,)
 
-    carry0 = (r, th, ph, p_r, p_th, sign, steps, ct_prev, h1, h2)
+    carry0 = (r, th, ph, p_r, p_th, sign, steps, ct_prev)
+    if track_disk:
+        carry0 = carry0 + (h1, h1f, h1d, h2, h2f, h2d)
     if vol:
         carry0 = carry0 + (tau, emr, emg, emb)
     out = lax.while_loop(cond, body, carry0 + (jnp.int32(0),))
     r, th, ph, p_r, p_th, sign, steps = out[:7]
-    h1, h2 = out[8], out[9]
     out_refs[0][:] = r
     out_refs[1][:] = th
     out_refs[2][:] = ph
@@ -1570,10 +1598,10 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
     out_refs[5][:] = sign.astype(jnp.int32)
     out_refs[6][:] = steps.astype(jnp.int32)
     if track_disk:
-        out_refs[7][:] = h1
-        out_refs[8][:] = h2
+        for i in range(6):                   # h1, h1f, h1d, h2, h2f, h2d
+            out_refs[7 + i][:] = out[8 + i]
     if vol:
-        tau, emr, emg, emb = out[10:14]
+        tau, emr, emg, emb = out[8:12]
         out_refs[7][:] = tau
         out_refs[8][:] = emr
         out_refs[9][:] = emg
@@ -1601,7 +1629,7 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
     i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
     out_shape = [f, f, f, f, f, i32, i32]
     if track_disk:
-        out_shape += [f, f]
+        out_shape += [f] * 6                 # (r, phi, side) x two hits
     if vol:
         out_shape += [f, f, f, f]            # tau, em_r, em_g, em_b
     p_w = params.shape[1]
@@ -1620,8 +1648,8 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
 
 def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
                       capture_radius=None, disk=None, vol_disk=None,
-                      tile_rows=32, unroll=8, interpret=False, axis_u0=0.01,
-                      far_r0=None):
+                      vol_row=None, tile_rows=32, unroll=8, interpret=False,
+                      axis_u0=0.01, far_r0=None):
     # NB unroll=1 trips a Mosaic relayout bug on v5e ("Non-singleton logical
     # dimension is replicated in destination but not in source") in the
     # while-loop carry; unroll=2 compiles fine — so unroll is clamped to
@@ -1635,11 +1663,14 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     ``x0`` (N, 4) contravariant BL position, ``p0`` (N, 4) covariant
     momentum; returns (x, p, sign, steps[, extra]) with the final t
     component zeroed (rendering never reads it).  ``disk=(r_in, r_out)``
-    additionally records the first two equatorial-crossing radii (extra =
-    (h1, h2)).  ``vol_disk`` (a render.disk.DiskParams with
-    volumetric=True) instead accumulates per-step volumetric radiative
-    transfer through the flared gas disk (render/kerr.py:
-    march_kerr_volumetric semantics; extra = (tau, (em_r, em_g, em_b))).
+    additionally records the first two equatorial-crossing (radius, BL
+    azimuth, approach side) triples (extra = ((h1, h1f, h1d), (h2, h2f,
+    h2d)); side = sign of cos theta just before the crossing — the Kerr
+    starlight-map lookup coordinates).  ``vol_disk`` (a
+    render.disk.DiskParams with volumetric=True) instead accumulates
+    per-step volumetric radiative transfer through the flared gas disk
+    (render/kerr.py:march_kerr_volumetric semantics; extra = (tau,
+    (em_r, em_g, em_b))).
     """
     unroll = max(2, unroll)          # Mosaic relayout bug at unroll=1 (NB)
     dtype = x0.dtype
@@ -1658,11 +1689,18 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     q = getattr(metric, "q", 0.0)        # Kerr-Newman charge (0 for Kerr)
     if far_r0 is None:
         far_r0 = 1e30                    # disabled: r/1e30 clips to 1 exact
+    if vol and vol_row is not None:
+        # adjoint path: (r_in, r_out, 8 _vol_param_slots) supplied as one
+        # traced (10,) vector so the forward SMEM row and the backward
+        # replay consume bit-identical (possibly differentiated) values
+        r_in, r_out = vol_row[0], vol_row[1]
     vals = [dt, escape_radius, metric.m, metric.a, q * q, capture_radius,
             r_in, r_out, axis_u0, far_r0]
     assert len(vals) == VOL_BLOCK_KERR          # layout contract, module top
     if vol:
-        vals += _vol_param_slots(vol_disk) + [0.0, 0.0]
+        slots = (_vol_param_slots(vol_disk) if vol_row is None
+                 else [vol_row[2 + i] for i in range(8)])
+        vals += slots + [0.0, 0.0]
     width = len(vals)
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
                        ).reshape(1, width)
@@ -1695,7 +1733,8 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
     if vol:
         return x, p, sign, steps, (outs[7], (outs[8], outs[9], outs[10]))
     if disk is not None:
-        return x, p, sign, steps, (outs[7], outs[8])
+        return x, p, sign, steps, ((outs[7], outs[8], outs[9]),
+                                   (outs[10], outs[11], outs[12]))
     return x, p, sign, steps
 
 
@@ -1742,8 +1781,13 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     itersv = jnp.zeros_like(r)         # per-ray lock-step iteration count
     dt = jnp.full_like(r, 1.0) * params_ref[0, 0]
     ct_prev = jnp.cos(th)
-    h1 = jnp.zeros_like(r)
-    h2 = jnp.zeros_like(r)
+    # data-dependent zero inits (Mosaic relayout trap, see _kerr_kernel)
+    h1 = r * 0.0
+    h1f = r * 0.0
+    h1d = r * 0.0
+    h2 = r * 0.0
+    h2f = r * 0.0
+    h2d = r * 0.0
     if vol:
         tau_max = params_ref[0, VOL_BLOCK_KERR + VOL_SLOT["tau_max"]]
         b_ph = L / E                       # per-ray impact parameter L/E
@@ -1756,12 +1800,15 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
         return (c[-1] < max_iters) & jnp.any(c[6] == 0.0)
 
     def body(c):
+        r, th, ph, p_r, p_th, dt, sign, steps, ct_prev = c[:9]
+        k0 = 9
+        if track_disk:
+            h1, h1f, h1d, h2, h2f, h2d = c[9:15]
+            k0 = 15
         if vol:
-            (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2,
-             tau, emr, emg, emb, itersv, it) = c
-        else:
-            (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2,
-             itersv, it) = c
+            tau, emr, emg, emb = c[k0:k0 + 4]
+        itersv = c[-2]
+        it = c[-1]
         for _ in range(unroll):
             alive = sign == 0.0
             # counts accepted AND rejected iterations while live — the
@@ -1827,13 +1874,19 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
                 cden = jnp.abs(ct_prev) + jnp.abs(ct)
                 cfrac = jnp.abs(ct_prev) / jnp.maximum(cden, 1e-30)
                 r_hit = r + cfrac * (r1 - r)
+                ph_hit = ph + cfrac * (ph1 - ph)
+                side = jnp.where(ct_prev > 0.0, one, -one)
                 in_disk = crossed * jnp.where(r_hit >= r_in, one, zero) \
                     * jnp.where(r_hit <= r_out, one, zero)
                 new1 = in_disk * jnp.where(h1 == 0.0, one, zero)
                 new2 = in_disk * jnp.where(h1 != 0.0, one, zero) \
                     * jnp.where(h2 == 0.0, one, zero)
                 h1 = jnp.where(new1 > 0.5, r_hit, h1)
+                h1f = jnp.where(new1 > 0.5, ph_hit, h1f)
+                h1d = jnp.where(new1 > 0.5, side, h1d)
                 h2 = jnp.where(new2 > 0.5, r_hit, h2)
+                h2f = jnp.where(new2 > 0.5, ph_hit, h2f)
+                h2d = jnp.where(new2 > 0.5, side, h2d)
                 ct_prev = jnp.where(accept, ct, ct_prev)
 
             # select-gated writeback (frozen/rejected rays keep their state;
@@ -1932,17 +1985,20 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
             # steps here, so the cond cannot bound steps by itself)
             sign = jnp.where((sign == 0.0) & (steps >= max_steps), -128.0,
                              sign)
+        ret = (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev)
+        if track_disk:
+            ret = ret + (h1, h1f, h1d, h2, h2f, h2d)
         if vol:
-            return (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2,
-                    tau, emr, emg, emb, itersv, it + unroll)
-        return r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2, \
-            itersv, it + unroll
+            ret = ret + (tau, emr, emg, emb)
+        return ret + (itersv, it + unroll)
 
-    carry0 = (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev, h1, h2)
+    carry0 = (r, th, ph, p_r, p_th, dt, sign, steps, ct_prev)
+    if track_disk:
+        carry0 = carry0 + (h1, h1f, h1d, h2, h2f, h2d)
     if vol:
         carry0 = carry0 + (tau, emr, emg, emb)
     out = lax.while_loop(cond, body, carry0 + (itersv, jnp.int32(0)))
-    r, th, ph, p_r, p_th, _, sign, steps, _, h1, h2 = out[:11]
+    r, th, ph, p_r, p_th, _, sign, steps, _ = out[:9]
     itersv = out[-2]
     sign = jnp.where(sign == -128.0, 0.0, sign)
     out_refs[0][:] = r
@@ -1953,10 +2009,10 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
     out_refs[5][:] = sign.astype(jnp.int32)
     out_refs[6][:] = steps.astype(jnp.int32)
     if track_disk:
-        out_refs[7][:] = h1
-        out_refs[8][:] = h2
+        for i in range(6):                   # h1, h1f, h1d, h2, h2f, h2d
+            out_refs[7 + i][:] = out[9 + i]
     if vol:
-        tau, emr, emg, emb = out[11:15]
+        tau, emr, emg, emb = out[9:13]
         out_refs[7][:] = tau
         out_refs[8][:] = emr
         out_refs[9][:] = emg
@@ -1987,7 +2043,7 @@ def _kerr_rk45_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
     i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
     out_shape = [f, f, f, f, f, i32, i32]
     if track_disk:
-        out_shape += [f, f]
+        out_shape += [f] * 6                 # (r, phi, side) x two hits
     if vol:
         out_shape += [f, f, f, f]            # tau, em_r, em_g, em_b
     out_shape += [i32]                       # per-ray iteration count (last)
@@ -2008,8 +2064,8 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
                            max_iters=None, escape_radius, rtol=1e-4,
                            atol=1e-7, dt_min=1e-5, dt_max=None,
                            capture_radius=None, disk=None, vol_disk=None,
-                           tile_rows=32, unroll=2, interpret=False,
-                           return_iters=False):
+                           vol_row=None, tile_rows=32, unroll=2,
+                           interpret=False, return_iters=False):
     """Error-controlled Pallas Kerr/KN march — the kernel twin of
     integrate/rk45.py:march_kerr_rk45 (same contract as march_kerr_pallas;
     ``steps`` counts accepted steps).  ``vol_disk`` (DiskParams with
@@ -2043,13 +2099,18 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
     else:
         r_in, r_out = disk if disk is not None else (0.0, 0.0)
     q = getattr(metric, "q", 0.0)
+    if vol and vol_row is not None:
+        # adjoint path: traced (10,) (r_in, r_out, slots) vector — see
+        # march_kerr_pallas
+        r_in, r_out = vol_row[0], vol_row[1]
     vals = [dt0, escape_radius, metric.m, metric.a, q * q, capture_radius,
             r_in, r_out, rtol, atol]
     assert len(vals) == VOL_BLOCK_KERR          # layout contract, module top
     if vol:
         # the 8 _vol_param_slots mirror the fixed kernel's emission layout
         # (read by index in _kerr_vol_emission); controller bounds move up
-        vals += _vol_param_slots(vol_disk)
+        vals += (_vol_param_slots(vol_disk) if vol_row is None
+                 else [vol_row[2 + i] for i in range(8)])
     assert len(vals) == KERR_RK45_BOUNDS[vol]
     vals += [dt_max, dt_min]
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
@@ -2084,7 +2145,8 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
     if vol:
         ret.append((outs[7], (outs[8], outs[9], outs[10])))
     elif disk is not None:
-        ret.append((outs[7], outs[8]))
+        ret.append(((outs[7], outs[8], outs[9]),
+                    (outs[10], outs[11], outs[12])))
     if return_iters:
         ret.append(outs[-1])               # iteration count is always last
     return tuple(ret)

@@ -92,6 +92,51 @@ class DiskParams:
     starlight_self_shadow: bool = True  # annulus attenuates its own sky
 
 
+# Numeric DiskParams fields a differentiable render may override with
+# traced scalars (smooth knobs only — mode switches like color_mode /
+# volumetric / starlight / thickness stay static).
+DIFF_DISK_KEYS = frozenset({
+    "r_inner", "r_outer", "h_rel", "kappa", "t_peak", "emissivity_index",
+    "spin_sign", "brightness", "opacity", "tint", "albedo"})
+
+
+class DiskView:
+    """Duck-typed DiskParams view with traced numeric overrides.
+
+    The static ``DiskParams`` stays the jit cache key (mode flags, the
+    march's recording band); a ``disk_theta`` dict of traced scalars
+    overrides the smooth shading/emission knobs so inverse problems can
+    differentiate d(image)/d(disk params).  For the THIN disk the march
+    records crossings in the static [r_inner, r_outer] band while the
+    shader's traced edges move within it (set the static band with margin);
+    the volumetric march consumes the traced values directly (see
+    integrate/kerr_surface_adjoint.build_vol_row)."""
+
+    __slots__ = ("_base", "_over")
+
+    def __init__(self, base, over):
+        bad = set(over) - DIFF_DISK_KEYS
+        if bad:
+            raise ValueError(f"disk_theta: non-differentiable or unknown "
+                             f"keys {sorted(bad)}; allowed: "
+                             f"{sorted(DIFF_DISK_KEYS)}")
+        object.__setattr__(self, "_base", base)
+        object.__setattr__(self, "_over", dict(over))
+
+    def __getattr__(self, name):
+        over = object.__getattribute__(self, "_over")
+        if name in over:
+            return over[name]
+        return getattr(object.__getattribute__(self, "_base"), name)
+
+
+def disk_view(params, disk_theta=None):
+    """``params`` unless ``disk_theta`` overrides apply (then a DiskView)."""
+    if not disk_theta:
+        return params
+    return DiskView(params, disk_theta)
+
+
 _BB_C2 = 1.4388e-2                      # Planck c2 = h c / k_B  [m K]
 _BB_LAMBDA = (610e-9, 550e-9, 465e-9)   # RGB sample wavelengths [m]
 
@@ -452,7 +497,8 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
                           escape_radius=100.0, disk: DiskParams = None,
                           filtering="bilinear", backend="auto",
                           stepper="euler", rtol=1e-5, interpret=False,
-                          starlight_map=None):
+                          starlight_map=None, differentiable=None,
+                          disk_theta=None):
     """(H, W, 3): lensed background + shadow + two-crossing accretion disk.
 
     ``backend='auto'`` uses the Pallas disk kernel on TPU (tile-level early
@@ -470,17 +516,28 @@ def render_blackhole_disk(metric: Metric, camera: Camera,
     ``starlight_map``: a precomputed render/starlight.StarlightMap.  The
     map depends only on (metric, background, disk), never on the camera —
     compute it once with ``compute_starlight_map`` and reuse it for every
-    frame of a video (None recomputes it inside this call)."""
+    frame of a video (None recomputes it inside this call).
+
+    ``differentiable='scan'|'adjoint'`` switches the march to the planar
+    surface adjoints (integrate/planar_surface_adjoint.py, round 5): exact
+    checkpointed-recompute gradients through the thin-disk crossings or the
+    volumetric radiative transfer, for BOTH steppers — 'scan' is the XLA
+    pair, 'adjoint' the Pallas kernel pair on TPU.  ``disk_theta`` (a dict
+    of traced scalars, see render/disk.DIFF_DISK_KEYS) overrides smooth
+    disk parameters so d(image)/d(r_inner, kappa, brightness, ...) flows;
+    with the volumetric model the overrides enter the march itself."""
     disk = disk or DiskParams()
     if backend == "auto":
         from curvis_tpu.integrate.march import _on_tpu
         backend = "pallas" if (_on_tpu() or interpret) else "while"
     return _render_disk_jit(metric, (camera,), bg, jnp.asarray(dt),
                             jnp.asarray(escape_radius), starlight_map,
+                            disk_theta,
                             max_steps=max_steps,
                             disk=disk, filtering=filtering, backend=backend,
                             stepper=stepper, rtol=rtol,
-                            interpret=interpret)[0]
+                            interpret=interpret,
+                            differentiable=differentiable)[0]
 
 
 def render_disk_frames_batched(metric: Metric, cameras, bg: SphericalImage,
@@ -488,7 +545,8 @@ def render_disk_frames_batched(metric: Metric, cameras, bg: SphericalImage,
                                escape_radius=100.0, disk: DiskParams = None,
                                filtering="bilinear", backend="auto",
                                stepper="euler", rtol=1e-5, interpret=False,
-                               starlight_map=None):
+                               starlight_map=None, differentiable=None,
+                               disk_theta=None):
     """Several disk frames in ONE device call -> (F, H, W, 3): the video
     workload's frame axis batched into a single march bundle (same scheme as
     render/fast.render_frames_batched).  ``starlight_map``: see
@@ -499,10 +557,12 @@ def render_disk_frames_batched(metric: Metric, cameras, bg: SphericalImage,
         backend = "pallas" if (_on_tpu() or interpret) else "while"
     return _render_disk_jit(metric, tuple(cameras), bg, jnp.asarray(dt),
                             jnp.asarray(escape_radius), starlight_map,
+                            disk_theta,
                             max_steps=max_steps,
                             disk=disk, filtering=filtering, backend=backend,
                             stepper=stepper, rtol=rtol,
-                            interpret=interpret)
+                            interpret=interpret,
+                            differentiable=differentiable)
 
 
 def compute_starlight_map(metric: Metric, bg: SphericalImage,
@@ -547,9 +607,10 @@ _starlight_map_jit = jax.jit(
                      "stepper", "rtol", "interpret"))
 
 
-def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None, *,
+def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None,
+                      disk_theta=None, *,
                       max_steps, disk, filtering, backend, stepper="euler",
-                      rtol=1e-5, interpret=False):
+                      rtol=1e-5, interpret=False, differentiable=None):
     cams = list(cameras)
     W, H = cams[0].resolution_x, cams[0].resolution_y
     if any((c.resolution_x, c.resolution_y) != (W, H) for c in cams):
@@ -584,7 +645,32 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None, *,
         raise NotImplementedError(
             "starlight is thin-crossing shading (a surface reflection); "
             "volumetric gas scattering is a different transfer problem")
-    if stepper == "rk45":
+    if differentiable:
+        # round 5: the planar surface adjoints — exact checkpointed-
+        # recompute gradients through thin-disk crossings / volumetric
+        # transfer for both steppers ('scan' = XLA pair, 'adjoint' =
+        # Pallas kernel pair); traced disk params ride disk_theta
+        from curvis_tpu.integrate.planar_surface_adjoint import (
+            march_planar_disk_adjoint, march_planar_vol_adjoint)
+        mb = "xla" if differentiable == "scan" else "auto"
+        kwd = dict(dt=dt, max_steps=max_steps, escape_radius=escape_radius,
+                   stepper=stepper, backend=mb)
+        if stepper == "rk45":
+            kwd["rtol"] = rtol
+            kwd["atol"] = rtol * 1e-3
+        if vol:
+            out = march_planar_vol_adjoint(
+                metric, (l, psi, p_l), b, c1, c2, nz, disk,
+                disk_theta=disk_theta, **kwd)
+            res = pl.PlanarResult(*out[:5])
+            tau, em = out[5]
+        else:
+            out = march_planar_disk_adjoint(
+                metric, (l, psi, p_l), b, c1, c2, r_inner=disk.r_inner,
+                r_outer=disk.r_outer, **kwd)
+            res = pl.PlanarResult(*out[:5])
+            h1, h2 = out[5]
+    elif stepper == "rk45":
         kw45 = dict(dt0=dt, max_steps=max_steps,
                     escape_radius=escape_radius, rtol=rtol,
                     atol=rtol * 1e-3)
@@ -641,9 +727,11 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None, *,
         imgs_bg = imgs_bg[None]
     bg_colors = imgs_bg.transpose(0, 2, 1, 3).reshape(-1, 3)
     if vol:
-        rgb, trans = _volumetric_rgb(tau, em, disk, l.dtype)
+        rgb, trans = _volumetric_rgb(tau, em, disk_view(disk, disk_theta),
+                                     l.dtype)
         out = jnp.clip(rgb + trans[:, None] * bg_colors, 0.0, 1.0)
         return out.reshape(F, W, H, 3).transpose(0, 2, 1, 3)
+    shade = disk_view(disk, disk_theta)
     star1 = star2 = None
     if disk.starlight:
         from curvis_tpu.render.starlight import (hit_phi_side,
@@ -653,14 +741,14 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None, *,
                 metric, bg, dt, escape_radius, max_steps=max_steps,
                 disk=disk, filtering=filtering, backend=backend,
                 stepper=stepper, rtol=rtol, interpret=interpret)
-        albedo = jnp.asarray(disk.albedo, l.dtype)[None, :]
+        albedo = jnp.asarray(shade.albedo, l.dtype)[None, :]
         phi1, side1 = hit_phi_side(h1[0], h1[2], b, c1, c2, r_hat, e2)
         phi2, side2 = hit_phi_side(h2[0], h2[2], b, c1, c2, r_hat, e2)
         star1 = albedo * starlight_lookup(smap, h1[0], phi1, side1)
         star2 = albedo * starlight_lookup(smap, h2[0], phi2, side2)
-    rgb1, a1 = _disk_rgb(metric, h1[0], h1[1], b, nz, disk, l.dtype,
+    rgb1, a1 = _disk_rgb(metric, h1[0], h1[1], b, nz, shade, l.dtype,
                          starlight=star1)
-    rgb2, a2 = _disk_rgb(metric, h2[0], h2[1], b, nz, disk, l.dtype,
+    rgb2, a2 = _disk_rgb(metric, h2[0], h2[1], b, nz, shade, l.dtype,
                          starlight=star2)
     # composite: hit1 over hit2 over background
     behind = rgb2 * a2[:, None] + bg_colors * (1.0 - a2[:, None])
@@ -672,4 +760,4 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None, *,
 _render_disk_jit = jax.jit(
     lambda *a, **k: _render_disk_impl(*a, **k),
     static_argnames=("max_steps", "disk", "filtering", "backend",
-                     "stepper", "rtol", "interpret"))
+                     "stepper", "rtol", "interpret", "differentiable"))

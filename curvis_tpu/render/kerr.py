@@ -34,25 +34,29 @@ def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
                     far_r0=None):
     """Masked RK4 march recording the first two equatorial-plane crossings
     (cos theta sign changes) with BL radius inside [r_inner, r_outer].
-    Returns (x, p, sign, (h1_r, h2_r))."""
+    Returns (x, p, sign, ((h1_r, h1_phi, h1_side), (h2_r, h2_phi,
+    h2_side))) — azimuth and approach side (sign of cos theta just before
+    the crossing) are the Kerr starlight-map lookup coordinates."""
     dt = jnp.asarray(dt, x0.dtype)
     if far_r0 is None:
         far_r0 = jnp.asarray(1e30, x0.dtype)
     cap = metric.capture_radius
     n = x0.shape[0]
     zeros = jnp.zeros((n,), x0.dtype)
-    state0 = (x0, p0, jnp.zeros((n,), jnp.int32), zeros, zeros,
-              jnp.cos(x0[:, 2]), jnp.int32(0))
+    state0 = (x0, p0, jnp.zeros((n,), jnp.int32),
+              (zeros,) * 6, jnp.cos(x0[:, 2]), jnp.int32(0))
 
     def cond(c):
         sign = c[2]
-        it = c[6]
+        it = c[-1]
         return (it < max_steps) & jnp.any(sign == 0)
 
     def body(c):
-        x, p, sign, h1, h2, ct_prev, it = c
+        x, p, sign, hits, ct_prev, it = c
+        h1, h1f, h1d, h2, h2f, h2d = hits
         active = sign == 0
         r_prev = x[:, 1]
+        ph_prev = x[:, 3]
         dte = dt * ham.axis_dt_scale(x[:, 2], axis_u0) \
             * ham.far_dt_scale(r_prev, far_r0)
         x1, p1 = ham.rk4_step_batched(metric, x, p, dte[:, None])
@@ -63,12 +67,20 @@ def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
         crossed = active & (ct_prev * ct < 0.0)
         frac = jnp.abs(ct_prev) / jnp.maximum(jnp.abs(ct_prev) + jnp.abs(ct),
                                               1e-30)
-        # linear-in-step radius at the crossing (same interpolation as the
-        # pallas kernel, ops/march_pallas.py:_kerr_kernel)
+        # linear-in-step radius/azimuth at the crossing (same interpolation
+        # as the pallas kernel, ops/march_pallas.py:_kerr_kernel)
         r_hit = r_prev + frac * (x[:, 1] - r_prev)
+        ph_hit = ph_prev + frac * (x[:, 3] - ph_prev)
+        side = jnp.where(ct_prev > 0.0, 1.0, -1.0)
         in_disk = crossed & (r_hit >= r_inner) & (r_hit <= r_outer)
-        h2 = jnp.where(in_disk & (h1 != 0.0) & (h2 == 0.0), r_hit, h2)
-        h1 = jnp.where(in_disk & (h1 == 0.0), r_hit, h1)
+        new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
+        new1 = in_disk & (h1 == 0.0)
+        h2 = jnp.where(new2, r_hit, h2)
+        h2f = jnp.where(new2, ph_hit, h2f)
+        h2d = jnp.where(new2, side, h2d)
+        h1 = jnp.where(new1, r_hit, h1)
+        h1f = jnp.where(new1, ph_hit, h1f)
+        h1d = jnp.where(new1, side, h1d)
         r = x[:, 1]
         # full-state blowup guard, matches the pallas kernel's predicate
         m_chk = (jnp.abs(r) + jnp.abs(x[:, 2]) + jnp.abs(x[:, 3])
@@ -78,10 +90,10 @@ def march_kerr_disk(metric: KerrMetric, x0, p0, *, dt, max_steps,
         sign = jnp.where(active & ok & (r < cap), 2, sign)
         sign = jnp.where(active & ~ok, 3, sign)
         ct_prev = jnp.where(active, ct, ct_prev)
-        return x, p, sign, h1, h2, ct_prev, it + 1
+        return x, p, sign, (h1, h1f, h1d, h2, h2f, h2d), ct_prev, it + 1
 
-    x, p, sign, h1, h2, _, _ = lax.while_loop(cond, body, state0)
-    return x, p, sign, (h1, h2)
+    x, p, sign, hits, _, _ = lax.while_loop(cond, body, state0)
+    return x, p, sign, (hits[:3], hits[3:])
 
 
 def _kerr_circular_g(metric, rr, b_photon, spin_sign):
@@ -216,7 +228,7 @@ def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
                 dt=0.1, max_steps=20_000, escape_radius=None,
                 disk: DiskParams | None = None, filtering="bilinear",
                 backend="auto", camera_velocity=None, far_accel=True,
-                stepper="rk4", rtol=1e-4):
+                stepper="rk4", rtol=1e-4, disk_theta=None):
     """(H, W, 3): Kerr shadow + lensed background (+ optional disk).
 
     Camera position is (t, r, theta, phi) in Boyer-Lindquist; pixel rays are
@@ -244,7 +256,8 @@ def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
                             max_steps=max_steps, escape_radius=escape_radius,
                             disk=disk, filtering=filtering, backend=backend,
                             camera_velocity=camera_velocity,
-                            far_accel=far_accel, stepper=stepper, rtol=rtol)
+                            far_accel=far_accel, stepper=stepper, rtol=rtol,
+                            disk_theta=disk_theta)
 
 
 _render_kerr_jit = jax.jit(
@@ -290,7 +303,8 @@ def _spawn_from_dirs(metric, pos, dx_, dy_, dz_):
 
 def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
                       disk, filtering, backend, camera_velocity=None,
-                      far_accel=True, stepper="rk4", rtol=1e-4):
+                      far_accel=True, stepper="rk4", rtol=1e-4,
+                      disk_theta=None):
     pos = camera.position
     if escape_radius is None:
         escape_radius = 2.0 * pos[1]          # traced-safe
@@ -304,7 +318,7 @@ def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend,
                                    far_accel=far_accel, stepper=stepper,
-                                   rtol=rtol)
+                                   rtol=rtol, disk_theta=disk_theta)
     if delta is not None:
         # received surface brightness ~ delta^3 (I_nu/nu^3 invariance);
         # applied to the whole received field (background + disk emission)
@@ -315,7 +329,8 @@ def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
 
 def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
                           escape_radius, disk, filtering, backend,
-                          far_accel=True, stepper="rk4", rtol=1e-4):
+                          far_accel=True, stepper="rk4", rtol=1e-4,
+                          disk_theta=None):
     """March an (N,)-ray BL bundle and shade it -> (N, 3) colors.  Shared by
     the single-frame and frames-batched Kerr renderers (all per-ray math, so
     batching frames is pure concatenation).
@@ -335,24 +350,45 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
         # gas): the Pallas DP pair on TPU, its XLA twin elsewhere
         # (interpret kernel for the disk-tracking and volumetric variants,
         # which only the kernel implements).  Differentiable backends run
-        # the rk45 adjoint (integrate/rk45_adjoint.py): exact gradients
-        # through the adaptive march with the per-ray iteration sequence
-        # replayed as data — 'scan' = XLA pair, 'adjoint' = Pallas forward
-        # + Pallas checkpointed-recompute backward on TPU.  NB the replay
-        # cost scales with max_iters = 2*max_steps, so differentiable rk45
-        # callers should pass rk45-scale max_steps (~hundreds), not the
-        # fixed-step tens of thousands.
+        # the rk45 adjoints: exact gradients through the adaptive march
+        # with the per-ray iteration sequence replayed as data — 'scan' =
+        # XLA pair, 'adjoint' = Pallas forward + Pallas checkpointed-
+        # recompute backward on TPU.  Disk and volumetric surfaces are
+        # differentiable too (integrate/kerr_surface_adjoint.py, round 5):
+        # crossing records and radiative-transfer accumulators ride the
+        # replayed state, and traced disk parameters flow via
+        # ``disk_theta``.  NB the replay cost scales with max_iters =
+        # 2*max_steps, so differentiable rk45 callers should pass
+        # rk45-scale max_steps (~hundreds), not the fixed-step tens of
+        # thousands.
         if backend in ("scan", "adjoint"):
+            mback = "xla" if backend == "scan" else "auto"
+            kwa = dict(dt0=dt, max_steps=max_steps,
+                       escape_radius=escape_radius, rtol=rtol,
+                       atol=rtol * 1e-3, backend=mback)
+            if vol:
+                from curvis_tpu.integrate.kerr_surface_adjoint import (
+                    march_kerr_rk45_vol_adjoint)
+                x, p, sign, _, tau, em = march_kerr_rk45_vol_adjoint(
+                    metric, x0, p0, disk, disk_theta=disk_theta, **kwa)
+                return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk,
+                                   filtering, True, tau, em, None, None,
+                                   disk_theta)
             if disk is not None:
-                raise NotImplementedError(
-                    "differentiable rk45 covers bare marches; use "
-                    "stepper='rk4' for disk/volumetric gradients")
+                from curvis_tpu.integrate.kerr_surface_adjoint import (
+                    march_kerr_rk45_disk_adjoint)
+                x, p, sign, _, (h1, h2) = march_kerr_rk45_disk_adjoint(
+                    metric, x0, p0, r_inner=disk.r_inner,
+                    r_outer=disk.r_outer, **kwa)
+                return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk,
+                                   filtering, False, None, None, h1, h2,
+                                   disk_theta)
             from curvis_tpu.integrate.rk45_adjoint import (
                 march_kerr_rk45_adjoint)
             x, p, sign, _ = march_kerr_rk45_adjoint(
                 metric, x0, p0, dt0=dt, max_steps=max_steps,
                 escape_radius=escape_radius, rtol=rtol, atol=rtol * 1e-3,
-                backend=("xla" if backend == "scan" else "auto"))
+                backend=mback)
             return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk,
                                filtering, False, None, None, None, None)
         from curvis_tpu.integrate.march import _on_tpu
@@ -383,20 +419,50 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
             h1 = h2 = None
         tau = em = None
         return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering,
-                           vol, tau, em, h1, h2)
+                           vol, tau, em, h1, h2, disk_theta)
     if vol:
-        if backend == "pallas":
+        if backend in ("scan", "adjoint") or (disk_theta and
+                                              backend != "pallas"):
+            # differentiable volumetric march (round 5): radiative-transfer
+            # accumulators ride the replayed state; traced disk params via
+            # disk_theta.  Plain-xla + disk_theta routes here too (the
+            # adjoint's forward IS the xla forward; the while-loop twin
+            # below builds its emission row with host floats).
+            from curvis_tpu.integrate.kerr_surface_adjoint import (
+                march_kerr_vol_adjoint)
+            x, p, sign, _, tau, em = march_kerr_vol_adjoint(
+                metric, x0, p0, disk, disk_theta=disk_theta, dt=dt,
+                max_steps=max_steps, escape_radius=escape_radius,
+                far_r0=far_r0,
+                backend=("auto" if backend == "adjoint" else "xla"))
+        elif backend == "pallas":
             from curvis_tpu.ops.march_pallas import march_kerr_pallas
+            vol_row = None
+            if disk_theta:
+                from curvis_tpu.integrate.kerr_surface_adjoint import (
+                    build_vol_row)
+                vol_row = build_vol_row(disk, disk_theta, x0.dtype)
             x, p, sign, _, (tau, em) = march_kerr_pallas(
                 metric, x0, p0, dt=dt, max_steps=max_steps,
-                escape_radius=escape_radius, vol_disk=disk, far_r0=far_r0)
+                escape_radius=escape_radius, vol_disk=disk,
+                vol_row=vol_row, far_r0=far_r0)
         else:
             x, p, sign, tau, em = march_kerr_volumetric(
                 metric, x0, p0, dt=dt, max_steps=max_steps,
                 escape_radius=escape_radius, params=disk, far_r0=far_r0)
         h1 = h2 = None
     elif disk is not None:
-        if backend == "pallas":
+        if backend in ("scan", "adjoint"):
+            # differentiable thin-disk march (round 5): crossing records
+            # ride the replayed state — captured rays' hits included
+            from curvis_tpu.integrate.kerr_surface_adjoint import (
+                march_kerr_disk_adjoint)
+            x, p, sign, _, (h1, h2) = march_kerr_disk_adjoint(
+                metric, x0, p0, r_inner=disk.r_inner, r_outer=disk.r_outer,
+                dt=dt, max_steps=max_steps, escape_radius=escape_radius,
+                far_r0=far_r0,
+                backend=("auto" if backend == "adjoint" else "xla"))
+        elif backend == "pallas":
             from curvis_tpu.ops.march_pallas import march_kerr_pallas
             x, p, sign, _, (h1, h2) = march_kerr_pallas(
                 metric, x0, p0, dt=dt, max_steps=max_steps,
@@ -443,11 +509,11 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
     if not vol:
         tau = em = None
     return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering,
-                       vol, tau, em, h1, h2)
+                       vol, tau, em, h1, h2, disk_theta)
 
 
 def _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering, vol,
-                tau, em, h1, h2):
+                tau, em, h1, h2, disk_theta=None):
     """Shared shading tail of every Kerr march variant -> (N, 3) colors.
 
     Readout: asymptotic direction from contravariant momentum.  Only
@@ -476,14 +542,17 @@ def _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering, vol,
                             bg.width, bg.height, filtering)
     colors = jnp.where((sign == 1)[:, None], colors, jnp.zeros_like(colors))
 
+    from curvis_tpu.render.disk import disk_view
+    shade = disk_view(disk, disk_theta) if disk is not None else disk
     if vol:
         from curvis_tpu.render.disk import _volumetric_rgb
-        rgb, trans = _volumetric_rgb(tau, em, disk, x.dtype)
+        rgb, trans = _volumetric_rgb(tau, em, shade, x.dtype)
         colors = jnp.clip(rgb + trans[:, None] * colors, 0.0, 1.0)
     elif disk is not None:
+        # h1/h2 are (radius, BL azimuth, approach side) crossing triples
         b_photon = -p0[:, 3] / p0[:, 0]               # L/E per ray (t-cov<0)
-        rgb1, a1 = _kerr_disk_rgb(metric, h1, b_photon, disk, x.dtype)
-        rgb2, a2 = _kerr_disk_rgb(metric, h2, b_photon, disk, x.dtype)
+        rgb1, a1 = _kerr_disk_rgb(metric, h1[0], b_photon, shade, x.dtype)
+        rgb2, a2 = _kerr_disk_rgb(metric, h2[0], b_photon, shade, x.dtype)
         behind = rgb2 * a2[:, None] + colors * (1.0 - a2[:, None])
         colors = jnp.clip(rgb1 * a1[:, None] + behind * (1.0 - a1[:, None]),
                           0.0, 1.0)
@@ -632,7 +701,7 @@ def _render_kerr_adaptive_impl(metric, camera, bg, dt, *, max_steps,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend,
                                    far_accel=far_accel, stepper=stepper,
-                                   rtol=rtol)
+                                   rtol=rtol, disk_theta=disk_theta)
     if delta is not None:
         colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
     refined = colors.reshape(n_refine, k * k, 3).mean(axis=1)

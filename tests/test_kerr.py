@@ -191,7 +191,8 @@ def test_kerr_pallas_kernel_matches_autodiff():
                                np.asarray(x_k[:, 1:])[esc], atol=1e-12)
     np.testing.assert_allclose(np.asarray(res.p)[esc],
                                np.asarray(p_k)[esc], atol=1e-12)
-    # disk variant agrees with the XLA disk marcher's crossing radii
+    # disk variant agrees with the XLA disk marcher's crossing
+    # (radius, azimuth, side) triples
     from curvis_tpu.render.kerr import march_kerr_disk
     xd, pd, sd, (h1x, h2x) = march_kerr_disk(metric, x0, p0, r_inner=3.0,
                                              r_outer=20.0, **kw)
@@ -200,8 +201,14 @@ def test_kerr_pallas_kernel_matches_autodiff():
                                                 interpret=True, tile_rows=1,
                                                 **kw)
     np.testing.assert_array_equal(np.asarray(sd), np.asarray(sk))
-    np.testing.assert_allclose(np.asarray(h1x), np.asarray(h1k), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(h2x), np.asarray(h2k), atol=1e-10)
+    for comp in range(3):                     # r, phi, side per hit
+        np.testing.assert_allclose(np.asarray(h1x[comp]),
+                                   np.asarray(h1k[comp]), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(h2x[comp]),
+                                   np.asarray(h2k[comp]), atol=1e-10)
+    # recorded sides are sane where hits exist (this config may record none)
+    hit = np.asarray(h1x[0]) > 0
+    assert np.isin(np.asarray(h1x[2])[hit], (1.0, -1.0)).all()
 
 
 def test_kerr_pallas_odd_step_cap_exact():
