@@ -213,22 +213,24 @@ def march_kerr_volumetric(metric: KerrMetric, x0, p0, *, dt, max_steps,
 
 
 def _kerr_disk_rgb(metric: KerrMetric, r_hit, b_photon, params: DiskParams,
-                   dtype):
+                   dtype, starlight=None):
     """Disk emission with the Kerr circular-orbit g-factor (color/alpha
     assembly shared with the planar shader, render/disk._emission_rgb —
-    incl. the blackbody chromatic-shift mode)."""
+    incl. the blackbody chromatic-shift mode and the reflected-starlight
+    term)."""
     from curvis_tpu.render.disk import _emission_rgb
     rr = jnp.maximum(r_hit, params.r_inner)
     g = _kerr_circular_g(metric, rr, b_photon, params.spin_sign) \
         if (params.doppler or params.redshift) else jnp.ones_like(r_hit)
-    return _emission_rgb(r_hit, g, params, dtype)
+    return _emission_rgb(r_hit, g, params, dtype, starlight=starlight)
 
 
 def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
                 dt=0.1, max_steps=20_000, escape_radius=None,
                 disk: DiskParams | None = None, filtering="bilinear",
                 backend="auto", camera_velocity=None, far_accel=True,
-                stepper="rk4", rtol=1e-4, disk_theta=None):
+                stepper="rk4", rtol=1e-4, disk_theta=None,
+                starlight_map=None):
     """(H, W, 3): Kerr shadow + lensed background (+ optional disk).
 
     Camera position is (t, r, theta, phi) in Boyer-Lindquist; pixel rays are
@@ -257,7 +259,8 @@ def render_kerr(metric: KerrMetric, camera: Camera, bg: SphericalImage, *,
                             disk=disk, filtering=filtering, backend=backend,
                             camera_velocity=camera_velocity,
                             far_accel=far_accel, stepper=stepper, rtol=rtol,
-                            disk_theta=disk_theta)
+                            disk_theta=disk_theta,
+                            starlight_map=starlight_map)
 
 
 _render_kerr_jit = jax.jit(
@@ -304,7 +307,7 @@ def _spawn_from_dirs(metric, pos, dx_, dy_, dz_):
 def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
                       disk, filtering, backend, camera_velocity=None,
                       far_accel=True, stepper="rk4", rtol=1e-4,
-                      disk_theta=None):
+                      disk_theta=None, starlight_map=None):
     pos = camera.position
     if escape_radius is None:
         escape_radius = 2.0 * pos[1]          # traced-safe
@@ -318,7 +321,8 @@ def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend,
                                    far_accel=far_accel, stepper=stepper,
-                                   rtol=rtol, disk_theta=disk_theta)
+                                   rtol=rtol, disk_theta=disk_theta,
+                                   starlight_map=starlight_map)
     if delta is not None:
         # received surface brightness ~ delta^3 (I_nu/nu^3 invariance);
         # applied to the whole received field (background + disk emission)
@@ -330,7 +334,7 @@ def _render_kerr_impl(metric, camera, bg, dt, *, max_steps, escape_radius,
 def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
                           escape_radius, disk, filtering, backend,
                           far_accel=True, stepper="rk4", rtol=1e-4,
-                          disk_theta=None):
+                          disk_theta=None, starlight_map=None):
     """March an (N,)-ray BL bundle and shade it -> (N, 3) colors.  Shared by
     the single-frame and frames-batched Kerr renderers (all per-ray math, so
     batching frames is pure concatenation).
@@ -382,7 +386,7 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
                     r_outer=disk.r_outer, **kwa)
                 return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk,
                                    filtering, False, None, None, h1, h2,
-                                   disk_theta)
+                                   disk_theta, starlight_map)
             from curvis_tpu.integrate.rk45_adjoint import (
                 march_kerr_rk45_adjoint)
             x, p, sign, _ = march_kerr_rk45_adjoint(
@@ -419,7 +423,7 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
             h1 = h2 = None
         tau = em = None
         return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering,
-                           vol, tau, em, h1, h2, disk_theta)
+                           vol, tau, em, h1, h2, disk_theta, starlight_map)
     if vol:
         if backend in ("scan", "adjoint") or (disk_theta and
                                               backend != "pallas"):
@@ -509,11 +513,27 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
     if not vol:
         tau = em = None
     return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering,
-                       vol, tau, em, h1, h2, disk_theta)
+                       vol, tau, em, h1, h2, disk_theta, starlight_map)
+
+
+def _asymptotic_dirs(metric, x, p):
+    """World-frame escape direction of a BL state bundle -> (wx, wy, wz):
+    contravariant momentum decomposed in the asymptotic frame convention
+    [r_hat, theta_hat, phi_hat] at the exit angles (exact as r -> inf).
+    Shared by the shading readout and the Kerr starlight map."""
+    ginv = metric.inverse_metric(x)
+    pup = jnp.einsum("nij,nj->ni", ginv, p)
+    r = x[:, 1]
+    st = jnp.maximum(jnp.sin(x[:, 2]), 1e-6)
+    u = jnp.stack([pup[:, 1], pup[:, 2] * r, pup[:, 3] * r * st], axis=-1)
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    Fe = frame_matrix(x[:, 2], x[:, 3])               # (N, 3, 3)
+    w = jnp.einsum("nij,nj->ni", Fe, u)
+    return w[:, 0], w[:, 1], w[:, 2]
 
 
 def _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering, vol,
-                tau, em, h1, h2, disk_theta=None):
+                tau, em, h1, h2, disk_theta=None, starlight_map=None):
     """Shared shading tail of every Kerr march variant -> (N, 3) colors.
 
     Readout: asymptotic direction from contravariant momentum.  Only
@@ -526,15 +546,7 @@ def _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering, vol,
     esc = (sign == 1)[:, None]
     x = jnp.where(esc, x, x0)
     p = jnp.where(esc, p, p0)
-    ginv = metric.inverse_metric(x)
-    pup = jnp.einsum("nij,nj->ni", ginv, p)
-    r = x[:, 1]
-    st = jnp.maximum(jnp.sin(x[:, 2]), 1e-6)
-    u = jnp.stack([pup[:, 1], pup[:, 2] * r, pup[:, 3] * r * st], axis=-1)
-    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
-    Fe = frame_matrix(x[:, 2], x[:, 3])               # (N, 3, 3)
-    w = jnp.einsum("nij,nj->ni", Fe, u)
-    wx, wy, wz = w[:, 0], w[:, 1], w[:, 2]
+    wx, wy, wz = _asymptotic_dirs(metric, x, p)
 
     uu, vv = _texture_uv(bg, wx, wy, wz)
     colors = _filter_lookup(bg.texture.reshape(-1, 3),
@@ -551,8 +563,27 @@ def _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering, vol,
     elif disk is not None:
         # h1/h2 are (radius, BL azimuth, approach side) crossing triples
         b_photon = -p0[:, 3] / p0[:, 0]               # L/E per ray (t-cov<0)
-        rgb1, a1 = _kerr_disk_rgb(metric, h1[0], b_photon, shade, x.dtype)
-        rgb2, a2 = _kerr_disk_rgb(metric, h2[0], b_photon, shade, x.dtype)
+        star1 = star2 = None
+        if disk.starlight:
+            # lensed-sky illumination of the disk surface: the
+            # axisymmetry-collapsed Kerr starlight map (render/starlight.
+            # compute_kerr_starlight_map), looked up at the recorded
+            # (radius, BL azimuth, approach side) of each crossing
+            from curvis_tpu.render.starlight import starlight_lookup
+            if starlight_map is None:
+                raise ValueError(
+                    "disk.starlight=True for Kerr needs a precomputed map: "
+                    "pass starlight_map=compute_kerr_starlight_map(...) "
+                    "(camera-independent — compute once per scene)")
+            albedo = jnp.asarray(shade.albedo, x.dtype)[None, :]
+            star1 = albedo * starlight_lookup(starlight_map, h1[0], h1[1],
+                                              h1[2])
+            star2 = albedo * starlight_lookup(starlight_map, h2[0], h2[1],
+                                              h2[2])
+        rgb1, a1 = _kerr_disk_rgb(metric, h1[0], b_photon, shade, x.dtype,
+                                  starlight=star1)
+        rgb2, a2 = _kerr_disk_rgb(metric, h2[0], b_photon, shade, x.dtype,
+                                  starlight=star2)
         behind = rgb2 * a2[:, None] + colors * (1.0 - a2[:, None])
         colors = jnp.clip(rgb1 * a1[:, None] + behind * (1.0 - a1[:, None]),
                           0.0, 1.0)
@@ -565,7 +596,8 @@ def render_kerr_frames_batched(metric: KerrMetric, cameras,
                                disk: DiskParams | None = None,
                                filtering="bilinear", backend="auto",
                                camera_velocities=None, far_accel=True,
-                               stepper="rk4", rtol=1e-4):
+                               stepper="rk4", rtol=1e-4, disk_theta=None,
+                               starlight_map=None):
     """Render several Kerr camera poses in ONE device call -> (F, H, W, 3).
 
     Every stage of the Kerr pipeline (tetrad spawn, BL march, asymptotic
@@ -593,7 +625,8 @@ def render_kerr_frames_batched(metric: KerrMetric, cameras,
         n_frames=len(cams), max_steps=max_steps, escape_radius=escape_radius,
         disk=disk, filtering=filtering, backend=backend,
         camera_velocities=camera_velocities, far_accel=far_accel,
-        stepper=stepper, rtol=rtol)
+        stepper=stepper, rtol=rtol, disk_theta=disk_theta,
+        starlight_map=starlight_map)
 
 
 _render_kerr_frames_jit = jax.jit(
@@ -605,7 +638,8 @@ _render_kerr_frames_jit = jax.jit(
 def _render_kerr_frames_impl(metric, cams, bg, dt, *, n_frames, max_steps,
                              escape_radius, disk, filtering, backend,
                              camera_velocities=None, far_accel=True,
-                             stepper="rk4", rtol=1e-4):
+                             stepper="rk4", rtol=1e-4, disk_theta=None,
+                             starlight_map=None):
     F = int(n_frames)
     if escape_radius is None:
         escape_radius = 2.0 * jnp.max(cams.position[:, 1])     # traced-safe
@@ -622,7 +656,8 @@ def _render_kerr_frames_impl(metric, cams, bg, dt, *, n_frames, max_steps,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend,
                                    far_accel=far_accel, stepper=stepper,
-                                   rtol=rtol)
+                                   rtol=rtol, disk_theta=disk_theta,
+                                   starlight_map=starlight_map)
     if camera_velocities is not None:
         delta = jnp.concatenate([b[2] for b in bundles])
         colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
@@ -636,7 +671,8 @@ def render_kerr_adaptive(metric: KerrMetric, camera: Camera,
                          filtering="bilinear", backend="auto",
                          refine_frac=0.1, supersample=3,
                          camera_velocity=None, far_accel=True,
-                         stepper="rk4", rtol=1e-4):
+                         stepper="rk4", rtol=1e-4, disk_theta=None,
+                         starlight_map=None):
     """Edge-adaptive antialiasing: base render + k x k supersampling of
     ONLY the ``refine_frac`` highest-contrast pixels, selected by the
     4-neighbor color gradient (lax.top_k — a static-shape second bundle,
@@ -661,7 +697,8 @@ def render_kerr_adaptive(metric: KerrMetric, camera: Camera,
         escape_radius=escape_radius, disk=disk, filtering=filtering,
         backend=backend, n_refine=n_refine, supersample=int(supersample),
         camera_velocity=camera_velocity, far_accel=far_accel,
-        stepper=stepper, rtol=rtol)
+        stepper=stepper, rtol=rtol, disk_theta=disk_theta,
+        starlight_map=starlight_map)
 
 
 _render_kerr_adaptive_jit = jax.jit(
@@ -674,13 +711,15 @@ _render_kerr_adaptive_jit = jax.jit(
 def _render_kerr_adaptive_impl(metric, camera, bg, dt, *, max_steps,
                                escape_radius, disk, filtering, backend,
                                n_refine, supersample, camera_velocity,
-                               far_accel=True, stepper="rk4", rtol=1e-4):
+                               far_accel=True, stepper="rk4", rtol=1e-4,
+                               disk_theta=None, starlight_map=None):
     base = _render_kerr_impl(metric, camera, bg, dt, max_steps=max_steps,
                              escape_radius=escape_radius, disk=disk,
                              filtering=filtering, backend=backend,
                              camera_velocity=camera_velocity,
                              far_accel=far_accel, stepper=stepper,
-                             rtol=rtol)                         # (H, W, 3)
+                             rtol=rtol, disk_theta=disk_theta,
+                             starlight_map=starlight_map)       # (H, W, 3)
     if escape_radius is None:
         escape_radius = 2.0 * camera.position[1]
     from curvis_tpu.render.fast import (_contrast_topk,
@@ -701,7 +740,8 @@ def _render_kerr_adaptive_impl(metric, camera, bg, dt, *, max_steps,
                                    escape_radius=escape_radius, disk=disk,
                                    filtering=filtering, backend=backend,
                                    far_accel=far_accel, stepper=stepper,
-                                   rtol=rtol, disk_theta=disk_theta)
+                                   rtol=rtol, disk_theta=disk_theta,
+                                   starlight_map=starlight_map)
     if delta is not None:
         colors = jnp.clip(colors * (delta ** 3)[:, None], 0.0, 1.0)
     refined = colors.reshape(n_refine, k * k, 3).mean(axis=1)

@@ -232,6 +232,182 @@ def compute_disk_starlight_map(
     return StarlightMap(radii=rr, values=E)
 
 
+def compute_kerr_starlight_map(
+        metric, bg, *, r_inner, r_outer, escape_radius, dt=0.1,
+        max_steps=20_000, n_r=48, n_phi=128, n_samples=128,
+        sample_filtering="nearest", backend="auto", stepper="rk4",
+        rtol=1e-4, boost="static", shadow_params=None, far_accel=True,
+        interpret=False) -> StarlightMap:
+    """The lensed-sky illumination map of a KERR/KN accretion disk —
+    the axisymmetric generalization of :func:`compute_disk_starlight_map`
+    (VERDICT round-4 next-step #2: 'the frame-dragged Gargantua with
+    starlit disk').
+
+    Kerr has no spherical symmetry, but it is STATIONARY and AXISYMMETRIC:
+    the escape direction of a secondary ray launched at disk azimuth phi0
+    is the phi0 = 0 ray's escape direction rotated by phi0 about the spin
+    axis, and the z -> -z equatorial reflection maps the -z face's
+    hemisphere onto the +z face's marches.  So ONE (n_r x n_samples)
+    bundle of full Boyer-Lindquist marches (~6k rays at the default 48 x
+    128 — cheaper than a single small frame) covers both faces and every
+    azimuth; the (2, n_r, n_phi, 3) map is pure rotation + equirect
+    lookups on top, exactly the planar scheme.
+
+    Physics per sample: a cosine-weighted hemisphere direction in the
+    LOCAL STATIC frame at (r, pi/2, 0), spawned with local energy 1
+    (physics/hamiltonian.spawn_photon), marched to escape/capture with
+    annulus-crossing capture for the self-shadow.  The incident bolometric
+    boost is **E^-4 per sample** (Liouville: I/nu^4 invariant; nu_loc = 1
+    by normalization, nu_inf = E = -p_t) — this is the frame-dragged
+    generalization of the planar map's radial A^-2: at a = 0 the static
+    E = sqrt(A) exactly, and at a != 0 prograde/retrograde samples pick up
+    the dragging asymmetry.  Captured samples contribute black (the hole
+    shadows its own disk); ``shadow_params`` adds the thin-disk Beer
+    attenuation at the first two annulus crossings.
+
+    The map is camera-independent: compute once per (metric, sky, disk)
+    and pass to render_kerr(starlight_map=...) for every frame."""
+    if backend == "auto":
+        from curvis_tpu.integrate.march import _on_tpu
+        backend = "pallas" if (_on_tpu() or interpret) else "xla"
+    return _kerr_map_jit(metric, bg, jnp.asarray(r_inner),
+                         jnp.asarray(r_outer), jnp.asarray(escape_radius),
+                         jnp.asarray(dt), max_steps=max_steps, n_r=n_r,
+                         n_phi=n_phi, n_samples=n_samples,
+                         sample_filtering=sample_filtering, backend=backend,
+                         stepper=stepper, rtol=rtol, boost=boost,
+                         shadow_params=shadow_params, far_accel=far_accel,
+                         interpret=interpret)
+
+
+def _kerr_map_impl(metric, bg, r_inner, r_outer, escape_radius, dt, *,
+                   max_steps, n_r, n_phi, n_samples, sample_filtering,
+                   backend, stepper, rtol, boost, shadow_params, far_accel,
+                   interpret):
+    from curvis_tpu.physics import hamiltonian as ham
+    from curvis_tpu.render.kerr import _asymptotic_dirs, march_kerr_disk
+    dtype = bg.texture.dtype
+    rr = jnp.linspace(jnp.asarray(r_inner, dtype),
+                      jnp.asarray(r_outer, dtype), n_r)
+    a_r, a_p, a_n = _cosine_hemisphere(n_samples)
+    a_r = jnp.asarray(a_r, dtype)
+    a_p = jnp.asarray(a_p, dtype)
+    a_n = jnp.asarray(a_n, dtype)
+
+    N = n_r * n_samples
+    r0 = jnp.broadcast_to(rr[:, None], (n_r, n_samples)).reshape(-1)
+    x0 = jnp.stack([jnp.zeros((N,), dtype), r0,
+                    jnp.full((N,), jnp.pi / 2, dtype),
+                    jnp.zeros((N,), dtype)], axis=-1)
+    # +z-face hemisphere in the static tetrad (e_r, e_theta, e_phi): at the
+    # equator e_theta points along -z, so the vertical component is -a_n
+    tile = lambda a: jnp.broadcast_to(a[None, :],           # noqa: E731
+                                      (n_r, n_samples)).reshape(-1)
+    d3 = jnp.stack([tile(a_r), -tile(a_n), tile(a_p)], axis=-1)
+    p0 = ham.spawn_photon(metric, x0, d3)
+    E = -p0[:, 0]                                 # nu_inf per sample
+
+    far_r0 = None
+    if far_accel:
+        far_r0 = jnp.maximum(8.0 * metric.m, r_outer + 2.0 * metric.m)
+    band = (r_inner, r_outer)
+    if stepper == "rk45":
+        from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
+        x, p, sign, _, (h1, h2) = march_kerr_rk45_pallas(
+            metric, x0, p0, dt0=dt, max_steps=max_steps,
+            escape_radius=escape_radius, rtol=rtol, atol=rtol * 1e-3,
+            disk=band, interpret=(backend != "pallas") or interpret)
+    elif backend == "pallas":
+        from curvis_tpu.ops.march_pallas import march_kerr_pallas
+        x, p, sign, _, (h1, h2) = march_kerr_pallas(
+            metric, x0, p0, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, disk=band, far_r0=far_r0,
+            interpret=interpret)
+    else:
+        x, p, sign, (h1, h2) = march_kerr_disk(
+            metric, x0, p0, dt=dt, max_steps=max_steps,
+            escape_radius=escape_radius, r_inner=r_inner, r_outer=r_outer,
+            far_r0=far_r0)
+
+    esc = (sign == 1)[:, None]
+    xs = jnp.where(esc, x, x0)
+    ps = jnp.where(esc, p, p0)
+    wx, wy, wz = _asymptotic_dirs(metric, xs, ps)
+
+    weight = jnp.where(sign == 1, 1.0, 0.0).astype(dtype)
+    if boost:
+        # bolometric Liouville boost (nu_loc / nu_inf)^4.  Samples spawn
+        # with STATIC local energy 1, so nu_inf = E per sample.
+        if boost == "orbit":
+            # material-frame reception: the disk orbits at Omega =
+            # sqrt(M) / (r^{3/2} + a sqrt(M)) with u^t = 1 / sqrt(1 - 3M/r
+            # + 2 a sqrt(M) r^{-3/2}); nu_orbit = u^t (E - Omega L) —
+            # per-sample L carries the frame-dragging AND orbital-Doppler
+            # asymmetry of the incident sky (prograde-facing samples see
+            # the headlighted sky).  The hemisphere geometry stays the
+            # static frame's (aberration of the sample set is the
+            # remaining second-order refinement).
+            M, aspin = metric.m, getattr(metric, "a", 0.0)
+            sqM = jnp.sqrt(M)
+            r32 = r0 * jnp.sqrt(r0)
+            omega = sqM / (r32 + aspin * sqM)
+            under = jnp.clip(1.0 - 3.0 * M / r0
+                             + 2.0 * aspin * sqM / r32, 1e-3, None)
+            u_t = 1.0 / jnp.sqrt(under)
+            L = p0[:, 3]
+            nu_loc = u_t * (E - omega * L)
+        else:                                   # "static" (a->0 == planar)
+            nu_loc = jnp.ones_like(E)
+        ratio = nu_loc / jnp.maximum(E, 1e-12)
+        if boost == "orbit":
+            # near/inside the photon orbit u^t diverges (no timelike
+            # circular orbit); clamp the shift like the emission shader
+            # clamps g (render/kerr._kerr_circular_g clips at 4) so the
+            # bolometric ^4 stays render-sane
+            ratio = jnp.clip(ratio, 0.2, 4.0)
+        r2 = ratio * ratio
+        weight = weight * r2 * r2
+    if shadow_params is not None:
+        from curvis_tpu.render.disk import _emission_rgb
+        g1 = jnp.ones_like(h1[0])
+        _, alpha1 = _emission_rgb(h1[0], g1, shadow_params, dtype)
+        _, alpha2 = _emission_rgb(h2[0], g1, shadow_params, dtype)
+        weight = weight * (1.0 - alpha1) * (1.0 - alpha2)
+
+    wx = wx.reshape(n_r, n_samples)
+    wy = wy.reshape(n_r, n_samples)
+    wz = wz.reshape(n_r, n_samples)
+    weight = weight.reshape(n_r, n_samples)
+
+    # axisymmetry expansion: azimuth j rotates (wx, wy) by phi_j about z;
+    # the -z face (index 1) is the equatorial reflection wz -> -wz
+    pp = (2.0 * jnp.pi / n_phi) * jnp.arange(n_phi, dtype=dtype)
+    cj = jnp.cos(pp)[None, :, None]               # (1, n_phi, 1)
+    sj = jnp.sin(pp)[None, :, None]
+    wxi = wx[:, None, :]                          # (n_r, 1, K)
+    wyi = wy[:, None, :]
+    wzi = jnp.broadcast_to(wz[:, None, :], (n_r, n_phi, n_samples))
+    rx = wxi * cj - wyi * sj                      # (n_r, n_phi, K)
+    ry = wxi * sj + wyi * cj
+    shape = (2, n_r, n_phi, n_samples)
+    wxa = jnp.broadcast_to(rx[None], shape)
+    wya = jnp.broadcast_to(ry[None], shape)
+    sides = jnp.asarray([1.0, -1.0], dtype)[:, None, None, None]
+    wza = jnp.broadcast_to(wzi[None] * sides, shape)
+    flat = (-1,)
+    L = _shade_soa(bg, wxa.reshape(flat), wya.reshape(flat),
+                   wza.reshape(flat), sample_filtering).reshape(shape + (3,))
+    L = L * weight[None, :, None, :, None]
+    return StarlightMap(radii=rr, values=jnp.mean(L, axis=3))
+
+
+_kerr_map_jit = jax.jit(
+    lambda *a, **k: _kerr_map_impl(*a, **k),
+    static_argnames=("max_steps", "n_r", "n_phi", "n_samples",
+                     "sample_filtering", "backend", "stepper", "rtol",
+                     "boost", "shadow_params", "far_accel", "interpret"))
+
+
 def starlight_lookup(smap: StarlightMap, r_hit, phi_world, side):
     """Bilinear (r, phi) lookup with azimuthal wraparound; ``side`` in
     {+1, -1} selects the face.  Returns (N, 3) reflected-sky radiance

@@ -1,0 +1,123 @@
+"""Recover (M, a, inclination, r_in, r_out) from a noisy DISK IMAGE.
+
+The flagship inverse problem the round-5 surface adjoints unlock
+(integrate/kerr_surface_adjoint.py): real instruments do not observe
+background lensing — they observe the disk (the EHT images are exactly
+this).  The volumetric march is smooth in every knob, so the whole
+pipeline  spawn -> BL march with in-kernel radiative transfer -> shading
+-> L2 loss  differentiates exactly, including the camera inclination
+(through the tetrad spawn) and the disk's own geometry (through the
+traced emission row, build_vol_row).
+
+The loss surface couples (a, inclination) along a ridge and has
+photon-ring foldovers (the round-2 physics note), so the harness uses
+curvis_tpu.fit's vmapped multi-start — several initializations explore
+the basin set in one compiled program.
+
+Run on TPU (backend='adjoint' uses the Pallas forward + Pallas
+checkpointed-recompute backward); CPU works with backend='scan' at the
+reduced preset (--fast).
+"""
+import argparse
+import dataclasses
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="small CPU-friendly preset")
+    ap.add_argument("--backend", default=None,
+                    help="scan (XLA pair) | adjoint (Pallas pair, TPU)")
+    args = ap.parse_args()
+
+    import jax
+    if args.fast:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.fit import fit
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.render.disk import DiskParams
+    from curvis_tpu.render.kerr import render_kerr
+
+    fast = args.fast
+    backend = args.backend or ("scan" if fast else "adjoint")
+    dtype = jnp.float64 if fast else jnp.float32
+    w, h = (32, 18) if fast else (96, 54)
+    max_steps = 700 if fast else 1200
+    iters = 60 if fast else 150
+    n_starts = 2 if fast else 6
+
+    yy, xx = np.mgrid[0:64, 0:128]
+    sky = np.stack([0.1 + 0.1 * np.sin(6 * np.pi * xx / 128),
+                    0.1 + yy / 320,
+                    0.2 + 0.1 * np.cos(4 * np.pi * yy / 64)], -1)
+    bg = cv.make_spherical_image(np.clip(sky, 0, 1), dtype=dtype)
+    cam0 = cv.make_camera([0.0, 18.0, np.pi / 2 - 0.4, 0.0],
+                          [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0],
+                          30.0, 43.0, w, h, dtype=dtype)
+    vdisk = DiskParams(r_inner=3.0, r_outer=12.0, volumetric=True,
+                       h_rel=0.1, kappa=2.0, tau_max=8.0)
+
+    def cam_at(th):
+        # inclination enters differentiably through position AND aim
+        fwd = jnp.stack([-jnp.sin(th), jnp.zeros_like(th), -jnp.cos(th)])
+        pos = jnp.stack([jnp.zeros_like(th), jnp.asarray(18.0, dtype), th,
+                         jnp.zeros_like(th)])
+        return dataclasses.replace(cam0, position=pos, forward=fwd)
+
+    def render(p):
+        m = KerrMetric(m=p["m"], a=p["a"])
+        return render_kerr(m, cam_at(p["th"]), bg, dt=0.25,
+                           max_steps=max_steps, escape_radius=25.0,
+                           disk=vdisk, backend=backend,
+                           disk_theta={"r_inner": p["r_in"],
+                                       "r_outer": p["r_out"]})
+
+    true = {"m": jnp.asarray(1.0, dtype), "a": jnp.asarray(0.7, dtype),
+            "th": jnp.asarray(np.pi / 2 - 0.4, dtype),
+            "r_in": jnp.asarray(3.5, dtype),
+            "r_out": jnp.asarray(11.0, dtype)}
+    rng = np.random.default_rng(0)
+    target = render(true)
+    target = jnp.clip(target + 0.01 * rng.standard_normal(target.shape).
+                      astype(np.float32 if dtype == jnp.float32
+                             else np.float64), 0, 1)
+
+    def loss_fn(p):
+        return jnp.mean((render(p) - target) ** 2)
+
+    def project(p):
+        return {"m": jnp.clip(p["m"], 0.5, 2.0),
+                "a": jnp.clip(p["a"], 0.0, 0.95),
+                "th": jnp.clip(p["th"], 0.8, np.pi / 2 - 0.05),
+                "r_in": jnp.clip(p["r_in"], 2.2, 6.0),
+                "r_out": jnp.clip(p["r_out"], 8.0, 13.0)}
+
+    init = {"m": jnp.asarray(1.0, dtype), "a": jnp.asarray(0.4, dtype),
+            "th": jnp.asarray(np.pi / 2 - 0.25, dtype),
+            "r_in": jnp.asarray(4.5, dtype),
+            "r_out": jnp.asarray(10.0, dtype)}
+
+    def sampler(key):
+        ks = jax.random.split(key, 5)
+        u = [jax.random.uniform(k) for k in ks]
+        return {"m": 0.8 + 0.4 * u[0], "a": 0.1 + 0.8 * u[1],
+                "th": 0.9 + 0.5 * u[2], "r_in": 2.5 + 3.0 * u[3],
+                "r_out": 9.0 + 3.5 * u[4]}
+
+    res = fit(loss_fn, init, iters=iters, lr=0.03, n_starts=n_starts,
+              init_sampler=None if n_starts == 1 else sampler,
+              project=project)
+    print(f"loss {float(res.loss):.3e}  converged={res.converged()}  "
+          f"best start {res.best_index}/{n_starts}")
+    for k in true:
+        print(f"  {k:5s}: true={float(true[k]):.4f}  "
+              f"fit={float(res.params[k]):.4f}")
+
+
+if __name__ == "__main__":
+    main()
