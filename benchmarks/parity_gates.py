@@ -803,6 +803,75 @@ def gate_surface_adjoint_planar():
             "rel": round(rel, 6), "ok": bool(rel < 1e-2)}
 
 
+def gate_vol_scatter():
+    """Starlight single-scattering source riding the planar vol kernel's
+    SMEM row (round 5): Pallas (compiled) vs the XLA twin on (tau, em),
+    plus the uniform-sky closed form I_sc = (ks a L / kappa)(1 - e^-tau)
+    against the kernel's own tau output (quadrature-level tolerance)."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.metrics.base import EllisMetric
+    from curvis_tpu.physics import planar as pl
+    from curvis_tpu.render.disk import (DiskParams,
+                                        march_planar_disk_volumetric)
+    from curvis_tpu.render.starlight import (StarlightMap,
+                                             starlight_scatter_block)
+    from curvis_tpu.ops.march_pallas import \
+        march_planar_disk_volumetric_pallas
+    rng = np.random.default_rng(4)
+    n = 256
+    met = EllisMetric(rho=jnp.asarray(0.05, jnp.float32))
+    disk = DiskParams(r_inner=3.0, r_outer=9.0, volumetric=True,
+                      h_rel=0.12, kappa=2.0, tau_max=30.0, redshift=False,
+                      doppler=False, albedo=(0.5, 0.3, 0.2),
+                      starlight_scatter=0.7)
+    l0 = jnp.full((n,), 15.0, jnp.float32)
+    alpha = jnp.asarray(np.pi - (0.15 + 0.45 * rng.random(n)), jnp.float32)
+    rays = pl.PlanarRays(l0, jnp.zeros((n,), jnp.float32), jnp.cos(alpha),
+                         met.r(l0) * jnp.sin(alpha),
+                         jnp.zeros((1, 3), jnp.float32),
+                         jnp.zeros((1, 3), jnp.float32))
+    ang = rng.random(n) * 2 * np.pi
+    c1 = jnp.asarray(0.5 * np.cos(ang), jnp.float32)
+    c2 = jnp.asarray(0.6 * np.sin(ang) + 0.1, jnp.float32)
+    nz = jnp.asarray(0.4 + 0.4 * rng.random(n), jnp.float32)
+    L = 0.6
+    smap = StarlightMap(jnp.linspace(3.0, 9.0, 10),
+                        jnp.full((2, 10, 8, 3), L, jnp.float32))
+    blk = starlight_scatter_block(smap, disk, jnp.float32)
+    kw = dict(dt=0.03, max_steps=2048, escape_radius=18.0)
+    res_t, tau_t, em_t = jax.jit(
+        lambda m, r: march_planar_disk_volumetric(
+            m, r, c1, c2, nz, params=disk, scatter_block=blk, **kw))(
+        met, rays)
+    res_k, tau_k, em_k = jax.jit(
+        lambda m, r: march_planar_disk_volumetric_pallas(
+            m, r, c1, c2, nz, disk=disk, scatter_block=blk,
+            interpret=_ipret(), **kw))(met, rays)
+    tau_rel = float(np.max(np.abs(np.asarray(tau_t) - np.asarray(tau_k))
+                           / np.maximum(np.asarray(tau_t), 1e-3)))
+    em_rel = float(np.max(np.abs(np.asarray(em_t[2]) - np.asarray(em_k[2]))
+                          / np.maximum(np.asarray(em_t[2]), 1e-3)))
+    # closed form on the kernel's own outputs: subtract the emission-only
+    # march (grayscale w) to isolate the scattered channel
+    _, tau_o, em_o = jax.jit(
+        lambda m, r: march_planar_disk_volumetric_pallas(
+            m, r, c1, c2, nz, disk=disk, interpret=_ipret(), **kw))(
+        met, rays)
+    ks = disk.starlight_scatter * disk.kappa
+    expect = (ks * 0.2 * L / disk.kappa                 # albedo_b = 0.2
+              * (1.0 - np.exp(-np.asarray(tau_k))))
+    tint_b = disk.tint[2]
+    sc = np.asarray(em_k[2]) - tint_b * np.asarray(em_o[0])
+    mask = expect > 1e-3
+    form = float(np.median(np.abs(sc[mask] - expect[mask])
+                           / expect[mask])) if mask.any() else 0.0
+    return {"tau_rel": round(tau_rel, 6), "em_rel": round(em_rel, 6),
+            "closed_form_med": round(form, 4), "n_gas": int(mask.sum()),
+            "ok": bool(tau_rel < 1e-3 and em_rel < 1e-3 and form < 0.05
+                       and mask.sum() > 30)}
+
+
 GATES = {
     "euler_ellis": lambda: gate_euler("ellis"),
     "euler_dneg": lambda: gate_euler("dneg"),
@@ -823,6 +892,7 @@ GATES = {
     "rk45_adjoint": gate_rk45_adjoint,
     "rk45_adjoint_planar": gate_rk45_adjoint_planar,
     "kerr_disk": gate_kerr_disk,
+    "vol_scatter": gate_vol_scatter,
     "disk_adjoint": gate_disk_adjoint,
     "vol_adjoint": gate_vol_adjoint,
     "surface_adjoint_planar": gate_surface_adjoint_planar,

@@ -143,16 +143,17 @@ def _pl_disk_step(kind, dt, theta, y):
     crossed = zq * zq1 < 0.0
     den = jnp.abs(zq) + jnp.abs(zq1)
     frac = jnp.abs(zq) / jnp.maximum(den, 1e-30)
-    r_hit = jnp.abs(l + frac * (l1 - l))
+    lh = l + frac * (l1 - l)          # signed (kernel contract): sheet
+    r_hit = jnp.abs(lh)
     pl_hit = p_l + frac * (pl1 - p_l)
     psi_hit = psi + frac * du
     in_disk = crossed & (r_hit >= r_in) & (r_hit <= r_out)
     new1 = in_disk & (h1 == 0.0)
     new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
-    h1 = jnp.where(new1, r_hit, h1)
+    h1 = jnp.where(new1, lh, h1)
     h1p = jnp.where(new1, pl_hit, h1p)
     h1s = jnp.where(new1, psi_hit, h1s)
-    h2 = jnp.where(new2, r_hit, h2)
+    h2 = jnp.where(new2, lh, h2)
     h2p = jnp.where(new2, pl_hit, h2p)
     h2s = jnp.where(new2, psi_hit, h2s)
     return (l1, psi + dt * dpsi, pl1, u1, v1, h1, h1p, h1s, h2, h2p, h2s)
@@ -285,16 +286,17 @@ def _pl_rk45_surface_iter(kind, consts, theta, y, track_disk, vol,
         crossed = accept & (zq_prev * zq_new < 0.0)
         cden = jnp.abs(zq_prev) + jnp.abs(zq_new)
         cfrac = jnp.abs(zq_prev) / jnp.maximum(cden, 1e-30)
-        r_hit = jnp.abs(l_prev + cfrac * (ln - l_prev))
+        lh = l_prev + cfrac * (ln - l_prev)      # signed (kernel contract)
+        r_hit = jnp.abs(lh)
         pl_hit = pl_prev + cfrac * (pln - pl_prev)
         psi_hit = psi_prev + cfrac * (psin - psi_prev)
         in_disk = crossed & (r_hit >= r_in) & (r_hit <= r_out)
         new1 = in_disk & (h1 == 0.0)
         new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
-        h1 = jnp.where(new1, r_hit, h1)
+        h1 = jnp.where(new1, lh, h1)
         h1p = jnp.where(new1, pl_hit, h1p)
         h1s = jnp.where(new1, psi_hit, h1s)
-        h2 = jnp.where(new2, r_hit, h2)
+        h2 = jnp.where(new2, lh, h2)
         h2p = jnp.where(new2, pl_hit, h2p)
         h2s = jnp.where(new2, psi_hit, h2s)
         ex = (h1, h1p, h1s, h2, h2p, h2s)

@@ -40,7 +40,8 @@ _B4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
 def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
                       max_steps=10_000, rtol=1e-6, atol=1e-9, dt0=0.05,
                       dt_min=1e-6, dt_max=10.0, max_iters=None,
-                      c1=None, c2=None, nz=None, disk=None, vol_disk=None):
+                      c1=None, c2=None, nz=None, disk=None, vol_disk=None,
+                      scatter_block=None):
     """Adaptive march; same result contract as the fixed-step marchers.
     ``steps`` counts accepted steps.
 
@@ -84,6 +85,10 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
         if vol:
             extra = [rtol, atol, dt_max, vol_disk.r_inner,
                      vol_disk.r_outer] + _vol_param_slots(vol_disk)
+            if scatter_block is not None:
+                from curvis_tpu.ops.march_pallas import SCATTER_BLOCK
+                extra = extra + [scatter_block[i]
+                                 for i in range(SCATTER_BLOCK)]
             r_in = jnp.asarray(vol_disk.r_inner, dtype)
             r_out = jnp.asarray(vol_disk.r_outer, dtype)
             row = jnp.concatenate([row[:, :6],
@@ -168,25 +173,31 @@ def march_planar_rk45(metric: Metric, rays: PlanarRays, *, escape_radius,
             crossed = am & (zq_prev * zq_new < 0.0)
             cden = jnp.abs(zq_prev) + jnp.abs(zq_new)
             cfrac = jnp.abs(zq_prev) / jnp.maximum(cden, 1e-30)
-            r_hit = jnp.abs(l_prev + cfrac * (l - l_prev))
+            lh = l_prev + cfrac * (l - l_prev)       # signed: sheet
+            r_hit = jnp.abs(lh)
             pl_hit = pl_prev + cfrac * (p_l - pl_prev)
             psi_hit = psi_prev + cfrac * (psi - psi_prev)
             in_disk = crossed & (r_hit >= r_in) & (r_hit <= r_out)
             new1 = in_disk & (h1 == 0.0)
             new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
-            h1 = jnp.where(new1, r_hit, h1)
+            h1 = jnp.where(new1, lh, h1)
             h1p = jnp.where(new1, pl_hit, h1p)
             h1s = jnp.where(new1, psi_hit, h1s)
-            h2 = jnp.where(new2, r_hit, h2)
+            h2 = jnp.where(new2, lh, h2)
             h2p = jnp.where(new2, pl_hit, h2p)
             h2s = jnp.where(new2, psi_hit, h2s)
             ex = (zq_new, h1, h1p, h1s, h2, h2p, h2s)
         if vol:
             _, tau, emr, emg, emb = ex
+            from curvis_tpu.ops.march_pallas import SCATTER_BLOCK as _SB
+            _sc_off = (CHEB_OFF_RK45_VOL if scatter_block is not None
+                       else None)
+            _cheb = CHEB_OFF_RK45_VOL + (_SB if scatter_block is not None
+                                         else 0)
             dtau, dr_, dg_, db_ = _vol_emission(
                 kind, vol_disk.color_mode == "blackbody", vol_disk.redshift,
                 vol_disk.doppler, row, l, p_l, rays.b, zq_new, tau, nz,
-                CHEB_OFF_RK45_VOL, RK45_EXTRA_OFF)
+                _cheb, RK45_EXTRA_OFF, scatter_off=_sc_off)
             emr = emr + jnp.where(am, dt * dr_, 0.0)
             emg = emg + jnp.where(am, dt * dg_, 0.0)
             emb = emb + jnp.where(am, dt * db_, 0.0)

@@ -76,6 +76,16 @@ KERR_RK45_BOUNDS = {False: 10, True: VOL_BLOCK_KERR + len(VOL_SLOT)}
 RK45_EXTRA_OFF = 3
 CHEB_OFF_RK45_DISK = 12            # [9]=r_in [10]=r_out [11]=spare, tail
 CHEB_OFF_RK45_VOL = CHEB_OFF_VOL + RK45_EXTRA_OFF     # = 19
+# Starlight single-scattering block (planar vol kernels, round 5): when the
+# compile-time ``scatter`` flag is on, 27 scalars ride between the vol
+# block and the metric tail — [tint_r, tint_g, tint_b] (the tint folds
+# in-kernel because scattered sky light is colored, so grayscale tint-mode
+# accumulators no longer suffice) followed by 3 x (SCATTER_DEG+1) monomial
+# coefficients of kappa_s * albedo_c * Ebar_c(t), t = 2 (r_cyl - r_in) /
+# (r_out - r_in) - 1 (the azimuth/face-averaged starlight map profile).
+# The Chebyshev metric tail shifts up by SCATTER_BLOCK.
+SCATTER_DEG = 7
+SCATTER_BLOCK = 3 + 3 * (SCATTER_DEG + 1)             # = 27
 
 
 def _atan_poly(x):
@@ -482,7 +492,8 @@ _DP_B4 = [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
 
 def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
                  track_disk: bool, vol: bool, blackbody: bool,
-                 redshift: bool, doppler: bool, params_ref, *refs):
+                 redshift: bool, doppler: bool, scatter: bool,
+                 params_ref, *refs):
     """Adaptive planar DP5(4) march (integrate/rk45.py semantics).
 
     Compile-time variants (round-4: the planar stepper x surface matrix is
@@ -502,7 +513,8 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
     in_refs = refs[:n_in]
     out_refs = refs[n_in:]
     l_ref, psi_ref, pl_ref, b_ref = in_refs[:4]
-    cheb_off = (CHEB_OFF_RK45_VOL if vol
+    scatter_off = CHEB_OFF_RK45_VOL if (vol and scatter) else None
+    cheb_off = (CHEB_OFF_RK45_VOL + (SCATTER_BLOCK if scatter else 0) if vol
                 else CHEB_OFF_RK45_DISK if track_disk else CHEB_OFF_COMPACT)
     deriv = _deriv_fns(kind, cheb_off)
     R = params_ref[0, 1]
@@ -622,16 +634,21 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
             crossed = acc_b & (zq_prev * zq_new < 0.0)
             cden = jnp.abs(zq_prev) + jnp.abs(zq_new)
             cfrac = jnp.abs(zq_prev) / jnp.maximum(cden, 1e-30)
-            r_hit = jnp.abs(l_prev + cfrac * (l - l_prev))
+            # SIGNED hit coordinate: |lh| is the radius, sign(lh) the
+            # SHEET (wormholes have a disk on both sides of the throat;
+            # the two-sheet starlight map selects per hit) — consumers
+            # take jnp.abs() for shading
+            lh = l_prev + cfrac * (l - l_prev)
+            r_hit = jnp.abs(lh)
             pl_hit = pl_prev + cfrac * (p_l - pl_prev)
             psi_hit = psi_prev + cfrac * (psi - psi_prev)
             in_disk = crossed & (r_hit >= r_in) & (r_hit <= r_out)
             new1 = in_disk & (h1 == 0.0)
             new2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
-            h1 = jnp.where(new1, r_hit, h1)
+            h1 = jnp.where(new1, lh, h1)
             h1p = jnp.where(new1, pl_hit, h1p)
             h1s = jnp.where(new1, psi_hit, h1s)
-            h2 = jnp.where(new2, r_hit, h2)
+            h2 = jnp.where(new2, lh, h2)
             h2p = jnp.where(new2, pl_hit, h2p)
             h2s = jnp.where(new2, psi_hit, h2s)
             ex = (zq_new, h1, h1p, h1s, h2, h2p, h2s)
@@ -641,7 +658,8 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
             # with the PRE-update tau (the Euler vol kernel's quadrature)
             dtau, dr_, dg_, db_ = _vol_emission(
                 kind, blackbody, redshift, doppler, params_ref,
-                l, p_l, b, zq_new, tau, nz, cheb_off, RK45_EXTRA_OFF)
+                l, p_l, b, zq_new, tau, nz, cheb_off, RK45_EXTRA_OFF,
+                scatter_off=scatter_off)
             emr = emr + jnp.where(acc_b, dt * dr_, zero)
             emg = emg + jnp.where(acc_b, dt * dg_, zero)
             emb = emb + jnp.where(acc_b, dt * db_, zero)
@@ -743,12 +761,13 @@ def _rk45_kernel(kind: str, max_steps: int, max_iters: int,
 
 @functools.partial(jax.jit, static_argnames=("kind", "max_steps", "max_iters",
                                              "track_disk", "vol", "blackbody",
-                                             "redshift", "doppler",
+                                             "redshift", "doppler", "scatter",
                                              "tile_rows", "interpret"))
 def _rk45_flat_arrays(kind, params, l, psi, p_l, b, c1=None, c2=None,
                       nz=None, *, max_steps, max_iters, track_disk=False,
                       vol=False, blackbody=False, redshift=False,
-                      doppler=False, tile_rows, interpret=False):
+                      doppler=False, scatter=False, tile_rows,
+                      interpret=False):
     n_rows = l.shape[0]
     grid = (n_rows // tile_rows,)
     dtype = l.dtype
@@ -758,7 +777,8 @@ def _rk45_flat_arrays(kind, params, l, psi, p_l, b, c1=None, c2=None,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_rk45_kernel, kind, max_steps, max_iters,
-                               track_disk, vol, blackbody, redshift, doppler)
+                               track_disk, vol, blackbody, redshift, doppler,
+                               scatter)
     f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
     i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
     out_shape = [f, f, f, i32, i32]
@@ -788,7 +808,8 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
                              rtol=1e-5, atol=1e-7, dt0=0.05, dt_max=10.0,
                              tile_rows=64, c1=None, c2=None, nz=None,
                              disk=None, vol_disk=None, vol_row=None,
-                             interpret=False, return_iters=False):
+                             scatter_block=None, interpret=False,
+                             return_iters=False):
     """Pallas adaptive RK45 march (integrate/rk45.py semantics on-device).
 
     ``disk=(r_in, r_out)`` (+ per-ray plane coefficients ``c1, c2``)
@@ -818,6 +839,8 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
         else:
             extra += [vol_row[i] for i in range(10)]
         assert 6 + len(extra) == CHEB_OFF_RK45_VOL
+        if scatter_block is not None:
+            extra = extra + [scatter_block[i] for i in range(SCATTER_BLOCK)]
     else:
         extra += [0.0]
         assert 6 + len(extra) == CHEB_OFF_COMPACT
@@ -852,6 +875,7 @@ def march_planar_rk45_pallas(metric: Metric, rays: PlanarRays, *,
         track_disk=track_disk, vol=vol,
         blackbody=vol and vol_disk.color_mode == "blackbody",
         redshift=vol and vol_disk.redshift, doppler=vol and vol_disk.doppler,
+        scatter=scatter_block is not None,
         tile_rows=tile_rows, interpret=interpret)
     outs = [a.reshape(-1)[:n].reshape(rays.l.shape) for a in outs]
     res = PlanarResult(*outs[:5])
@@ -942,7 +966,9 @@ def _disk_kernel(kind: str, max_steps: int, unroll: int,
             crossed = alive * jnp.where(zq * zq1 < 0.0, one, zero)
             denom = jnp.abs(zq) + jnp.abs(zq1)
             frac = jnp.abs(zq) / jnp.maximum(denom, 1e-30)
-            r_hit = jnp.abs(l + frac * (l1 - l))
+            # SIGNED hit coordinate (sheet = sign; see _rk45_kernel)
+            lh = l + frac * (l1 - l)
+            r_hit = jnp.abs(lh)
             in_disk = crossed * jnp.where(r_hit >= r_in, one, zero) \
                 * jnp.where(r_hit <= r_out, one, zero)
             pl_hit = p_l + frac * (pl1 - p_l)
@@ -950,10 +976,10 @@ def _disk_kernel(kind: str, max_steps: int, unroll: int,
             new1 = in_disk * jnp.where(h1 == 0.0, one, zero)
             new2 = in_disk * jnp.where(h1 != 0.0, one, zero) \
                 * jnp.where(h2 == 0.0, one, zero)
-            h1 = h1 + new1 * r_hit
+            h1 = h1 + new1 * lh
             h1p = h1p + new1 * pl_hit
             h1s = h1s + new1 * psi_hit
-            h2 = h2 + new2 * r_hit
+            h2 = h2 + new2 * lh
             h2p = h2p + new2 * pl_hit
             h2s = h2s + new2 * psi_hit
             l = l1
@@ -1065,14 +1091,20 @@ _VOL_BB_L5 = tuple(-5.0 * float(np.log(lam))
 
 def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
                   pr, l, p_l, b, zq, tau, nz, cheb_off=CHEB_OFF_VOL,
-                  off=0):
+                  off=0, scatter_off=None):
     """SoA per-step volumetric emission — (dtau, demr, demg, demb).
 
     Mirrors render/disk.py:step_emission exactly (same clips, same guards);
     scalars come from the widened SMEM row (layout contract at the top of
     this module: the 8 _vol_param_slots ride at VOL_BLOCK_PLANAR, so a
     table metric's coefficient tail rides at CHEB_OFF_VOL — NOT the
-    compact kernels' CHEB_OFF_COMPACT)."""
+    compact kernels' CHEB_OFF_COMPACT).
+
+    ``scatter_off``: slot offset of the 27-scalar starlight scattering
+    block (module-top contract) — adds the single-scattering source
+    trans * rho * kappa_s albedo_c Ebar_c(r_cyl) per channel, the in-gas
+    twin of the thin-disk surface reflection (VERDICT round-4 #3a); in
+    tint mode the emission picks up the tint per channel in-kernel."""
     V = VOL_BLOCK_PLANAR + off
     r_in = pr[0, 6 + off]
     r_out = pr[0, 7 + off]
@@ -1120,6 +1152,20 @@ def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
             g = g / (gamma * (1.0 - v * cos_xi))
     trans = jnp.exp(-tau)
     dtau = kappa * base
+    scat = None
+    if scatter_off is not None:
+        # scattered-starlight source: Horner in the compactified radius
+        # per channel, clipped at 0 (a least-squares fit may undershoot)
+        t = jnp.clip(2.0 * (r_cyl - r_in) / (r_out - r_in) - 1.0,
+                     -1.0, 1.0)
+        sw = trans * base
+        scat = []
+        for c in range(3):
+            c0 = scatter_off + 3 + c * (SCATTER_DEG + 1)
+            acc = pr[0, c0 + SCATTER_DEG]
+            for k in range(SCATTER_DEG - 1, -1, -1):
+                acc = acc * t + pr[0, c0 + k]
+            scat.append(sw * jnp.maximum(acc, 0.0))
     if blackbody:
         # Shakura-Sunyaev T(rr), normalized to peak t_peak (disk.py:86-95)
         sq = jnp.sqrt(r_in / rr)
@@ -1142,24 +1188,37 @@ def _vol_emission(kind: str, blackbody: bool, redshift: bool, doppler: bool,
             logs.append(l5 - log_denom)
         m = jnp.maximum(logs[0], jnp.maximum(logs[1], logs[2]))
         w = trans * base * rel
-        return (dtau, w * jnp.exp(logs[0] - m), w * jnp.exp(logs[1] - m),
-                w * jnp.exp(logs[2] - m))
+        out = [w * jnp.exp(logs[0] - m), w * jnp.exp(logs[1] - m),
+               w * jnp.exp(logs[2] - m)]
+        if scat is not None:
+            out = [o + sc for o, sc in zip(out, scat)]
+        return (dtau, out[0], out[1], out[2])
     # tint mode: grayscale energy (the tint color is applied at shade time)
     emis = jnp.exp(emis_q * jnp.log(r_in / rr))
     w = trans * base * emis * jnp.clip(g, 0.0, 4.0) ** 3
+    if scat is not None:
+        # scattered light is COLORED: fold the tint in-kernel per channel
+        # (the shader then skips its grayscale tint scaling)
+        return (dtau, w * pr[0, scatter_off] + scat[0],
+                w * pr[0, scatter_off + 1] + scat[1],
+                w * pr[0, scatter_off + 2] + scat[2])
     return dtau, w, w, w
 
 
 def _disk_vol_kernel(kind: str, blackbody: bool, redshift: bool,
-                     doppler: bool, max_steps: int, unroll: int,
+                     doppler: bool, scatter: bool, max_steps: int,
+                     unroll: int,
                      params_ref, l_ref, psi_ref, pl_ref, b_ref, c1_ref,
                      c2_ref, nz_ref, ol_ref, opsi_ref, opl_ref, osign_ref,
                      osteps_ref, otau_ref, oemr_ref, oemg_ref, oemb_ref):
     # the vol row carries 16 named slots (6-15 = disk/emission params), so
     # a table metric's Chebyshev tail rides at CHEB_OFF_VOL — the compact
     # default would read kappa/tau_max/... as coefficients (garbage
-    # trajectories; the round-3 bug class the layout contract pins)
-    deriv = _deriv_fns(kind, CHEB_OFF_VOL)
+    # trajectories; the round-3 bug class the layout contract pins).
+    # The optional 27-slot scattering block pushes the tail up.
+    scatter_off = CHEB_OFF_VOL if scatter else None
+    cheb_off = CHEB_OFF_VOL + (SCATTER_BLOCK if scatter else 0)
+    deriv = _deriv_fns(kind, cheb_off)
     dt = params_ref[0, 0]
     R = params_ref[0, 1]
     r_cap = params_ref[0, 5]
@@ -1203,7 +1262,8 @@ def _disk_vol_kernel(kind: str, blackbody: bool, redshift: bool,
             zq = c1 * u + c2 * v
             dtau, dr_, dg_, db_ = _vol_emission(
                 kind, blackbody, redshift, doppler, params_ref,
-                l, p_l, b, zq, tau, nz)
+                l, p_l, b, zq, tau, nz, cheb_off=cheb_off,
+                scatter_off=scatter_off)
             emr = emr + dte * dr_
             emg = emg + dte * dg_
             emb = emb + dte * db_
@@ -1233,12 +1293,12 @@ def _disk_vol_kernel(kind: str, blackbody: bool, redshift: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "blackbody", "redshift",
-                                             "doppler", "max_steps",
-                                             "tile_rows", "unroll",
-                                             "interpret"))
+                                             "doppler", "scatter",
+                                             "max_steps", "tile_rows",
+                                             "unroll", "interpret"))
 def _disk_vol_arrays(kind, blackbody, redshift, doppler, params, l, psi, p_l,
                      b, c1, c2, nz, *, max_steps, tile_rows, unroll,
-                     interpret=False):
+                     scatter=False, interpret=False):
     n_rows = l.shape[0]
     grid = (n_rows // tile_rows,)
     dtype = l.dtype
@@ -1248,7 +1308,7 @@ def _disk_vol_arrays(kind, blackbody, redshift, doppler, params, l, psi, p_l,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_disk_vol_kernel, kind, blackbody, redshift,
-                               doppler, max_steps, unroll)
+                               doppler, scatter, max_steps, unroll)
     f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
     i = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
     return pl.pallas_call(
@@ -1267,13 +1327,15 @@ def _disk_vol_arrays(kind, blackbody, redshift, doppler, params, l, psi, p_l,
 def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
                                         c1, c2, nz, *, dt, max_steps,
                                         escape_radius, disk, vol_row=None,
-                                        tile_rows=32, unroll=4,
-                                        interpret=False):
+                                        scatter_block=None, tile_rows=32,
+                                        unroll=4, interpret=False):
     """Pallas counterpart of render/disk.march_planar_disk_volumetric.
 
     ``disk`` is a render.disk.DiskParams with volumetric=True; returns
     (PlanarResult, tau, (em_r, em_g, em_b)).  ``vol_row``: traced (10,)
     (r_in, r_out, 8 slots) override — see march_kerr_pallas.
+    ``scatter_block``: traced (SCATTER_BLOCK,) starlight-scattering
+    coefficients (module-top contract) enabling the in-gas source term.
     """
     while max_steps % unroll:        # exact step cap (see march_planar_pallas)
         unroll //= 2
@@ -1282,6 +1344,8 @@ def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
     extra = ([disk.r_inner, disk.r_outer] + _vol_param_slots(disk)
              if vol_row is None else [vol_row[i] for i in range(10)])
     assert 6 + 2 == VOL_BLOCK_PLANAR and 6 + len(extra) == CHEB_OFF_VOL
+    if scatter_block is not None:
+        extra = extra + [scatter_block[i] for i in range(SCATTER_BLOCK)]
     params = jnp.concatenate(
         [params[:, :6],
          jnp.asarray([extra], params.dtype),
@@ -1302,7 +1366,9 @@ def march_planar_disk_volumetric_pallas(metric: Metric, rays: PlanarRays,
                             disk.redshift, disk.doppler, params,
                             *(a.reshape(shape2) for a in arrs),
                             max_steps=max_steps, tile_rows=tile_rows,
-                            unroll=unroll, interpret=interpret)
+                            unroll=unroll,
+                            scatter=scatter_block is not None,
+                            interpret=interpret)
     outs = [a.reshape(-1)[:n].reshape(rays.l.shape) for a in outs]
     l, psi, p_l, sign, steps, tau, emr, emg, emb = outs
     return (PlanarResult(l, psi, p_l, sign, steps), tau, (emr, emg, emb))

@@ -90,6 +90,15 @@ class DiskParams:
     starlight_grid: tuple = (48, 128)   # (n_r, n_phi) map resolution
     starlight_blueshift: bool = True    # A^-2 infall boost (Liouville)
     starlight_self_shadow: bool = True  # annulus attenuates its own sky
+    # Volumetric starlight: single-scattering of the lensed sky IN the gas
+    # (render/starlight.starlight_scatter_block): kappa_s =
+    # starlight_scatter * kappa; 0 disables the source term
+    starlight_scatter: float = 1.0
+    # Two-sheet map for asymmetric (tabulated) wormholes: a second table
+    # for the l -> -l mirrored metric with the skies swapped; hits select
+    # their sheet by the sign of the recorded crossing coordinate
+    # (render/starlight.py round-5 — symmetric shapes don't need it)
+    starlight_two_sheet: bool = False
 
 
 # Numeric DiskParams fields a differentiable render may override with
@@ -266,16 +275,17 @@ def march_planar_disk(metric: Metric, rays: pl.PlanarRays, c1, c2, *, dt,
         # disk crossing: z changes sign within the step
         crossed = active & (z * z1 < 0.0)
         frac = jnp.abs(z) / jnp.maximum(jnp.abs(z) + jnp.abs(z1), 1e-30)
-        r_hit = jnp.abs(l + frac * (l1 - l))          # coordinate radius
+        lh = l + frac * (l1 - l)      # SIGNED: |lh| = radius, sign = sheet
+        r_hit = jnp.abs(lh)
         in_disk = crossed & (r_hit >= r_inner) & (r_hit <= r_outer)
         pl_hit = p_l + frac * (pl1 - p_l)
         psi_hit = psi + frac * (psi1 - psi)
         new_h1 = in_disk & (h1 == 0.0)
         new_h2 = in_disk & (h1 != 0.0) & (h2 == 0.0)
-        h1 = jnp.where(new_h1, r_hit, h1)
+        h1 = jnp.where(new_h1, lh, h1)
         h1p = jnp.where(new_h1, pl_hit, h1p)
         h1s = jnp.where(new_h1, psi_hit, h1s)
-        h2 = jnp.where(new_h2, r_hit, h2)
+        h2 = jnp.where(new_h2, lh, h2)
         h2p = jnp.where(new_h2, pl_hit, h2p)
         h2s = jnp.where(new_h2, psi_hit, h2s)
 
@@ -307,7 +317,7 @@ OPAQUE_SIGN = pl.CAPTURED
 
 def march_planar_disk_volumetric(metric: Metric, rays: pl.PlanarRays, c1, c2,
                                  nz, *, dt, max_steps, escape_radius,
-                                 params: DiskParams):
+                                 params: DiskParams, scatter_block=None):
     """Planar march with per-step volumetric radiative transfer through the
     flared Gaussian disk (see DiskParams.volumetric).
 
@@ -364,15 +374,39 @@ def march_planar_disk_volumetric(metric: Metric, rays: pl.PlanarRays, c1, c2,
                 g = g / (gamma * (1.0 - v * cos_xi))
         trans = jnp.exp(-tau)
         dtau = params.kappa * base
+        scat = None
+        if scatter_block is not None:
+            # starlight single-scattering source (the kernel's exact form,
+            # ops/march_pallas._vol_emission scatter branch)
+            from curvis_tpu.ops.march_pallas import SCATTER_DEG
+            t = jnp.clip(2.0 * (r_cyl - params.r_inner)
+                         / (params.r_outer - params.r_inner) - 1.0,
+                         -1.0, 1.0)
+            sw = trans * base
+            scat = []
+            for c in range(3):
+                c0 = 3 + c * (SCATTER_DEG + 1)
+                acc = scatter_block[c0 + SCATTER_DEG]
+                for k in range(SCATTER_DEG - 1, -1, -1):
+                    acc = acc * t + scatter_block[c0 + k]
+                scat.append(sw * jnp.maximum(acc, 0.0))
         if blackbody:
             t_obs = g * disk_temperature(rr, params)
             rel = (t_obs / params.t_peak) ** 4
             chroma = blackbody_rgb(t_obs)          # (..., 3)
             w = trans * base * rel
-            return dtau, w * chroma[..., 0], w * chroma[..., 1], \
-                w * chroma[..., 2]
+            out = [w * chroma[..., 0], w * chroma[..., 1],
+                   w * chroma[..., 2]]
+            if scat is not None:
+                out = [o + sc for o, sc in zip(out, scat)]
+            return dtau, out[0], out[1], out[2]
         emis = (params.r_inner / rr) ** params.emissivity_index
         w = trans * base * emis * jnp.clip(g, 0.0, 4.0) ** 3
+        if scat is not None:
+            # colored scattering: fold the tint per channel in-march
+            return (dtau, w * scatter_block[0] + scat[0],
+                    w * scatter_block[1] + scat[1],
+                    w * scatter_block[2] + scat[2])
         return dtau, w, w, w
 
     l0 = rays.l
@@ -422,14 +456,20 @@ def march_planar_disk_volumetric(metric: Metric, rays: pl.PlanarRays, c1, c2,
     return pl.PlanarResult(l, psi, p_l, sign, steps), tau, (emr, emg, emb)
 
 
-def _volumetric_rgb(tau, em, params: DiskParams, dtype):
+def _volumetric_rgb(tau, em, params: DiskParams, dtype, scatter=False):
     """Final color+transmittance of the volumetric integral: filmic exposure
     (blackbody) or tint scaling (tint mode) on the accumulated linear
-    emission; transmittance e^{-tau} weights the background."""
+    emission; transmittance e^{-tau} weights the background.  ``scatter``:
+    the march already folded the tint per channel (colored scattered
+    starlight rides the accumulators), so tint mode scales channels
+    directly."""
     emr, emg, emb = em
     if params.color_mode == "blackbody":
         rgb = 1.0 - jnp.exp(-params.brightness
                             * jnp.stack([emr, emg, emb], axis=-1))
+    elif scatter:
+        rgb = jnp.clip(params.brightness
+                       * jnp.stack([emr, emg, emb], axis=-1), 0.0, 1.0)
     else:
         tint = jnp.asarray(params.tint, dtype)
         rgb = jnp.clip(params.brightness * emr, 0.0, 1.0)[:, None] * tint
@@ -449,6 +489,7 @@ def _disk_rgb(metric, r_hit, pl_hit, b, nz, params: DiskParams, dtype,
     n.z — a per-ray constant).  Total g = sqrt(A) / (gamma (1 - v cos_xi)),
     intensity scaled by g^3.
     """
+    r_hit = jnp.abs(r_hit)      # planar hits are SIGNED (sheet = sign)
     rr = jnp.maximum(r_hit, params.r_inner)
     g = jnp.ones_like(r_hit)
     general = not pl._unit_lapse(metric)
@@ -598,7 +639,7 @@ def _starlight_map_impl(metric, bg, dt, escape_radius, *, max_steps, disk,
         filtering=filtering, backend=backend, stepper=stepper, rtol=rtol,
         blueshift=disk.starlight_blueshift,
         shadow_params=disk if disk.starlight_self_shadow else None,
-        interpret=interpret)
+        interpret=interpret, two_sheet=disk.starlight_two_sheet)
 
 
 _starlight_map_jit = jax.jit(
@@ -641,10 +682,26 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None,
     # photon plane normal z-component: n = e1 x e2 -> n_z = e1x e2y - e1y e2x
     nz = r_hat[0] * e2[1] - r_hat[1] * e2[0]
     vol = disk.volumetric
+    scatter_block = None
     if disk.starlight and vol:
-        raise NotImplementedError(
-            "starlight is thin-crossing shading (a surface reflection); "
-            "volumetric gas scattering is a different transfer problem")
+        # in-gas single scattering of the lensed sky (VERDICT round-4 #3a):
+        # the starlight map's radial profile rides the SMEM row as a
+        # monomial tail; the kernels add trans * rho * kappa_s albedo_c
+        # Ebar_c per accepted step
+        if differentiable:
+            raise NotImplementedError(
+                "volumetric starlight scattering is not differentiable "
+                "yet; drop differentiable= or disk.starlight")
+        from curvis_tpu.render.starlight import starlight_scatter_block
+        if smap is None:
+            smap = _starlight_map_impl(
+                metric, bg, dt, escape_radius, max_steps=max_steps,
+                disk=disk, filtering=filtering,
+                backend="while" if backend == "pallas" and interpret
+                else backend,
+                stepper=stepper, rtol=rtol, interpret=interpret)
+        scatter_block = starlight_scatter_block(
+            smap, disk_view(disk, disk_theta), l.dtype)
     if differentiable:
         # round 5: the planar surface adjoints — exact checkpointed-
         # recompute gradients through thin-disk crossings / volumetric
@@ -679,6 +736,7 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None,
             if vol:
                 res, tau, em = march_planar_rk45_pallas(
                     metric, rays, c1=c1, c2=c2, nz=nz, vol_disk=disk,
+                    scatter_block=scatter_block,
                     interpret=interpret, **kw45)
             else:
                 res, h1, h2 = march_planar_rk45_pallas(
@@ -690,7 +748,7 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None,
             if vol:
                 res, tau, em = march_planar_rk45(
                     metric, rays, c1=c1, c2=c2, nz=nz, vol_disk=disk,
-                    **kw45)
+                    scatter_block=scatter_block, **kw45)
             else:
                 res, h1, h2 = march_planar_rk45(
                     metric, rays, c1=c1, c2=c2,
@@ -700,11 +758,13 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None,
             march_planar_disk_volumetric_pallas
         res, tau, em = march_planar_disk_volumetric_pallas(
             metric, rays, c1, c2, nz, dt=dt, max_steps=max_steps,
-            escape_radius=escape_radius, disk=disk, interpret=interpret)
+            escape_radius=escape_radius, disk=disk,
+            scatter_block=scatter_block, interpret=interpret)
     elif vol:
         res, tau, em = march_planar_disk_volumetric(
             metric, rays, c1, c2, nz, dt=dt, max_steps=max_steps,
-            escape_radius=escape_radius, params=disk)
+            escape_radius=escape_radius, params=disk,
+            scatter_block=scatter_block)
     elif backend == "pallas":
         from curvis_tpu.ops.march_pallas import march_planar_disk_pallas
         res, h1, h2 = march_planar_disk_pallas(
@@ -728,7 +788,8 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None,
     bg_colors = imgs_bg.transpose(0, 2, 1, 3).reshape(-1, 3)
     if vol:
         rgb, trans = _volumetric_rgb(tau, em, disk_view(disk, disk_theta),
-                                     l.dtype)
+                                     l.dtype,
+                                     scatter=scatter_block is not None)
         out = jnp.clip(rgb + trans[:, None] * bg_colors, 0.0, 1.0)
         return out.reshape(F, W, H, 3).transpose(0, 2, 1, 3)
     shade = disk_view(disk, disk_theta)

@@ -42,11 +42,12 @@ primary renderer uses.
 This capability has no analogue in the reference (no disks at all:
 /root/reference/README.md:111-113) nor in its wishlist.
 
-Sheet caveat (wormholes): the map table launches at l = +r.  Disk-hit
-radii are recorded as |l| on EITHER sheet, so negative-sheet hits reuse
-the positive-sheet map — exact for the l -> -l symmetric Ellis/DNEG
-shapes, an approximation for asymmetric user tables (whose far-sheet
-illumination differs by the sheet's own r(l) profile).
+Two-sheet wormholes (round 5): planar disk marchers record SIGNED hit
+coordinates (|l| = radius, sign = sheet), and ``two_sheet=True`` computes
+a second table for the l -> -l MIRRORED metric with the two skies swapped
+— exact for asymmetric user tables, whose far-sheet illumination differs
+by that sheet's own r(l) profile (the l -> -l symmetric Ellis/DNEG shapes
+make the sheets identical, which the defaults exploit by storing one).
 """
 from __future__ import annotations
 
@@ -65,9 +66,27 @@ class StarlightMap(NamedTuple):
     """Reflected-sky map over the disk: values[(1-side)//2, i, j] is
     E / pi (mean incident radiance under cosine weighting) at radius
     radii[i], world azimuth 2 pi j / n_phi, on the +z (index 0) or -z
-    (index 1) face."""
+    (index 1) face.  ``values_neg`` (optional): the NEGATIVE-sheet table
+    of a two-sheet wormhole map (asymmetric user metrics); hits select
+    their sheet by the sign of the recorded hit coordinate."""
     radii: jax.Array        # (n_r,)
     values: jax.Array       # (2, n_r, n_phi, 3)
+    values_neg: jax.Array | None = None
+
+
+def mirror_metric(metric):
+    """The l -> -l mirrored metric: r_m(l) = r(-l).  Identity for the
+    symmetric families (Ellis/DNEG/flat); for a TabulatedMetric the
+    Chebyshev parity flip c1[k] -> (-1)^k c1[k], c2[k] -> -(-1)^k c2[k]
+    (the c2 table carries r', which is odd under the reflection)."""
+    from curvis_tpu.metrics.table import TabulatedMetric
+    if isinstance(metric, TabulatedMetric):
+        import dataclasses
+        alt = jnp.asarray((-1.0) ** np.arange(metric.c1.shape[0]),
+                          metric.c1.dtype)
+        return dataclasses.replace(metric, c1=metric.c1 * alt,
+                                   c2=-metric.c2 * alt)
+    return metric
 
 
 def _cosine_hemisphere(n_samples: int):
@@ -113,7 +132,8 @@ def compute_disk_starlight_map(
         escape_radius, dt=0.02, max_steps=100_000, n_r=48, n_phi=128,
         n_samples=128, filtering="bilinear", sample_filtering="nearest",
         backend="while", stepper="euler", rtol=1e-5, blueshift=True,
-        shadow_params=None, interpret=False) -> StarlightMap:
+        shadow_params=None, interpret=False,
+        two_sheet=False) -> StarlightMap:
     """March the (n_r x n_samples) reduced secondary-ray table and expand
     it to the (2, n_r, n_phi, 3) reflected-sky map (module docstring).
 
@@ -193,8 +213,8 @@ def compute_disk_starlight_map(
     if shadow_params is not None:
         from curvis_tpu.render.disk import _emission_rgb
         g1 = jnp.ones_like(h1[0])
-        _, alpha1 = _emission_rgb(h1[0], g1, shadow_params, dtype)
-        _, alpha2 = _emission_rgb(h2[0], g1, shadow_params, dtype)
+        _, alpha1 = _emission_rgb(jnp.abs(h1[0]), g1, shadow_params, dtype)
+        _, alpha2 = _emission_rgb(jnp.abs(h2[0]), g1, shadow_params, dtype)
         att = ((1.0 - alpha1) * (1.0 - alpha2)).reshape(n_r, n_samples)
 
     # expand: w(side, i, j, k) = cos(beta_ik) r_hat_j + sin(beta_ik) t_hat
@@ -229,7 +249,26 @@ def compute_disk_starlight_map(
     if blueshift and not pl._unit_lapse(metric):
         A = jnp.clip(metric.lapse(rr), 1e-3, 1.0)
         E = E * (1.0 / (A * A))[None, :, None, None]
-    return StarlightMap(radii=rr, values=E)
+    values_neg = None
+    if two_sheet:
+        # the negative sheet's own table: the l -> -l mirrored metric with
+        # the two universes' skies swapped (escaping 'outward' from the
+        # negative sheet reaches bg_negative; through the throat,
+        # bg_positive).  Exact for asymmetric tabulated r(l).
+        if pl._capture_radius(metric) is not None:
+            raise ValueError("two_sheet=True needs a two-universe "
+                             "(capture-free) metric")
+        neg = compute_disk_starlight_map(
+            mirror_metric(metric), bg_negative, bg_positive,
+            r_inner=r_inner, r_outer=r_outer, escape_radius=escape_radius,
+            dt=dt, max_steps=max_steps, n_r=n_r, n_phi=n_phi,
+            n_samples=n_samples, filtering=filtering,
+            sample_filtering=sample_filtering, backend=backend,
+            stepper=stepper, rtol=rtol, blueshift=blueshift,
+            shadow_params=shadow_params, interpret=interpret,
+            two_sheet=False)
+        values_neg = neg.values
+    return StarlightMap(radii=rr, values=E, values_neg=values_neg)
 
 
 def compute_kerr_starlight_map(
@@ -410,12 +449,23 @@ _kerr_map_jit = jax.jit(
 
 def starlight_lookup(smap: StarlightMap, r_hit, phi_world, side):
     """Bilinear (r, phi) lookup with azimuthal wraparound; ``side`` in
-    {+1, -1} selects the face.  Returns (N, 3) reflected-sky radiance
-    E / pi (multiply by albedo for the Lambertian exitance)."""
+    {+1, -1} selects the face.  ``r_hit`` may be SIGNED (planar marchers
+    record sign = sheet): the radius is |r_hit| and, when the map carries
+    a negative-sheet table, r_hit < 0 selects it.  Returns (N, 3)
+    reflected-sky radiance E / pi (multiply by albedo for the Lambertian
+    exitance)."""
+    if smap.values_neg is not None:
+        pos = starlight_lookup(smap._replace(values_neg=None),
+                               jnp.abs(r_hit), phi_world, side)
+        neg = starlight_lookup(
+            StarlightMap(smap.radii, smap.values_neg), jnp.abs(r_hit),
+            phi_world, side)
+        return jnp.where((r_hit < 0.0)[:, None], neg, pos)
     vals = smap.values
     _, n_r, n_phi, _ = vals.shape
     r0 = smap.radii[0]
     r1 = smap.radii[-1]
+    r_hit = jnp.abs(r_hit)
     tr = jnp.clip((r_hit - r0) / (r1 - r0), 0.0, 1.0) * (n_r - 1)
     i0 = jnp.clip(jnp.floor(tr).astype(jnp.int32), 0, n_r - 2)
     fr = (tr - i0)[:, None]
@@ -433,3 +483,30 @@ def starlight_lookup(smap: StarlightMap, r_hit, phi_world, side):
     top = gather(0, j0) * (1.0 - fp) + gather(0, j1) * fp
     bot = gather(1, j0) * (1.0 - fp) + gather(1, j1) * fp
     return top * (1.0 - fr) + bot * fr
+
+
+def starlight_scatter_block(smap: StarlightMap, disk, dtype=jnp.float32):
+    """The (SCATTER_BLOCK,) in-gas scattering coefficients for the
+    volumetric kernels (ops/march_pallas module-top contract): [tint_rgb,
+    then per channel the SCATTER_DEG-degree monomial fit of kappa_s *
+    albedo_c * Ebar_c(t)], where Ebar is the face/azimuth-averaged map
+    profile over t = 2 (r - r_in) / (r_out - r_in) - 1 and kappa_s =
+    disk.starlight_scatter * disk.kappa (scattering strength as a fraction
+    of the absorption coefficient).  The fit matrix is a static host-side
+    pinv (the map's radial grid is static), so the block is differentiable
+    in the map and in the disk knobs."""
+    from curvis_tpu.ops.march_pallas import SCATTER_BLOCK, SCATTER_DEG
+    prof = jnp.mean(smap.values, axis=(0, 2))          # (n_r, 3)
+    if smap.values_neg is not None:
+        prof = 0.5 * (prof + jnp.mean(smap.values_neg, axis=(0, 2)))
+    n_r = prof.shape[0]
+    t = np.linspace(-1.0, 1.0, n_r)
+    pinv = np.linalg.pinv(np.vander(t, SCATTER_DEG + 1, increasing=True))
+    coefs = jnp.asarray(pinv, dtype) @ prof.astype(dtype)   # (D+1, 3)
+    albedo = jnp.asarray(disk.albedo, dtype)
+    ks = jnp.asarray(disk.starlight_scatter * disk.kappa, dtype)
+    coefs = coefs * albedo[None, :] * ks
+    tint = jnp.asarray(disk.tint, dtype)
+    block = jnp.concatenate([tint, coefs.T.reshape(-1)])
+    assert block.shape == (SCATTER_BLOCK,)
+    return block

@@ -316,10 +316,18 @@ def test_precomputed_map_matches_inline():
     np.testing.assert_allclose(a, b, atol=1e-12)
 
 
-def test_render_starlight_volumetric_rejected():
+def test_render_starlight_volumetric_now_supported():
+    """Round 5: volumetric + starlight is the in-gas scattering source
+    (tests/test_starlight_scatter.py); only the DIFFERENTIABLE combination
+    still raises (the scatter block is not in the adjoint theta yet)."""
     m = SchwarzschildMetric(m=jnp.asarray(1.0))
-    bad = DiskParams(volumetric=True, starlight=True)
+    combo = DiskParams(volumetric=True, starlight=True,
+                       starlight_grid=(6, 8), starlight_samples=16)
+    img = render_blackhole_disk(m, _cam(8, 4), _sky(), disk=combo,
+                                backend="while", dt=0.05, max_steps=100,
+                                escape_radius=60.0)
+    assert np.isfinite(np.asarray(img)).all()
     with pytest.raises(NotImplementedError):
-        render_blackhole_disk(m, _cam(8, 4), _sky(), disk=bad,
+        render_blackhole_disk(m, _cam(8, 4), _sky(), disk=combo,
                               backend="while", dt=0.05, max_steps=100,
-                              escape_radius=60.0)
+                              escape_radius=60.0, differentiable="scan")
