@@ -143,6 +143,54 @@ def test_cli_video_two_frames(scene):
     assert img.shape == (16, 24, 3)
 
 
+def test_cli_video_disk_starlight_hoists_map(scene, monkeypatch):
+    """--disk-starlight through the VIDEO CLI (VERDICT round-4 #7): the
+    camera-independent starlight map is computed ONCE for the whole clip
+    (not per batch), and the starlit frames render."""
+    from curvis_tpu.camera.path import generate_orbit_path, save_path
+    from curvis_tpu.render import disk as disk_mod
+    (scene / "metric.toml").write_text('kind = "schwarzschild"\nm = 1.0\n')
+    save_path(generate_orbit_path(l=20.0, period=4.0, n=20),
+              scene / "orbit.csv")
+    (scene / "video.toml").write_text(
+        'video_name = "vid"\nframe_rate = 1.0\n'
+        f'filepath_to_camera_path = "{scene / "orbit.csv"}"\n')
+    calls = {"n": 0}
+    state = {"in_hoist": False}
+    real = disk_mod.compute_starlight_map
+    real_impl = disk_mod._starlight_map_impl
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        state["in_hoist"] = True
+        try:
+            return real(*a, **k)
+        finally:
+            state["in_hoist"] = False
+
+    def guarded_impl(*a, **k):
+        # the impl may only run under the once-per-clip hoist; a call from
+        # inside the renderer means the map was recomputed per batch
+        if not state["in_hoist"]:
+            raise AssertionError("renderer recomputed the starlight map "
+                                 "instead of using the hoisted one")
+        return real_impl(*a, **k)
+
+    monkeypatch.setattr(disk_mod, "compute_starlight_map", counting)
+    monkeypatch.setattr(disk_mod, "_starlight_map_impl", guarded_impl)
+    args = ["video", str(scene / "bg1.png"), str(scene / "bg2.png"),
+            str(scene / "vout"), "-m", str(scene / "metric.toml"),
+            "-c", str(scene / "cam.toml"), "-s", str(scene / "sim.toml"),
+            "-v", str(scene / "video.toml"), "--disk", "--disk-starlight",
+            "--frames-per-batch", "2", "--f64"]
+    assert main(args) == 0
+    frames = sorted((scene / "vout" / "tmp").glob("*.png"))
+    assert len(frames) == 4               # 4 frames in 2 batches...
+    assert calls["n"] == 1                # ...but ONE map compute
+    img = np.asarray(Image.open(frames[0]))
+    assert img.shape == (16, 24, 3)
+
+
 def test_cli_image_adaptive_aa(scene):
     """--adaptive-aa routes through the edge-adaptive supersampler."""
     assert main(_image_args(scene, "rho = 1.0\n", "--renderer", "direct",
