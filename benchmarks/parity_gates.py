@@ -872,6 +872,39 @@ def gate_vol_scatter():
                        and mask.sum() > 30)}
 
 
+def gate_fused_rk45():
+    """The fused adaptive DP5(4) pipeline (round 5) vs the non-fused rk45
+    quality path, compiled on-chip, smooth-texture mismatch bounds."""
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.ops.render_fused import render_planar_fused
+    from curvis_tpu.render.fast import render_planar_fast
+    metric = cv.EllisMetric(rho=jnp.asarray(1.0, jnp.float32))
+    yy, xx = np.mgrid[0:32, 0:64]
+    smooth = np.stack([np.sin(2 * np.pi * xx / 64) * 0.5 + 0.5, yy / 32,
+                       0.3 + 0.4 * np.cos(2 * np.pi * yy / 32)],
+                      -1).astype("float32")
+    bgp = cv.make_spherical_image(smooth)
+    bgn = cv.make_spherical_image(smooth[::-1].copy())
+    cam = cv.make_camera([0.0, 5.0, np.pi / 2, 0.0], [-1.0, 0.1, 0.05],
+                         [0.0, 0.0, 1.0], 15.0, 43.0, 64, 36,
+                         dtype=jnp.float32)
+    kw = dict(dt=0.05, max_steps=2000, escape_radius=50.0,
+              filtering="bilinear")
+    a = np.asarray(render_planar_fast(metric, cam, bgp, bgn,
+                                      stepper="rk45", backend="while",
+                                      **kw))
+    b = np.asarray(render_planar_fused(metric, cam, bgp, bgn,
+                                       stepper="rk45", rtol=1e-4,
+                                       interpret=_ipret(), **kw))
+    d = np.abs(a - b).max(-1)
+    mm = float((d > 0.02).mean())
+    med = float(np.median(d))
+    return {"mismatch_2pct": round(mm, 5), "median": round(med, 6),
+            "finite": bool(np.isfinite(b).all()),
+            "ok": bool(mm < 0.02 and med < 1e-3 and np.isfinite(b).all())}
+
+
 GATES = {
     "euler_ellis": lambda: gate_euler("ellis"),
     "euler_dneg": lambda: gate_euler("dneg"),
@@ -893,6 +926,7 @@ GATES = {
     "rk45_adjoint_planar": gate_rk45_adjoint_planar,
     "kerr_disk": gate_kerr_disk,
     "vol_scatter": gate_vol_scatter,
+    "fused_rk45": gate_fused_rk45,
     "disk_adjoint": gate_disk_adjoint,
     "vol_adjoint": gate_vol_adjoint,
     "surface_adjoint_planar": gate_surface_adjoint_planar,

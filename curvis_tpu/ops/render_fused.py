@@ -70,13 +70,9 @@ def _r_of_l(kind, pr, l):
     raise NotImplementedError(kind)
 
 
-def _fused_kernel(kind: str, H: int, max_steps: int, unroll: int,
-                  params_ref, owx_ref, owy_ref, owz_ref, osign_ref):
-    deriv = _deriv_fns(kind, FUSED_CHEB_OFF)
-    pr = params_ref
-    dt = pr[0, 0]
-    R = pr[0, 1]
-    r_cap = pr[0, 5]
+def _fused_spawn(pr, H, rows):
+    """Camera ray + planar spawn from the SMEM scalar row (shared by the
+    Euler and rk45 fused kernels — exact op order preserved)."""
     focal, sw, sh = pr[0, 6], pr[0, 7], pr[0, 8]
     invW, invH = pr[0, 9], pr[0, 10]
     R00, R01, R02 = pr[0, 11], pr[0, 12], pr[0, 13]
@@ -88,7 +84,6 @@ def _fused_kernel(kind: str, H: int, max_steps: int, unroll: int,
     s_pl = pr[0, 27]
     s_b = pr[0, 28]
 
-    rows = owx_ref.shape[0]
     base = pl.program_id(0) * rows * LANES
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
@@ -127,9 +122,42 @@ def _fused_kernel(kind: str, H: int, max_steps: int, unroll: int,
     e2z = nx * ry - ny * rx
     p_l = cos_a * s_pl
     b = sin_a * s_b
-    b2 = b * b
     l = jnp.full((rows, LANES), 1.0, jnp.float32) * l0
     psi = jnp.zeros((rows, LANES), jnp.float32)
+    return l, psi, p_l, b, (rx, ry, rz), (e2x, e2y, e2z)
+
+
+def _fused_readout(kind, pr, l, psi, p_l, b, r_hat, e2,
+                   owx_ref, owy_ref, owz_ref):
+    """World-direction readout (shared): w = cos(beta) e1 + sin(beta) e2
+    without atan2 (module docstring)."""
+    rx, ry, rz = r_hat
+    e2x, e2y, e2z = e2
+    u_l = _readout_u_l(kind, pr, l, p_l)
+    u_psi = b / _r_of_l(kind, pr, l)
+    invu = lax.rsqrt(jnp.maximum(u_l * u_l + u_psi * u_psi, 1e-30))
+    cg = u_l * invu
+    sg = u_psi * invu
+    cp = jnp.cos(psi)
+    sp = jnp.sin(psi)
+    cb = cp * cg - sp * sg
+    sb_ = sp * cg + cp * sg
+    owx_ref[:] = cb * rx + sb_ * e2x
+    owy_ref[:] = cb * ry + sb_ * e2y
+    owz_ref[:] = cb * rz + sb_ * e2z
+
+
+def _fused_kernel(kind: str, H: int, max_steps: int, unroll: int,
+                  params_ref, owx_ref, owy_ref, owz_ref, osign_ref):
+    deriv = _deriv_fns(kind, FUSED_CHEB_OFF)
+    pr = params_ref
+    dt = pr[0, 0]
+    R = pr[0, 1]
+    r_cap = pr[0, 5]
+
+    rows = owx_ref.shape[0]
+    l, psi, p_l, b, r_hat, e2 = _fused_spawn(pr, H, rows)
+    b2 = b * b
     one = jnp.ones_like(l)
     zero = jnp.zeros_like(l)
     sign = jnp.zeros_like(l)
@@ -173,27 +201,127 @@ def _fused_kernel(kind: str, H: int, max_steps: int, unroll: int,
     l, psi, p_l, sign, _ = lax.while_loop(
         cond, body, (l, psi, p_l, sign, k_free))
 
-    # ---- readout: w = cos(beta) e1 + sin(beta) e2 without atan2 ----
-    u_l = _readout_u_l(kind, pr, l, p_l)
-    u_psi = b / _r_of_l(kind, pr, l)
-    invu = lax.rsqrt(jnp.maximum(u_l * u_l + u_psi * u_psi, 1e-30))
-    cg = u_l * invu
-    sg = u_psi * invu
-    cp = jnp.cos(psi)
-    sp = jnp.sin(psi)
-    cb = cp * cg - sp * sg
-    sb_ = sp * cg + cp * sg
-    owx_ref[:] = cb * rx + sb_ * e2x
-    owy_ref[:] = cb * ry + sb_ * e2y
-    owz_ref[:] = cb * rz + sb_ * e2z
+    _fused_readout(kind, pr, l, psi, p_l, b, r_hat, e2,
+                   owx_ref, owy_ref, owz_ref)
+    osign_ref[:] = sign.astype(jnp.int32)
+
+
+def _fused_rk45_kernel(kind: str, H: int, max_steps: int, max_iters: int,
+                       unroll: int, params_ref,
+                       owx_ref, owy_ref, owz_ref, osign_ref):
+    """Fused spawn + adaptive DP5(4) march + readout (round 5, the
+    quality-mode ceiling probe): the bare planar rk45 of
+    ops/march_pallas._rk45_kernel inside the fused pipeline.  Controller
+    knobs ride the spare scalar slots: [29]=rtol [30]=atol [31]=dt_max;
+    dt floor hardcoded 1e-6 (kernel contract)."""
+    from curvis_tpu.ops.march_pallas import _DP_A, _DP_B4, _DP_B5
+    deriv = _deriv_fns(kind, FUSED_CHEB_OFF)
+    pr = params_ref
+    dt0 = pr[0, 0]
+    R = pr[0, 1]
+    r_cap = pr[0, 5]
+    rtol = pr[0, 29]
+    atol = pr[0, 30]
+    dt_max = pr[0, 31]
+
+    rows = owx_ref.shape[0]
+    l, psi, p_l, b, r_hat, e2 = _fused_spawn(pr, H, rows)
+    b2 = b * b
+    one = jnp.ones_like(l)
+    zero = jnp.zeros_like(l)
+    sign = jnp.zeros_like(l)
+    steps = jnp.zeros_like(l)
+    dt = jnp.full_like(l, 1.0) * dt0
+
+    def rhs(li, pli):
+        return deriv(pr, li, pli, b, b2)
+
+    def cond(c):
+        sign = c[4]
+        it = c[-1]
+        return (it < max_iters) & jnp.any(sign == 0.0)
+
+    def body(c):
+        l, psi, p_l, dt, sign, steps, it = c
+        for _ in range(unroll):
+            alive = jnp.where((sign == 0.0) & (steps < max_steps), one,
+                              zero)
+            ks = []
+            for i in range(7):
+                li = l
+                pli = p_l
+                for j, a in enumerate(_DP_A[i]):
+                    li = li + dt * a * ks[j][0]
+                    pli = pli + dt * a * ks[j][2]
+                ks.append(rhs(li, pli))
+
+            def comb(w, comp):
+                acc = zero
+                for wi, k in zip(w, ks):
+                    if wi != 0.0:
+                        acc = acc + wi * k[comp]
+                return acc
+
+            d5l, d5p, d5pl = (comb(_DP_B5, 0), comb(_DP_B5, 1),
+                              comb(_DP_B5, 2))
+            e_l = d5l - comb(_DP_B4, 0)
+            e_p = d5p - comb(_DP_B4, 1)
+            e_pl = d5pl - comb(_DP_B4, 2)
+            l5 = l + dt * d5l
+            psi5 = psi + dt * d5p
+            pl5 = p_l + dt * d5pl
+
+            def ec(e, y0, y1):
+                return jnp.abs(dt * e) / (atol + rtol * jnp.maximum(
+                    jnp.abs(y0), jnp.abs(y1)))
+
+            err = jnp.maximum(ec(e_l, l, l5),
+                              jnp.maximum(ec(e_p, psi, psi5),
+                                          ec(e_pl, p_l, pl5)))
+            accept = alive * jnp.where(err <= 1.0, one, zero)
+            esc_pos = accept * jnp.where(l5 > R, one, zero)
+            esc_neg = accept * jnp.where(l5 < -R, one, zero)
+            esc = esc_pos + esc_neg
+            target = jnp.where(esc_pos > 0, R, -R)
+            denom = l5 - l
+            denom = jnp.where(jnp.abs(denom) < 1e-30, one, denom)
+            frac = jnp.clip((target - l) / denom, 0.0, 1.0)
+            frac = jnp.where(esc > 0, frac, one)
+            l = l + accept * frac * (l5 - l)
+            psi = psi + accept * frac * (psi5 - psi)
+            p_l = p_l + accept * frac * (pl5 - p_l)
+            capd = accept * jnp.where((l < r_cap) & (sign == 0.0), one,
+                                      zero)
+            sign = sign + esc_pos - esc_neg + 2.0 * capd
+            steps = steps + accept
+            stalled = ((alive > 0) & ~(err <= 1.0) & (dt <= 1e-6 * 1.01)
+                       & (sign == 0.0))
+            sign = jnp.where(stalled, 3.0, sign)
+            err_s = jnp.maximum(err, 1e-10)
+            factor = jnp.clip(0.9 * jnp.exp(-0.2 * jnp.log(err_s)),
+                              0.2, 5.0)
+            factor = jnp.where(factor > 0.0, factor, 0.2)
+            newdt = jnp.clip(dt * factor, 1e-6, dt_max)
+            dt = jnp.where((alive > 0) & (esc == 0.0) & (sign == 0.0),
+                           newdt, dt)
+            capped = (sign == 0.0) & (steps >= max_steps)
+            sign = jnp.where(capped, -128.0, sign)
+        return l, psi, p_l, dt, sign, steps, it + unroll
+
+    l, psi, p_l, dt, sign, steps, _ = lax.while_loop(
+        cond, body, (l, psi, p_l, dt, sign, steps, jnp.int32(0)))
+    sign = jnp.where(sign == -128.0, zero, sign)
+    _fused_readout(kind, pr, l, psi, p_l, b, r_hat, e2,
+                   owx_ref, owy_ref, owz_ref)
     osign_ref[:] = sign.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "H", "n_rays",
-                                             "max_steps", "tile_rows",
-                                             "unroll", "interpret"))
+                                             "max_steps", "max_iters",
+                                             "tile_rows", "unroll",
+                                             "stepper", "interpret"))
 def _fused_call(kind, params, *, H, n_rays, max_steps, tile_rows, unroll,
-                interpret=False):
+                stepper="euler", max_iters=0, interpret=False):
     block = tile_rows * LANES
     n_pad = -(-n_rays // block) * block
     n_rows = n_pad // LANES
@@ -203,7 +331,12 @@ def _fused_call(kind, params, *, H, n_rays, max_steps, tile_rows, unroll,
         return pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_fused_kernel, kind, H, max_steps, unroll)
+    if stepper == "rk45":
+        kernel = functools.partial(_fused_rk45_kernel, kind, H, max_steps,
+                                   max_iters, unroll)
+    else:
+        kernel = functools.partial(_fused_kernel, kind, H, max_steps,
+                                   unroll)
     f = jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)
     i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
     outs = pl.pallas_call(
@@ -222,7 +355,8 @@ def render_planar_fused(metric: Metric, camera: Camera,
                         bg_positive: SphericalImage,
                         bg_negative: SphericalImage, *, dt, max_steps,
                         escape_radius, filtering="nearest", tile_rows=32,
-                        unroll=8, interpret=False):
+                        unroll=8, stepper="euler", rtol=1e-4, atol=None,
+                        dt_max=10.0, max_iters=None, interpret=False):
     """(H, W, 3) image with the whole compute path in one kernel + a gather.
 
     f32 only; every planar metric family — the reference set (Ellis/DNEG/
@@ -231,7 +365,13 @@ def render_planar_fused(metric: Metric, camera: Camera,
     headline fused path instead of silently falling back, VERDICT round-3
     weak #8; a table metric's coefficient tail rides after the 32 camera
     scalars).  Semantics match render_planar_fast up to fused-arithmetic
-    ulps (tested)."""
+    ulps (tested).
+
+    ``stepper='rk45'`` (round 5, the quality-mode ceiling): the adaptive
+    DP5(4) march fused into the same pipeline — ``dt`` becomes the initial
+    step, ``max_steps`` counts accepted steps (pass rk45-scale values),
+    and the error is bounded by ``rtol``.  At rtol ~1e-3..1e-4 this takes
+    ~10x fewer steps than parity Euler at sub-texel direction error."""
     dtype = jnp.float32
     pos = camera.position.astype(dtype)
     W, H = camera.resolution_x, camera.resolution_y
@@ -268,6 +408,11 @@ def render_planar_fused(metric: Metric, camera: Camera,
             r_hat[0], r_hat[1], r_hat[2],
             th_hat[0], th_hat[1], th_hat[2],
             l0, s_pl, s_b]
+    if stepper == "rk45":
+        if atol is None:
+            atol = rtol * 1e-3
+        scal += [jnp_.asarray(rtol, dtype), jnp_.asarray(atol, dtype),
+                 jnp_.asarray(dt_max, dtype)]
     scal += [jnp_.zeros((), dtype)] * (FUSED_CHEB_OFF - len(scal))
     params = jnp_.stack([jnp_.asarray(v, dtype)
                          for v in scal]).reshape(1, FUSED_CHEB_OFF)
@@ -279,10 +424,19 @@ def render_planar_fused(metric: Metric, camera: Camera,
             [params, base_params[:, CHEB_OFF_COMPACT:].astype(dtype)],
             axis=1)
 
-    ms = max_steps + ((unroll - max_steps % unroll) % unroll)
-    wx, wy, wz, sign = _fused_call(kind, params, H=H, n_rays=W * H,
-                                   max_steps=ms, tile_rows=tile_rows,
-                                   unroll=unroll, interpret=interpret)
+    if stepper == "rk45":
+        unroll = 2                       # relayout-bug floor; deep unroll
+        mi = 4 * max_steps if max_iters is None else int(max_iters)
+        mi = mi + ((unroll - mi % unroll) % unroll)
+        wx, wy, wz, sign = _fused_call(kind, params, H=H, n_rays=W * H,
+                                       max_steps=max_steps, max_iters=mi,
+                                       tile_rows=tile_rows, unroll=unroll,
+                                       stepper="rk45", interpret=interpret)
+    else:
+        ms = max_steps + ((unroll - max_steps % unroll) % unroll)
+        wx, wy, wz, sign = _fused_call(kind, params, H=H, n_rays=W * H,
+                                       max_steps=ms, tile_rows=tile_rows,
+                                       unroll=unroll, interpret=interpret)
 
     from curvis_tpu.render.fast import _filter_lookup, _texture_uv
     if bg_positive.texture.shape == bg_negative.texture.shape:
