@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from curvis_tpu.camera.camera import Camera, camera_rotation
 from curvis_tpu.env.spherical_image import SphericalImage
@@ -134,16 +135,91 @@ def _texture_uv(img: SphericalImage, wx, wy, wz):
     return u, v
 
 
+# XLA's TPU row-gather has a measured SLOW BAND in table row count (v5e,
+# 4.2M random indices, any row width): <=196,608 rows ~12 ms on-device,
+# ~[197k, 295k) rows ~48 ms, >=294,912 rows ~27 ms.  Padding a table out
+# of the band is pure win (indices never reach the pad rows); a 2-page
+# 256x512 sky concat lands EXACTLY in the band (262,144 rows) and costs
+# 2x the whole readout without this.
+_GATHER_BAND_LO = 196608
+_GATHER_BAND_HI = 294912
+
+
+def _pad_slow_band(tab):
+    m = tab.shape[0]
+    if _GATHER_BAND_LO < m < _GATHER_BAND_HI:
+        pad = jnp.zeros((_GATHER_BAND_HI - m,) + tab.shape[1:], tab.dtype)
+        tab = jnp.concatenate([tab, pad])
+    return tab
+
+
+def _quad_rows(rows, W, H):
+    """Pack each texel's bilinear 2x2 neighbourhood (horizontal wrap +
+    vertical pole-reflect already resolved) into one (P*(H+1)*W, 12) table:
+    row k of a page holds the quads for rays whose floor row y0 = k-1, so
+    the 4-gather bilinear readout collapses to ONE row gather (TPU gather
+    cost is per-index, independent of row width — measured rows(M,12) ==
+    rows(M,3))."""
+    P = rows.shape[0] // (W * H)
+    T = rows.reshape(P, H, W, 3)
+
+    def pole_np(y):
+        over = (y < 0) | (y > H - 1)
+        yc = np.clip(np.where(y < 0, -1 - y, 2 * H - 1 - y), 0, H - 1)
+        return np.where(over, yc, y), over
+
+    y0v = np.arange(H + 1) - 1
+    yt, ot = pole_np(y0v)
+    yb, ob = pole_np(y0v + 1)
+
+    def band(yc, over):
+        A = T[:, yc]                                  # (P, H+1, W, 3)
+        Ar = jnp.roll(A, -(W // 2), axis=2)
+        return jnp.where(jnp.asarray(over)[None, :, None, None], Ar, A)
+
+    t0 = band(yt, ot)
+    b0 = band(yb, ob)
+    q = jnp.concatenate([t0, jnp.roll(t0, -1, axis=2),
+                         b0, jnp.roll(b0, -1, axis=2)], axis=-1)
+    return q.reshape(P * (H + 1) * W, 12)
+
+
 def _filter_lookup(rows, base, u, v, W, H, filtering):
     """Gather from (M, 3) texture rows at per-ray base offset + (u, v).
     rows may hold several stacked textures; ``base`` selects the page."""
     if filtering == "nearest":
         xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
-        return rows[base + yi * W + xi]                # (N, 3)
+        return _pad_slow_band(rows)[base + yi * W + xi]    # (N, 3)
     # bilinear: horizontal wrap, vertical pole-reflect — a row beyond a pole
     # maps to the same row half a turn around (y = -1 -> row 0 with x + W/2),
-    # removing the clamped-pole seam at extreme up/down views
+    # removing the clamped-pole seam at extreme up/down views.  The four
+    # neighbour fetches ride ONE packed-quad gather (see _quad_rows); the
+    # blend arithmetic is bit-identical to the legacy 4-gather form
+    # (_filter_lookup_legacy, kept as the test oracle).
+    fx = u * W - 0.5
+    fy = v * H - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wxf = (fx - x0)[:, None]
+    wyf = (fy - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), W)
+    k = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
+    page = base // (W * H)
+    qrows = _pad_slow_band(_quad_rows(rows, W, H))
+    q = qrows[page * ((H + 1) * W) + k * W + x0i]          # (N, 12)
+    top = q[:, 0:3] * (1.0 - wxf) + q[:, 3:6] * wxf
+    bot = q[:, 6:9] * (1.0 - wxf) + q[:, 9:12] * wxf
+    return top * (1.0 - wyf) + bot * wyf
+
+
+def _filter_lookup_legacy(rows, base, u, v, W, H, filtering):
+    """Pre-round-5 form: nearest unpadded, bilinear as 4 row gathers.
+    Kept as the bit-parity oracle for the packed-quad path."""
+    if filtering == "nearest":
+        xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+        return rows[base + yi * W + xi]                # (N, 3)
     fx = u * W - 0.5
     fy = v * H - 0.5
     x0 = jnp.floor(fx)
