@@ -326,6 +326,43 @@ def main():
     if drift is not None:
         out["drift"] = drift
 
+    # Quality-mode row (VERDICT round-4 #6): the round-5 FUSED adaptive
+    # DP5(4) pipeline (spawn + error-controlled march + readout in one
+    # kernel) under the exact headline conditions.  At rtol=1e-3 its image
+    # error is *below* Euler dt=0.05 parity (1024^2 vs a dt=0.01 anchor:
+    # mean |dRGB| 7.5e-4 vs 2.1e-3, p99 0.015 vs 0.036 — measured,
+    # BASELINE.md "quality ceiling" row), so this is the fastest render at
+    # <= parity error (~75 Mrays/s = 1.74x the Euler headline after the
+    # round-5 packed-quad/band-padding readout work).
+    # CURVIS_BENCH_QUALITY=0 skips.
+    if os.environ.get("CURVIS_BENCH_QUALITY", "1") != "0":
+        @jax.jit
+        def render_batch45(metric, cams, bgp, bgn):
+            acc = jnp.zeros((), jnp.float32)
+            for cam in cams:
+                acc = acc + jnp.mean(render_planar_fused(
+                    metric, cam, bgp, bgn, dt=0.05, max_steps=4_000,
+                    escape_radius=100.0, filtering="nearest",
+                    stepper="rk45", rtol=1e-3, tile_rows=32))
+            return acc
+
+        try:
+            float(render_batch45(metric, cams, bgp, bgn))
+            t45 = []
+            for _ in range(REPS):
+                t0 = time.time()
+                float(render_batch45(metric, cams, bgp, bgn))
+                t45.append(time.time() - t0)
+            m45 = rays / float(np.median(t45)) / 1e6
+            out["quality"] = {
+                "fused_rk45_rtol1e-3_mrays": round(m45, 3),
+                "fused_rk45_mrays_min_time": round(
+                    rays / min(t45) / 1e6, 3),
+                "vs_euler_parity": round(m45 / mrays, 2),
+            }
+        except Exception as e:                 # never kill the headline
+            out["quality"] = {"error": f"{type(e).__name__}: {e}"}
+
     if os.environ.get("CURVIS_BENCH_PARITY", "1") != "0":
         sys.path.insert(0, str(pathlib.Path(__file__).parent / "benchmarks"))
         from parity_gates import run_gates
