@@ -46,6 +46,7 @@ from curvis_tpu.integrate.ckpt import ckpt_adjoint_backward
 from curvis_tpu.integrate.kerr_surface_adjoint import build_vol_row
 from curvis_tpu.integrate.rk45_adjoint_planar import _guarded_deriv_fns
 from curvis_tpu.ops.march_pallas import (CHEB_OFF_COMPACT, CHEB_OFF_VOL,
+                                         SCATTER_BLOCK,
                                          _DP_A, _DP_B4, _DP_B5, _NO_CAPTURE,
                                          _metric_kind_and_params,
                                          _vol_emission)
@@ -73,18 +74,29 @@ def _metric_slots(kind, mp):
 
 def _emission_slots(kind, mp, surf):
     """Duck row for `_vol_emission` (off=0 layout): metric at 2-4 / cheb at
-    CHEB_OFF_VOL, (r_in, r_out) at 6-7, the 8 emission slots at 8-15."""
+    CHEB_OFF_VOL, (r_in, r_out) at 6-7, the 8 emission slots at 8-15.
+
+    When ``surf`` carries a scattering tail (len 10 + SCATTER_BLOCK), the
+    kernel contract applies: the 27-scalar block rides at CHEB_OFF_VOL and
+    the Chebyshev tail shifts up by SCATTER_BLOCK (march_pallas module-top
+    contract).  Returns (row, cheb_off, scatter_off)."""
+    scatter = len(surf) > 10
+    scatter_off = CHEB_OFF_VOL if scatter else None
+    cheb_off = CHEB_OFF_VOL + (SCATTER_BLOCK if scatter else 0)
     if kind.startswith("cheb"):
         slots = {2: mp[0]}
         for i in range(len(mp) - 1):
-            slots[CHEB_OFF_VOL + i] = mp[1 + i]
+            slots[cheb_off + i] = mp[1 + i]
     else:
         slots = {2: mp[0], 3: mp[1], 4: mp[2]}
     slots[6] = surf[0]
     slots[7] = surf[1]
     for i in range(8):
         slots[8 + i] = surf[2 + i]
-    return _ParamRow(slots)
+    if scatter:
+        for i in range(SCATTER_BLOCK):
+            slots[CHEB_OFF_VOL + i] = surf[10 + i]
+    return _ParamRow(slots), cheb_off, scatter_off
 
 
 def _unpack_theta(kind, theta, vol):
@@ -174,9 +186,11 @@ def _pl_vol_step(kind, blackbody, redshift, doppler, dt, theta, y):
     du = dt * dpsi
     u, v = u - v * du, v + u * du
     zq = c1 * u + c2 * v
+    pre_row, cheb_off, scatter_off = pre
     dtau, dr_, dg_, db_ = _vol_emission(kind, blackbody, redshift, doppler,
-                                        pre, l, p_l, b, zq, tau, nz,
-                                        cheb_off=CHEB_OFF_VOL)
+                                        pre_row, l, p_l, b, zq, tau, nz,
+                                        cheb_off=cheb_off,
+                                        scatter_off=scatter_off)
     return (l, psi, p_l, u, v, tau + dt * dtau, emr + dt * dr_,
             emg + dt * dg_, emb + dt * db_)
 
@@ -304,11 +318,12 @@ def _pl_rk45_surface_iter(kind, consts, theta, y, track_disk, vol,
     opaque_i = jnp.zeros_like(accept)
     if vol:
         tau, emr, emg, emb = ex
-        pre = _emission_slots(kind, mp, surf)
+        pre, cheb_off_v, scatter_off = _emission_slots(kind, mp, surf)
         dtau, dr_, dg_, db_ = _vol_emission(kind, blackbody, redshift,
                                             doppler, pre, ln, pln, b,
                                             zq_new, tau, nz,
-                                            cheb_off=CHEB_OFF_VOL)
+                                            cheb_off=cheb_off_v,
+                                            scatter_off=scatter_off)
         zero = jnp.zeros_like(tau)
         emr = emr + jnp.where(accept, dt * dr_, zero)
         emg = emg + jnp.where(accept, dt * dg_, zero)
@@ -334,8 +349,8 @@ def _pl_rk45_surface_iter(kind, consts, theta, y, track_disk, vol,
             rl = ln
         else:
             from curvis_tpu.ops.march_pallas import _shape_fns
-            inv_r2, _ = _shape_fns(kind, CHEB_OFF_VOL)(
-                _emission_slots(kind, mp, surf), ln)
+            row_v, cheb_off_v, _ = _emission_slots(kind, mp, surf)
+            inv_r2, _ = _shape_fns(kind, cheb_off_v)(row_v, ln)
             rl = lax.rsqrt(jnp.maximum(inv_r2, 1e-30))
         s2v = jnp.clip(1.0 - zq_new * zq_new, 1e-12, 1.0)
         r_cyl = rl * jnp.sqrt(s2v)
@@ -495,7 +510,9 @@ def _pl_surf_fwd(statics, max_steps, max_iters, segment, backend, metric,
                     march_planar_disk_volumetric_pallas
                 res, tau, em = march_planar_disk_volumetric_pallas(
                     metric, rays, c1, c2, nz, dt=dt0, max_steps=max_steps,
-                    escape_radius=R, disk=disk_static, vol_row=surf,
+                    escape_radius=R, disk=disk_static, vol_row=surf[:10],
+                    scatter_block=(surf[10:] if surf.shape[0] > 10
+                                   else None),
                     interpret=interp)
                 extra = (tau, em)
             counts = res.steps
@@ -511,7 +528,9 @@ def _pl_surf_fwd(statics, max_steps, max_iters, segment, backend, metric,
                 extra = (h1, h2)
             else:
                 res, tau, em, iters = march_planar_rk45_pallas(
-                    metric, rays, vol_disk=disk_static, vol_row=surf,
+                    metric, rays, vol_disk=disk_static, vol_row=surf[:10],
+                    scatter_block=(surf[10:] if surf.shape[0] > 10
+                                   else None),
                     nz=nz, **kw)
                 extra = (tau, em)
             counts = iters
@@ -663,7 +682,8 @@ _pl_surf_core.defvjp(_pl_surf_fwd, _pl_surf_bwd)
 
 def _common(metric, state, b, c1, c2, nz, *, stepper, dt, max_steps,
             escape_radius, r_inner=None, r_outer=None, disk=None,
-            disk_theta=None, rtol=1e-5, atol=None, dt_min=1e-6, dt_max=10.0,
+            disk_theta=None, scatter_block=None, rtol=1e-5, atol=None,
+            dt_min=1e-6, dt_max=10.0,
             max_iters=None, backend="auto", segment=None,
             freeze_controller=False):
     if backend == "auto":
@@ -689,6 +709,12 @@ def _common(metric, state, b, c1, c2, nz, *, stepper, dt, max_steps,
         blackbody = redshift = doppler = False
     else:
         surf = build_vol_row(disk, disk_theta, dtype)
+        if scatter_block is not None:
+            # in-gas starlight scattering (march_pallas module contract):
+            # the traced 27-scalar block rides the surf row's tail, so its
+            # cotangents flow back to the disk knobs/map it was built from
+            surf = jnp.concatenate([surf,
+                                    jnp.asarray(scatter_block, dtype)])
         blackbody = disk.color_mode == "blackbody"
         redshift, doppler = disk.redshift, disk.doppler
     consts = jnp.stack([jnp.asarray(v, dtype) for v in
@@ -722,10 +748,14 @@ def march_planar_disk_adjoint(metric, state, b, c1, c2, *, dt, max_steps,
 
 def march_planar_vol_adjoint(metric, state, b, c1, c2, nz, disk, *, dt,
                              max_steps, escape_radius, disk_theta=None,
-                             stepper="euler", **kw):
+                             scatter_block=None, stepper="euler", **kw):
     """Differentiable planar volumetric march (Euler or rk45): returns
     (l, psi, p_l, sign, steps, (tau, (em_r, em_g, em_b))).  Traced disk
-    parameters via ``disk_theta`` (kerr_surface_adjoint.build_vol_row)."""
+    parameters via ``disk_theta`` (kerr_surface_adjoint.build_vol_row);
+    ``scatter_block``: traced (SCATTER_BLOCK,) in-gas starlight
+    coefficients (render/starlight.starlight_scatter_block) enabling the
+    differentiable single-scattering source term."""
     return _common(metric, state, b, c1, c2, nz, stepper=stepper, dt=dt,
                    max_steps=max_steps, escape_radius=escape_radius,
-                   disk=disk, disk_theta=disk_theta, **kw)
+                   disk=disk, disk_theta=disk_theta,
+                   scatter_block=scatter_block, **kw)

@@ -688,10 +688,13 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None,
         # the starlight map's radial profile rides the SMEM row as a
         # monomial tail; the kernels add trans * rho * kappa_s albedo_c
         # Ebar_c per accepted step
-        if differentiable:
-            raise NotImplementedError(
-                "volumetric starlight scattering is not differentiable "
-                "yet; drop differentiable= or disk.starlight")
+        if differentiable and smap is None:
+            raise ValueError(
+                "differentiable volumetric starlight needs a precomputed "
+                "starlight_map= (the illumination map is treated as data; "
+                "tracing gradients through its own construction would "
+                "differentiate through the map marches — compute it once "
+                "with compute_disk_starlight_map)")
         from curvis_tpu.render.starlight import starlight_scatter_block
         if smap is None:
             smap = _starlight_map_impl(
@@ -718,7 +721,7 @@ def _render_disk_impl(metric, cameras, bg, dt, escape_radius, smap=None,
         if vol:
             out = march_planar_vol_adjoint(
                 metric, (l, psi, p_l), b, c1, c2, nz, disk,
-                disk_theta=disk_theta, **kwd)
+                disk_theta=disk_theta, scatter_block=scatter_block, **kwd)
             res = pl.PlanarResult(*out[:5])
             tau, em = out[5]
         else:

@@ -80,6 +80,62 @@ def test_starlit_disk_shading_grads_match_fd(scene, stepper, max_steps):
     np.testing.assert_allclose(float(ga[0]), fd_a, rtol=1e-6)
 
 
+@pytest.mark.parametrize("stepper,max_steps", [("euler", 4000),
+                                               ("rk45", 400)])
+def test_volumetric_starlight_scatter_grads(scene, stepper, max_steps):
+    # round 5: the in-gas single-scattering source term is differentiable
+    # — the traced 27-scalar scatter block rides the surf row through the
+    # checkpointed-recompute adjoint (planar_surface_adjoint._common), so
+    # gradients reach kappa (absorption AND kappa_s) and albedo
+    met, cam, bg, _, smap = scene
+    disk = DiskParams(r_inner=3.0, r_outer=8.0, volumetric=True,
+                      starlight=True, kappa=0.5)
+    kw = dict(dt=0.1, max_steps=max_steps, escape_radius=40.0,
+              backend="while", starlight_map=smap)
+    if stepper == "rk45":
+        kw.update(stepper="rk45", rtol=1e-6)
+
+    # forward parity: the differentiable march IS the production forward
+    img_plain = render_blackhole_disk(met, cam, bg, disk=disk, **kw)
+    img_diff = render_blackhole_disk(met, cam, bg, disk=disk,
+                                     differentiable="scan", **kw)
+    np.testing.assert_allclose(np.asarray(img_diff), np.asarray(img_plain),
+                               atol=1e-12)
+
+    def loss(kap, alb):
+        img = render_blackhole_disk(met, cam, bg, disk=disk,
+                                    differentiable="scan",
+                                    disk_theta={"kappa": kap,
+                                                "albedo": alb}, **kw)
+        return jnp.mean(img)
+
+    kap = jnp.asarray(0.5)
+    alb = jnp.asarray([0.6, 0.6, 0.6])
+    v, (gk, ga) = jax.value_and_grad(loss, argnums=(0, 1))(kap, alb)
+    assert np.isfinite(float(v))
+    eps = 1e-6
+    fdk = (float(loss(kap + eps, alb)) - float(loss(kap - eps, alb))) \
+        / (2 * eps)
+    np.testing.assert_allclose(float(gk), fdk, rtol=1e-6)
+    e0 = jnp.asarray([eps, 0.0, 0.0])
+    fda = (float(loss(kap, alb + e0)) - float(loss(kap, alb - e0))) \
+        / (2 * eps)
+    np.testing.assert_allclose(float(ga[0]), fda, rtol=1e-6)
+    # scattering must contribute to the albedo gradient
+    assert float(ga[0]) > 0
+
+
+def test_volumetric_starlight_diff_requires_map(scene):
+    met, cam, bg, _, _ = scene
+    disk = DiskParams(r_inner=3.0, r_outer=8.0, volumetric=True,
+                      starlight=True)
+    with pytest.raises(ValueError, match="precomputed"):
+        render_blackhole_disk(met, cam, bg, disk=disk,
+                              differentiable="scan", dt=0.1,
+                              max_steps=400, escape_radius=40.0,
+                              backend="while")
+
+
 def test_starlit_albedo_recovery(scene):
     # recover a scalar grey albedo from a noisy starlit disk image —
     # the smallest version of "fit the reflectance you see"
