@@ -136,6 +136,44 @@ def test_volumetric_starlight_diff_requires_map(scene):
                               backend="while")
 
 
+def test_kerr_starlit_disk_shading_grads_match_fd(scene):
+    # the Kerr family composes the same way: the surface adjoint records
+    # full (radius, azimuth, side) crossing triples, so the starlight
+    # lookup + shading tail differentiates through backend='scan'
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.render.kerr import render_kerr
+    from curvis_tpu.render.starlight import compute_kerr_starlight_map
+    _, _, bg, _, _ = scene
+    kerr = KerrMetric(m=jnp.asarray(1.0), a=jnp.asarray(0.7))
+    th = np.pi / 2 - 0.35
+    f = np.array([-np.sin(th), 0.0, -np.cos(th)])
+    f /= np.linalg.norm(f)
+    cam = cv.make_camera([0.0, 15.0, th, 0.0], list(f), [0, 0, 1],
+                         30.0, 43.0, 48, 27, dtype=jnp.float64)
+    disk = DiskParams(r_inner=3.0, r_outer=9.0, starlight=True,
+                      brightness=0.3)
+    smap = compute_kerr_starlight_map(kerr, bg, r_inner=3.0, r_outer=9.0,
+                                      escape_radius=30.0, dt=0.1,
+                                      max_steps=20000, n_r=12, n_phi=24,
+                                      n_samples=24, backend="xla")
+
+    def loss(alb):
+        img = render_kerr(kerr, cam, bg, dt=0.1, max_steps=600,
+                          escape_radius=25.0, disk=disk, backend="scan",
+                          starlight_map=smap,
+                          disk_theta={"albedo": alb,
+                                      "brightness": jnp.asarray(0.3)})
+        return jnp.mean(img)
+
+    alb = jnp.asarray([0.6, 0.6, 0.6])
+    v, g = jax.value_and_grad(loss)(alb)
+    assert np.isfinite(float(v)) and np.all(np.asarray(g) > 0)
+    eps = 1e-5
+    e0 = jnp.asarray([eps, 0.0, 0.0])
+    fd = (float(loss(alb + e0)) - float(loss(alb - e0))) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), fd, rtol=1e-6)
+
+
 def test_starlit_albedo_recovery(scene):
     # recover a scalar grey albedo from a noisy starlit disk image —
     # the smallest version of "fit the reflectance you see"
