@@ -106,7 +106,8 @@ class DiskParams:
 # volumetric / starlight / thickness stay static).
 DIFF_DISK_KEYS = frozenset({
     "r_inner", "r_outer", "h_rel", "kappa", "t_peak", "emissivity_index",
-    "spin_sign", "brightness", "opacity", "tint", "albedo"})
+    "spin_sign", "brightness", "opacity", "tint", "albedo",
+    "starlight_scatter"})
 
 
 class DiskView:

@@ -125,6 +125,29 @@ def test_volumetric_starlight_scatter_grads(scene, stepper, max_steps):
     assert float(ga[0]) > 0
 
 
+def test_starlight_scatter_strength_grad(scene):
+    # 'starlight_scatter' is itself a DIFF_DISK_KEYS knob (round 5): the
+    # scattering strength can be FIT from a gas image
+    met, cam, bg, _, smap = scene
+    disk = DiskParams(r_inner=3.0, r_outer=8.0, volumetric=True,
+                      starlight=True, kappa=0.5)
+
+    def loss(ss):
+        img = render_blackhole_disk(met, cam, bg, disk=disk, dt=0.1,
+                                    max_steps=1000, escape_radius=40.0,
+                                    backend="while", starlight_map=smap,
+                                    differentiable="scan",
+                                    disk_theta={"starlight_scatter": ss})
+        return jnp.mean(img)
+
+    ss = jnp.asarray(1.0)
+    v, g = jax.value_and_grad(loss)(ss)
+    assert float(g) > 0
+    eps = 1e-5
+    fd = (float(loss(ss + eps)) - float(loss(ss - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=1e-6)
+
+
 def test_volumetric_starlight_diff_requires_map(scene):
     met, cam, bg, _, _ = scene
     disk = DiskParams(r_inner=3.0, r_outer=8.0, volumetric=True,
