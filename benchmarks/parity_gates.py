@@ -354,6 +354,50 @@ def gate_kerr_rk45_vol():
             "ok": bool(agree >= 0.93 and d_tau <= 0.05 and d_em <= 0.05)}
 
 
+def gate_kerr_scatter():
+    """Kerr in-gas starlight scattering (round 5): the fixed BL kernel
+    with the 27-scalar scatter tail at KERR_SCATTER_OFF (compiled) vs the
+    XLA RK4 twin with the identical block — same stepper and quadrature,
+    so bounds are the f32 chaotic-band class, not quadrature-level."""
+    import jax
+    import jax.numpy as jnp
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.ops.march_pallas import march_kerr_pallas
+    from curvis_tpu.render.disk import DiskParams
+    from curvis_tpu.render.kerr import march_kerr_volumetric
+    from curvis_tpu.render.starlight import (StarlightMap,
+                                             starlight_scatter_block)
+    metric = KerrMetric(m=jnp.asarray(1.0, jnp.float32),
+                        a=jnp.asarray(0.9, jnp.float32))
+    x0, p0 = _kerr_bundle(metric)
+    disk = DiskParams(r_inner=2.5, r_outer=9.0, volumetric=True, h_rel=0.08,
+                      kappa=3.0, color_mode="tint", albedo=(0.5, 0.3, 0.2),
+                      starlight_scatter=0.7, tint=(1.0, 0.7, 0.4))
+    n_r = 10
+    rng = np.random.default_rng(5)
+    smap = StarlightMap(
+        jnp.linspace(2.5, 9.0, n_r),
+        jnp.asarray(0.2 + 0.6 * rng.random((2, n_r, 8, 3)), jnp.float32))
+    blk = starlight_scatter_block(smap, disk, jnp.float32)
+    _, _, sa, tau_a, em_a = jax.jit(lambda m, x, p, b: march_kerr_volumetric(
+        m, x, p, dt=0.1, max_steps=20_000, escape_radius=60.0,
+        params=disk, scatter_block=b))(metric, x0, p0, blk)
+    _, _, sb, _, (tau_b, em_b) = jax.jit(
+        lambda m, x, p, b: march_kerr_pallas(
+            m, x, p, dt=0.1, max_steps=20_000, escape_radius=60.0,
+            vol_disk=disk, scatter_block=b, far_r0=None,
+            interpret=_ipret()))(metric, x0, p0, blk)
+    agree = float((np.asarray(sa) == np.asarray(sb)).mean())
+    ta, tb = np.asarray(tau_a), np.asarray(tau_b)
+    d_tau = float(np.abs(ta - tb).sum() / max(np.abs(ta).sum(), 1e-6))
+    ea = np.stack([np.asarray(c) for c in em_a])
+    eb = np.stack([np.asarray(c) for c in em_b])
+    d_em = float(np.abs(ea - eb).sum() / max(np.abs(ea).sum(), 1e-6))
+    return {"sign_agree": round(agree, 4), "tau_rel_l1": round(d_tau, 4),
+            "em_rel_l1": round(d_em, 4),
+            "ok": bool(agree >= 0.93 and d_tau <= 0.05 and d_em <= 0.05)}
+
+
 def gate_table():
     """User-metric kernel path (metrics/table.py): the Chebyshev-table
     Pallas march (kind 'cheb{K}', compiled) vs the XLA while marcher
@@ -917,6 +961,7 @@ GATES = {
     "kn": lambda: gate_kerr(True),
     "kerr_rk45": gate_kerr_rk45,
     "kerr_rk45_vol": gate_kerr_rk45_vol,
+    "kerr_scatter": gate_kerr_scatter,
     "table": gate_table,
     "table_rk45": gate_table_rk45,
     "table_disk": gate_table_disk,

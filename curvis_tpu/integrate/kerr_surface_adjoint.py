@@ -56,6 +56,7 @@ from curvis_tpu.integrate.ckpt import ckpt_adjoint_backward
 from curvis_tpu.integrate.kerr_adjoint import _metric_grads, _q2_of
 from curvis_tpu.integrate.rk45_adjoint import _kerr_rhs_guarded
 from curvis_tpu.ops.march_pallas import (_DP_A, _DP_B4, _DP_B5,
+                                         KERR_SCATTER_OFF,
                                          VOL_BLOCK_KERR, VOL_SLOT,
                                          _kerr_vol_emission)
 from curvis_tpu.physics import hamiltonian as ham
@@ -119,11 +120,18 @@ def _vol_param_row_ref(M, a, q2, vol):
     """Duck-typed SMEM row for `_kerr_vol_emission`: metric params at slots
     2-4, (r_in, r_out) at 6-7, the 8 emission slots at VOL_BLOCK_KERR+ —
     exactly the Kerr kernels' layout, so the replay runs the identical
-    emission algebra on identical values."""
+    emission algebra on identical values.  A scattering tail (len(vol) >
+    10, round 5) rides at KERR_SCATTER_OFF per the kernel contract.
+    Returns (row, scatter_off)."""
     slots = {2: M, 3: a, 4: q2, 6: vol[0], 7: vol[1]}
     for i in range(8):
         slots[VOL_BLOCK_KERR + i] = vol[2 + i]
-    return _ParamRow(slots)
+    scatter_off = None
+    if len(vol) > 10:
+        scatter_off = KERR_SCATTER_OFF
+        for i in range(len(vol) - 10):
+            slots[KERR_SCATTER_OFF + i] = vol[10 + i]
+    return _ParamRow(slots), scatter_off
 
 
 # ---------------------------------------------------------------------------
@@ -197,10 +205,11 @@ def _vol_step(blackbody, beaming, dt, axis_u0, far_r0, theta, y):
     r, th, ph, p_r, p_th, tau, emr, emg, emb = y
     dte, r1, th1, ph1, pr1, pth1 = _rk4_state(dt, axis_u0, far_r0, M, a, q2,
                                               E, L, r, th, ph, p_r, p_th)
-    pr_row = _vol_param_row_ref(M, a, q2, vol)
+    pr_row, sc_off = _vol_param_row_ref(M, a, q2, vol)
     b_ph = L / E
     dtau, dr_, dg_, db_ = _kerr_vol_emission(blackbody, beaming, pr_row,
-                                             r1, th1, b_ph, tau)
+                                             r1, th1, b_ph, tau,
+                                             scatter_off=sc_off)
     # the kernels gate the quadrature on the post-step finiteness check
     # (a blowup step contributes nothing); flags only — ok is always true
     # on included rays' counted steps, so the gradient path is unaffected
@@ -445,13 +454,16 @@ def _vol_fwd(max_steps, axis_u0, segment, backend, modes, metric, x0, p0,
         x, p, sign, steps, (tau, em) = march_kerr_pallas(
             metric, x0, p0, dt=dt, max_steps=max_steps,
             escape_radius=escape_radius, vol_disk=disk_static,
-            vol_row=vol_row, axis_u0=axis_u0, far_r0=far_r0,
+            vol_row=vol_row[:10],
+            scatter_block=(vol_row[10:] if vol_row.shape[0] > 10
+                           else None),
+            axis_u0=axis_u0, far_r0=far_r0,
             interpret=backend.endswith("interpret"))
     else:
         E = -p0[:, 0]
         L = p0[:, 3]
         theta = ((metric.m, metric.a, _q2_of(metric), E, L)
-                 + tuple(vol_row[i] for i in range(10)))
+                 + tuple(vol_row[i] for i in range(vol_row.shape[0])))
         zero = jnp.zeros_like(x0[:, 1])
         tau_max = vol_row[2 + VOL_SLOT["tau_max"]]
         y, sign, steps = _forward_xla_fixed(
@@ -490,8 +502,9 @@ def _vol_bwd(max_steps, axis_u0, segment, backend, modes, res, cot):
         from curvis_tpu.ops.ckpt_adjoint_pallas import (
             ckpt_adjoint_backward_pallas)
         one = jnp.ones_like(y0[0])
+        n_row = vol_row.shape[0]
         theta = (metric.m * one, metric.a * one, q2 * one, E, L) \
-            + tuple(vol_row[i] * one for i in range(10))
+            + tuple(vol_row[i] * one for i in range(n_row))
         params = jnp.stack([jnp.asarray(v, dtype)
                             for v in (dt, axis_u0, far_r0, 0.0)]
                            ).reshape(1, 4)
@@ -501,18 +514,19 @@ def _vol_bwd(max_steps, axis_u0, segment, backend, modes, res, cot):
             seg=segment, interpret=backend.endswith("interpret"))
         g_m, g_a, g_q2 = (jnp.sum(g[0]), jnp.sum(g[1]), jnp.sum(g[2]))
         gE, gL = g[3], g[4]
-        g_vol = jnp.stack([jnp.sum(g[5 + i]) for i in range(10)]
+        g_vol = jnp.stack([jnp.sum(g[5 + i]) for i in range(n_row)]
                           ).astype(vol_row.dtype)
     else:
+        n_row = vol_row.shape[0]
         theta = ((metric.m, metric.a, q2, E, L)
-                 + tuple(vol_row[i] for i in range(10)))
+                 + tuple(vol_row[i] for i in range(n_row)))
         step_fn = partial(_vol_step, blackbody, beaming, dt, axis_u0,
                           far_r0)
         d_theta, lam = ckpt_adjoint_backward(
             step_fn, theta, y0, steps_eff, cot9, max_steps=max_steps,
             segment=segment)
         g_m, g_a, g_q2, gE, gL = d_theta[:5]
-        g_vol = jnp.stack(list(d_theta[5:15])).astype(vol_row.dtype)
+        g_vol = jnp.stack(list(d_theta[5:5 + n_row])).astype(vol_row.dtype)
 
     g_metric = _metric_grads(metric, g_m, g_a, g_q2)
     g_x0 = jnp.stack([jnp.zeros_like(lam[0]), lam[0], lam[1], lam[2]],
@@ -527,7 +541,8 @@ _vol_core.defvjp(_vol_fwd, _vol_bwd)
 
 
 def march_kerr_vol_adjoint(metric, x0, p0, disk, *, dt, max_steps,
-                           escape_radius, disk_theta=None, axis_u0=0.01,
+                           escape_radius, disk_theta=None,
+                           scatter_block=None, axis_u0=0.01,
                            far_r0=None, backend="auto", segment=None):
     """Differentiable Kerr/KN volumetric march: production forward + exact
     checkpointed-recompute backward on the 9-state radiative-transfer map.
@@ -545,6 +560,12 @@ def march_kerr_vol_adjoint(metric, x0, p0, disk, *, dt, max_steps,
     if far_r0 is None:
         far_r0 = jnp.asarray(1e30, dtype)
     vol_row = build_vol_row(disk, disk_theta, dtype)
+    if scatter_block is not None:
+        # in-gas starlight scattering: the traced block rides the row's
+        # tail (kernel contract KERR_SCATTER_OFF), so its cotangents flow
+        # back to the disk knobs / map it was built from
+        vol_row = jnp.concatenate([vol_row,
+                                   jnp.asarray(scatter_block, dtype)])
     modes = (disk, disk.color_mode == "blackbody",
              disk.redshift or disk.doppler)
     return _vol_core(max_steps, float(axis_u0), int(segment), backend,
@@ -655,10 +676,11 @@ def _rk45_surface_iter(consts, theta, y, track_disk, vol, blackbody,
     opaque_i = jnp.zeros_like(accept)
     if vol:
         tau, emr, emg, emb = ex
-        pr_row = _vol_param_row_ref(M, a, q2, volrow)
+        pr_row, sc_off = _vol_param_row_ref(M, a, q2, volrow)
         b_ph = L / E
         dtau, dr_, dg_, db_ = _kerr_vol_emission(blackbody, beaming,
-                                                 pr_row, rn, thn, b_ph, tau)
+                                                 pr_row, rn, thn, b_ph, tau,
+                                                 scatter_off=sc_off)
         gate = accept & ok
         zero = jnp.zeros_like(tau)
         emr = emr + jnp.where(gate, dt * dr_, zero)
@@ -790,7 +812,9 @@ def _rk45_surf_fwd(max_steps, max_iters, segment, backend, modes, metric,
             extra = (h1, h2)
         else:
             x, p, sign, steps, (tau, em), iters = march_kerr_rk45_pallas(
-                metric, x0, p0, vol_disk=disk_static, vol_row=surf, **kw)
+                metric, x0, p0, vol_disk=disk_static, vol_row=surf[:10],
+                scatter_block=(surf[10:] if surf.shape[0] > 10 else None),
+                **kw)
             extra = (tau, em)
     else:
         E = -p0[:, 0]
@@ -934,15 +958,19 @@ def march_kerr_rk45_disk_adjoint(metric, x0, p0, *, dt0, max_steps,
 
 
 def march_kerr_rk45_vol_adjoint(metric, x0, p0, disk, *, dt0, max_steps,
-                                escape_radius, disk_theta=None, rtol=1e-4,
+                                escape_radius, disk_theta=None,
+                                scatter_block=None, rtol=1e-4,
                                 atol=1e-7, dt_min=1e-5, dt_max=None,
                                 max_iters=None, backend="auto",
                                 segment=None, freeze_controller=False):
     """Differentiable error-controlled Kerr/KN volumetric march — the rk45
     twin of :func:`march_kerr_vol_adjoint` (same output contract; disk
-    parameter gradients via ``disk_theta``)."""
+    parameter gradients via ``disk_theta``, in-gas starlight via
+    ``scatter_block``)."""
     dtype = x0.dtype
     surf = build_vol_row(disk, disk_theta, dtype)
+    if scatter_block is not None:
+        surf = jnp.concatenate([surf, jnp.asarray(scatter_block, dtype)])
     modes = (False, disk, disk.color_mode == "blackbody",
              disk.redshift or disk.doppler, bool(freeze_controller))
     x, p, sign, steps, (tau, em) = _rk45_surface_common(

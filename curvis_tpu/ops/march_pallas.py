@@ -86,6 +86,11 @@ CHEB_OFF_RK45_VOL = CHEB_OFF_VOL + RK45_EXTRA_OFF     # = 19
 # The Chebyshev metric tail shifts up by SCATTER_BLOCK.
 SCATTER_DEG = 7
 SCATTER_BLOCK = 3 + 3 * (SCATTER_DEG + 1)             # = 27
+# Kerr vol rows are width 20 with or without rk45 (fixed: 10 base + 8
+# slots + 2 spare; rk45: 10 base + 8 slots + dt_max/dt_min), so the Kerr
+# scatter block rides at a single offset in both kernels (round 5: the
+# in-gas starlight source for the BL family)
+KERR_SCATTER_OFF = VOL_BLOCK_KERR + len(VOL_SLOT) + 2  # = 20
 
 
 def _atan_poly(x):
@@ -1416,14 +1421,20 @@ def _kerr_rhs(M, a, q2, E, L, r, th, p_r, p_th):
     return dr, dth, dph, dpr, dpth
 
 
-def _kerr_vol_emission(blackbody: bool, beaming: bool, pr, r, th, b_ph, tau):
+def _kerr_vol_emission(blackbody: bool, beaming: bool, pr, r, th, b_ph, tau,
+                       scatter_off=None):
     """Volumetric disk emission at a BL state — (dtau, demr, demg, demb).
 
     Mirrors render/kerr.py:march_kerr_volumetric.step_emission (same clips
     and guards); the vertical direction cosine is zq = cos(theta) exactly,
     and the g-factor is the circular-orbit formula with rr^1.5 = rr sqrt(rr)
     (no pow in Mosaic).  Scalars from the widened (1, 20) SMEM row (the 8
-    _vol_param_slots at VOL_BLOCK_KERR — layout contract, module top)."""
+    _vol_param_slots at VOL_BLOCK_KERR — layout contract, module top).
+
+    ``scatter_off``: slot offset of the 27-scalar starlight scattering
+    block (KERR_SCATTER_OFF) — adds the in-gas single-scattering source,
+    the BL twin of the planar _vol_emission's (identical algebra, with
+    r_cyl = r sin(theta))."""
     V = VOL_BLOCK_KERR
     M = pr[0, 2]
     a = pr[0, 3]
@@ -1461,6 +1472,20 @@ def _kerr_vol_emission(blackbody: bool, beaming: bool, pr, r, th, b_ph, tau):
         g = jnp.ones_like(rr)
     trans = jnp.exp(-tau)
     dtau = kappa * base
+    scat = None
+    if scatter_off is not None:
+        # scattered-starlight source (the planar _vol_emission's exact
+        # form): Horner in the compactified cylindrical radius per channel
+        t = jnp.clip(2.0 * (r_cyl - r_in) / (r_out - r_in) - 1.0,
+                     -1.0, 1.0)
+        sw = trans * base
+        scat = []
+        for c in range(3):
+            c0 = scatter_off + 3 + c * (SCATTER_DEG + 1)
+            acc = pr[0, c0 + SCATTER_DEG]
+            for k in range(SCATTER_DEG - 1, -1, -1):
+                acc = acc * t + pr[0, c0 + k]
+            scat.append(sw * jnp.maximum(acc, 0.0))
     if blackbody:
         sq = jnp.sqrt(r_in / rr)
         f = jnp.exp(-0.75 * jnp.log(rr)
@@ -1476,14 +1501,25 @@ def _kerr_vol_emission(blackbody: bool, beaming: bool, pr, r, th, b_ph, tau):
             logs.append(l5 - log_denom)
         m = jnp.maximum(logs[0], jnp.maximum(logs[1], logs[2]))
         w = trans * base * rel
-        return (dtau, w * jnp.exp(logs[0] - m), w * jnp.exp(logs[1] - m),
-                w * jnp.exp(logs[2] - m))
+        out = [w * jnp.exp(logs[0] - m), w * jnp.exp(logs[1] - m),
+               w * jnp.exp(logs[2] - m)]
+        if scat is not None:
+            out = [o + sc for o, sc in zip(out, scat)]
+        return (dtau, out[0], out[1], out[2])
     emis = jnp.exp(emis_q * jnp.log(r_in / rr))
     w = trans * base * emis * jnp.clip(g, 0.0, 4.0) ** 3
+    if scat is not None:
+        # scattered light is COLORED: fold the tint in-kernel per channel
+        # (the shader then skips its grayscale tint scaling — the planar
+        # scatter contract)
+        return (dtau, w * pr[0, scatter_off] + scat[0],
+                w * pr[0, scatter_off + 1] + scat[1],
+                w * pr[0, scatter_off + 2] + scat[2])
     return dtau, w, w, w
 
 
 def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
+                 scatter: bool,
                  blackbody: bool, beaming: bool,
                  params_ref, r_ref, th_ref, ph_ref, pr_ref, pth_ref,
                  E_ref, L_ref, *out_refs):
@@ -1626,7 +1662,8 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
                 # finiteness check (0 * NaN = NaN: a multiplicative mask
                 # cannot stop a blown-up state from poisoning tau/em)
                 dtau, dr_, dg_, db_ = _kerr_vol_emission(
-                    blackbody, beaming, params_ref, r, th, b_ph, tau)
+                    blackbody, beaming, params_ref, r, th, b_ph, tau,
+                    scatter_off=KERR_SCATTER_OFF if scatter else None)
                 gate = (alive * ok) > 0.5
                 emr = emr + jnp.where(gate, dte * dr_, zero)
                 emg = emg + jnp.where(gate, dte * dg_, zero)
@@ -1676,10 +1713,12 @@ def _kerr_kernel(max_steps: int, unroll: int, track_disk: bool, vol: bool,
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "tile_rows",
                                              "unroll", "track_disk", "vol",
+                                             "scatter",
                                              "blackbody", "beaming",
                                              "interpret"))
 def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
                       tile_rows, unroll, track_disk, vol=False,
+                      scatter=False,
                       blackbody=False, beaming=False, interpret=False):
     n_rows = r.shape[0]
     grid = (n_rows // tile_rows,)
@@ -1690,7 +1729,7 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kerr_kernel, max_steps, unroll, track_disk,
-                               vol, blackbody, beaming)
+                               vol, scatter, blackbody, beaming)
     f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
     i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
     out_shape = [f, f, f, f, f, i32, i32]
@@ -1714,7 +1753,8 @@ def _kerr_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
 
 def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
                       capture_radius=None, disk=None, vol_disk=None,
-                      vol_row=None, tile_rows=32, unroll=8, interpret=False,
+                      vol_row=None, scatter_block=None, tile_rows=32,
+                      unroll=8, interpret=False,
                       axis_u0=0.01, far_r0=None):
     # NB unroll=1 trips a Mosaic relayout bug on v5e ("Non-singleton logical
     # dimension is replicated in destination but not in source") in the
@@ -1767,6 +1807,10 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
         slots = (_vol_param_slots(vol_disk) if vol_row is None
                  else [vol_row[2 + i] for i in range(8)])
         vals += slots + [0.0, 0.0]
+        if scatter_block is not None:
+            # in-gas starlight source: 27 scalars at KERR_SCATTER_OFF
+            assert len(vals) == KERR_SCATTER_OFF
+            vals += [scatter_block[i] for i in range(SCATTER_BLOCK)]
     width = len(vals)
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
                        ).reshape(1, width)
@@ -1786,6 +1830,7 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
         params, *(a.reshape(shape2) for a in arrs),
         max_steps=max_steps, tile_rows=tile_rows, unroll=unroll,
         track_disk=disk is not None and not vol, vol=vol,
+        scatter=vol and scatter_block is not None,
         blackbody=vol and vol_disk.color_mode == "blackbody",
         beaming=vol and (vol_disk.redshift or vol_disk.doppler),
         interpret=interpret)
@@ -1814,8 +1859,8 @@ def march_kerr_pallas(metric, x0, p0, *, dt, max_steps, escape_radius,
 # ---------------------------------------------------------------------------
 
 def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
-                      track_disk: bool, vol: bool, blackbody: bool,
-                      beaming: bool,
+                      track_disk: bool, vol: bool, scatter: bool,
+                      blackbody: bool, beaming: bool,
                       params_ref, r_ref, th_ref, ph_ref, pr_ref, pth_ref,
                       E_ref, L_ref, *out_refs):
     R = params_ref[0, 1]
@@ -1976,7 +2021,8 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
                 # multiplicative mask cannot stop a blown-up state from
                 # poisoning tau/em
                 dtau, dr_, dg_, db_ = _kerr_vol_emission(
-                    blackbody, beaming, params_ref, r, th, b_ph, tau)
+                    blackbody, beaming, params_ref, r, th, b_ph, tau,
+                    scatter_off=KERR_SCATTER_OFF if scatter else None)
                 gate = accept & (ok > 0.5)
                 emr = emr + jnp.where(gate, dt * dr_, zero)
                 emg = emg + jnp.where(gate, dt * dg_, zero)
@@ -2089,12 +2135,13 @@ def _kerr_rk45_kernel(max_steps: int, max_iters: int, unroll: int,
 @functools.partial(jax.jit, static_argnames=("max_steps", "max_iters",
                                              "tile_rows", "unroll",
                                              "track_disk", "vol",
+                                             "scatter",
                                              "blackbody", "beaming",
                                              "interpret"))
 def _kerr_rk45_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
                            max_iters, tile_rows, unroll, track_disk,
-                           vol=False, blackbody=False, beaming=False,
-                           interpret=False):
+                           vol=False, scatter=False, blackbody=False,
+                           beaming=False, interpret=False):
     n_rows = r.shape[0]
     grid = (n_rows // tile_rows,)
     dtype = r.dtype
@@ -2104,7 +2151,8 @@ def _kerr_rk45_flat_arrays(params, r, th, ph, p_r, p_th, E, L, *, max_steps,
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kerr_rk45_kernel, max_steps, max_iters,
-                               unroll, track_disk, vol, blackbody, beaming)
+                               unroll, track_disk, vol, scatter, blackbody,
+                               beaming)
     f = jax.ShapeDtypeStruct((n_rows, LANES), dtype)
     i32 = jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)
     out_shape = [f, f, f, f, f, i32, i32]
@@ -2130,8 +2178,8 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
                            max_iters=None, escape_radius, rtol=1e-4,
                            atol=1e-7, dt_min=1e-5, dt_max=None,
                            capture_radius=None, disk=None, vol_disk=None,
-                           vol_row=None, tile_rows=32, unroll=2,
-                           interpret=False, return_iters=False):
+                           vol_row=None, scatter_block=None, tile_rows=32,
+                           unroll=2, interpret=False, return_iters=False):
     """Error-controlled Pallas Kerr/KN march — the kernel twin of
     integrate/rk45.py:march_kerr_rk45 (same contract as march_kerr_pallas;
     ``steps`` counts accepted steps).  ``vol_disk`` (DiskParams with
@@ -2179,6 +2227,9 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
                  else [vol_row[2 + i] for i in range(8)])
     assert len(vals) == KERR_RK45_BOUNDS[vol]
     vals += [dt_max, dt_min]
+    if vol and scatter_block is not None:
+        assert len(vals) == KERR_SCATTER_OFF
+        vals += [scatter_block[i] for i in range(SCATTER_BLOCK)]
     params = jnp.stack([jnp.asarray(v, dtype) for v in vals]
                        ).reshape(1, len(vals))
 
@@ -2197,6 +2248,7 @@ def march_kerr_rk45_pallas(metric, x0, p0, *, dt0=0.1, max_steps=4_000,
         params, *(a.reshape(shape2) for a in arrs),
         max_steps=max_steps, max_iters=max_iters, tile_rows=tile_rows,
         unroll=unroll, track_disk=disk is not None and not vol, vol=vol,
+        scatter=vol and scatter_block is not None,
         blackbody=vol and vol_disk.color_mode == "blackbody",
         beaming=vol and (vol_disk.redshift or vol_disk.doppler),
         interpret=interpret)

@@ -121,7 +121,7 @@ def _kerr_circular_g(metric, rr, b_photon, spin_sign):
 
 def march_kerr_volumetric(metric: KerrMetric, x0, p0, *, dt, max_steps,
                           escape_radius, params: DiskParams, axis_u0=0.01,
-                          far_r0=None):
+                          far_r0=None, scatter_block=None):
     """Masked RK4 Kerr march with per-step volumetric radiative transfer
     through the flared Gaussian disk (render/disk.py:march_planar_disk_
     volumetric semantics, in Boyer-Lindquist: the vertical direction cosine
@@ -164,15 +164,39 @@ def march_kerr_volumetric(metric: KerrMetric, x0, p0, *, dt, max_steps,
             if beaming else jnp.ones_like(r_cyl)
         trans = jnp.exp(-tau)
         dtau = params.kappa * base
+        scat = None
+        if scatter_block is not None:
+            # in-gas starlight source (ops/march_pallas._kerr_vol_emission
+            # twin): Horner per channel in the compactified radius
+            from curvis_tpu.ops.march_pallas import SCATTER_DEG
+            t = jnp.clip(2.0 * (r_cyl - params.r_inner) / w_edge - 1.0,
+                         -1.0, 1.0)
+            sw = trans * base
+            scat = []
+            for c in range(3):
+                c0 = 3 + c * (SCATTER_DEG + 1)
+                acc = scatter_block[c0 + SCATTER_DEG]
+                for k in range(SCATTER_DEG - 1, -1, -1):
+                    acc = acc * t + scatter_block[c0 + k]
+                scat.append(sw * jnp.maximum(acc, 0.0))
         if blackbody:
             t_obs = g * disk_temperature(rr, params)
             rel = (t_obs / params.t_peak) ** 4
             chroma = blackbody_rgb(t_obs)
             w = trans * base * rel
-            return dtau, w * chroma[..., 0], w * chroma[..., 1], \
-                w * chroma[..., 2]
+            out = [w * chroma[..., 0], w * chroma[..., 1],
+                   w * chroma[..., 2]]
+            if scat is not None:
+                out = [o + sc for o, sc in zip(out, scat)]
+            return dtau, out[0], out[1], out[2]
         emis = (params.r_inner / rr) ** params.emissivity_index
         w = trans * base * emis * jnp.clip(g, 0.0, 4.0) ** 3
+        if scat is not None:
+            # colored scattering: fold the tint in here (the shader skips
+            # its grayscale tint scaling — the kernels' scatter contract)
+            return (dtau, w * scatter_block[0] + scat[0],
+                    w * scatter_block[1] + scat[1],
+                    w * scatter_block[2] + scat[2])
         return dtau, w, w, w
 
     zeros = jnp.zeros((n,), dtype)
@@ -349,6 +373,21 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
         if disk is not None:
             far_r0 = jnp.maximum(far_r0, disk.r_outer + 2.0 * metric.m)
     vol = disk is not None and disk.volumetric
+    scatter_block = None
+    if vol and disk.starlight:
+        # in-gas single scattering of the lensed sky (round 5, the BL twin
+        # of the planar scatter source): the Kerr starlight map's radial
+        # profile rides the kernels' SMEM row at KERR_SCATTER_OFF
+        if starlight_map is None:
+            raise ValueError(
+                "disk.starlight=True with volumetric=True for Kerr needs a "
+                "precomputed starlight_map=compute_kerr_starlight_map(...) "
+                "(camera-independent; the in-gas scattering source is "
+                "built from its radial profile)")
+        from curvis_tpu.render.disk import disk_view
+        from curvis_tpu.render.starlight import starlight_scatter_block
+        scatter_block = starlight_scatter_block(
+            starlight_map, disk_view(disk, disk_theta), x0.dtype)
     if stepper == "rk45":
         # error-controlled march (bare shadow / thin disk / volumetric
         # gas): the Pallas DP pair on TPU, its XLA twin elsewhere
@@ -374,10 +413,12 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
                 from curvis_tpu.integrate.kerr_surface_adjoint import (
                     march_kerr_rk45_vol_adjoint)
                 x, p, sign, _, tau, em = march_kerr_rk45_vol_adjoint(
-                    metric, x0, p0, disk, disk_theta=disk_theta, **kwa)
+                    metric, x0, p0, disk, disk_theta=disk_theta,
+                    scatter_block=scatter_block, **kwa)
                 return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk,
                                    filtering, True, tau, em, None, None,
-                                   disk_theta)
+                                   disk_theta,
+                                   scatter=scatter_block is not None)
             if disk is not None:
                 from curvis_tpu.integrate.kerr_surface_adjoint import (
                     march_kerr_rk45_disk_adjoint)
@@ -401,10 +442,12 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
         if vol:
             from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
             x, p, sign, _, (tau, em) = march_kerr_rk45_pallas(
-                metric, x0, p0, vol_disk=disk, interpret=not _on_tpu(),
+                metric, x0, p0, vol_disk=disk,
+                scatter_block=scatter_block, interpret=not _on_tpu(),
                 **kw45)
             return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk,
-                               filtering, vol, tau, em, None, None)
+                               filtering, vol, tau, em, None, None,
+                               scatter=scatter_block is not None)
         if disk is not None:
             from curvis_tpu.ops.march_pallas import march_kerr_rk45_pallas
             x, p, sign, _, (h1, h2) = march_kerr_rk45_pallas(
@@ -435,7 +478,8 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
             from curvis_tpu.integrate.kerr_surface_adjoint import (
                 march_kerr_vol_adjoint)
             x, p, sign, _, tau, em = march_kerr_vol_adjoint(
-                metric, x0, p0, disk, disk_theta=disk_theta, dt=dt,
+                metric, x0, p0, disk, disk_theta=disk_theta,
+                scatter_block=scatter_block, dt=dt,
                 max_steps=max_steps, escape_radius=escape_radius,
                 far_r0=far_r0,
                 backend=("auto" if backend == "adjoint" else "xla"))
@@ -449,11 +493,13 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
             x, p, sign, _, (tau, em) = march_kerr_pallas(
                 metric, x0, p0, dt=dt, max_steps=max_steps,
                 escape_radius=escape_radius, vol_disk=disk,
-                vol_row=vol_row, far_r0=far_r0)
+                vol_row=vol_row, scatter_block=scatter_block,
+                far_r0=far_r0)
         else:
             x, p, sign, tau, em = march_kerr_volumetric(
                 metric, x0, p0, dt=dt, max_steps=max_steps,
-                escape_radius=escape_radius, params=disk, far_r0=far_r0)
+                escape_radius=escape_radius, params=disk, far_r0=far_r0,
+                scatter_block=scatter_block)
         h1 = h2 = None
     elif disk is not None:
         if backend in ("scan", "adjoint"):
@@ -513,7 +559,8 @@ def _kerr_march_and_shade(metric, x0, p0, bg, dt, *, max_steps,
     if not vol:
         tau = em = None
     return _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering,
-                       vol, tau, em, h1, h2, disk_theta, starlight_map)
+                       vol, tau, em, h1, h2, disk_theta, starlight_map,
+                       scatter=scatter_block is not None)
 
 
 def _asymptotic_dirs(metric, x, p):
@@ -533,7 +580,8 @@ def _asymptotic_dirs(metric, x, p):
 
 
 def _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering, vol,
-                tau, em, h1, h2, disk_theta=None, starlight_map=None):
+                tau, em, h1, h2, disk_theta=None, starlight_map=None,
+                scatter=False):
     """Shared shading tail of every Kerr march variant -> (N, 3) colors.
 
     Readout: asymptotic direction from contravariant momentum.  Only
@@ -558,7 +606,8 @@ def _kerr_shade(metric, x0, p0, bg, x, p, sign, disk, filtering, vol,
     shade = disk_view(disk, disk_theta) if disk is not None else disk
     if vol:
         from curvis_tpu.render.disk import _volumetric_rgb
-        rgb, trans = _volumetric_rgb(tau, em, shade, x.dtype)
+        rgb, trans = _volumetric_rgb(tau, em, shade, x.dtype,
+                                     scatter=scatter)
         colors = jnp.clip(rgb + trans[:, None] * colors, 0.0, 1.0)
     elif disk is not None:
         # h1/h2 are (radius, BL azimuth, approach side) crossing triples
