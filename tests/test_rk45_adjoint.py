@@ -183,7 +183,10 @@ def test_render_kerr_rk45_adjoint_backend():
     assert abs(float(g) - fd) / max(abs(fd), 1e-12) < 0.3
 
 
-def test_thin_disk_gradient_guard():
+def test_thin_disk_rk45_scan_no_longer_guarded():
+    """Round 4 raised NotImplementedError for rk45 + disk gradient
+    backends; round 5's surface adjoints support the combination — the
+    old guard must stay gone and the render must be differentiable."""
     from curvis_tpu.render.disk import DiskParams
     from curvis_tpu.render.kerr import render_kerr
     import curvis_tpu as cv
@@ -191,11 +194,17 @@ def test_thin_disk_gradient_guard():
     cam = cv.make_camera([0.0, 15.0, np.pi / 2 - 0.3, 0.0],
                          [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0], 35.0, 43.0,
                          8, 4)
-    with pytest.raises(NotImplementedError):
-        render_kerr(KerrMetric(m=jnp.asarray(1.0), a=jnp.asarray(0.5)),
-                    cam, bg, dt=0.1, max_steps=200, escape_radius=25.0,
-                    stepper="rk45", backend="scan",
-                    disk=DiskParams(r_inner=3.0, r_outer=8.0))
+
+    def loss(a):
+        img = render_kerr(KerrMetric(m=jnp.asarray(1.0), a=a),
+                          cam, bg, dt=0.1, max_steps=200,
+                          escape_radius=25.0, stepper="rk45",
+                          backend="scan",
+                          disk=DiskParams(r_inner=3.0, r_outer=8.0))
+        return jnp.mean(img)
+
+    v, g = jax.value_and_grad(loss)(jnp.asarray(0.5))
+    assert np.isfinite(float(v)) and np.isfinite(float(g))
 
 
 def test_odd_max_iters_matches_even_on_pallas_pair():

@@ -318,8 +318,11 @@ def test_precomputed_map_matches_inline():
 
 def test_render_starlight_volumetric_now_supported():
     """Round 5: volumetric + starlight is the in-gas scattering source
-    (tests/test_starlight_scatter.py); only the DIFFERENTIABLE combination
-    still raises (the scatter block is not in the adjoint theta yet)."""
+    (tests/test_starlight_scatter.py).  The DIFFERENTIABLE combination
+    works too (late session — the scatter block rides the adjoint theta,
+    tests/test_starlight_grad.py) but requires a PRECOMPUTED map: tracing
+    through the map's own construction would reverse through its
+    while-loop marches, so a clear ValueError asks for starlight_map=."""
     m = SchwarzschildMetric(m=jnp.asarray(1.0))
     combo = DiskParams(volumetric=True, starlight=True,
                        starlight_grid=(6, 8), starlight_samples=16)
@@ -327,7 +330,18 @@ def test_render_starlight_volumetric_now_supported():
                                 backend="while", dt=0.05, max_steps=100,
                                 escape_radius=60.0)
     assert np.isfinite(np.asarray(img)).all()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="precomputed"):
         render_blackhole_disk(m, _cam(8, 4), _sky(), disk=combo,
                               backend="while", dt=0.05, max_steps=100,
                               escape_radius=60.0, differentiable="scan")
+    from curvis_tpu.render.starlight import compute_disk_starlight_map
+    smap = compute_disk_starlight_map(m, _sky(), r_inner=combo.r_inner,
+                                      r_outer=combo.r_outer,
+                                      escape_radius=60.0, dt=0.1,
+                                      max_steps=4000, n_r=6, n_phi=8,
+                                      n_samples=16)
+    img2 = render_blackhole_disk(m, _cam(8, 4), _sky(), disk=combo,
+                                 backend="while", dt=0.05, max_steps=100,
+                                 escape_radius=60.0, starlight_map=smap,
+                                 differentiable="scan")
+    assert np.isfinite(np.asarray(img2)).all()
