@@ -28,3 +28,16 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# Full-suite runs accumulate thousands of compiled CPU executables in one
+# process; past ~220 tests the XLA CPU backend_compile can hard-abort
+# ("Fatal Python error: Aborted" inside backend_compile_and_load, observed
+# at different tests on different runs — state-dependent, never
+# reproducible for a file run alone).  Dropping JAX's compilation/tracing
+# caches between modules bounds that state; per-module recompiles cost
+# little since the suite mostly re-jits per module anyway.
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
