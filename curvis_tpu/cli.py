@@ -214,6 +214,19 @@ def image_main(args) -> int:
                        # BL marches have no Euler form: euler/rk4 -> fixed
                        # RK4, rk45 -> the error-controlled DP5(4) kernel
                        stepper="rk45" if args.stepper == "rk45" else "rk4")
+        dp = kerr_kw["disk"]
+        if dp is not None and dp.starlight:
+            # the Kerr starlight map is camera-independent: compute it
+            # once here (thin-disk reflection AND volumetric in-gas
+            # scattering both require it precomputed)
+            from curvis_tpu.render.starlight import (
+                compute_kerr_starlight_map)
+            kerr_kw["starlight_map"] = compute_kerr_starlight_map(
+                metric, bgp, r_inner=dp.r_inner, r_outer=dp.r_outer,
+                escape_radius=kw["escape_radius"],
+                dt=kerr_kw["dt"], max_steps=kw["max_steps"],
+                n_r=dp.starlight_grid[0], n_phi=dp.starlight_grid[1],
+                n_samples=dp.starlight_samples, boost="orbit")
         if args.adaptive_aa > 0:
             from curvis_tpu.render.kerr import render_kerr_adaptive
             img = render_kerr_adaptive(metric, camera, bgp,

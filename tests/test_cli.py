@@ -224,3 +224,22 @@ def test_cli_image_kerr_rk45_stepper(scene):
     # wide-FOV close camera: ~78% shadow here (identical to the rk4
     # stepper's fraction on this scene), background on the remainder
     assert (img.sum(-1) > 0.1).mean() > 0.15
+
+
+def test_cli_image_kerr_starlight(scene):
+    """Kerr with a starlit disk from the CLI: the camera-independent BL
+    illumination map is computed once inside the CLI (round-5 late
+    session — previously this raised 'needs a precomputed map'), for the
+    thin-disk reflection AND the volumetric in-gas scattering."""
+    args = _image_args(
+        scene, 'kind = "kerr"\nm = 1.0\na = 0.7\n',
+        "--disk", "--disk-starlight", "--disk-albedo", "0.6", "0.6", "0.6")
+    assert main(args) == 0
+    img = _out_image(scene)
+    assert np.isfinite(img).all()
+    args = _image_args(
+        scene, 'kind = "kerr"\nm = 1.0\na = 0.7\n',
+        "--disk", "--disk-volumetric", "--disk-starlight")
+    assert main(args) == 0
+    img2 = _out_image(scene)
+    assert np.isfinite(img2).all()
