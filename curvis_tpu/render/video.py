@@ -34,6 +34,18 @@ from curvis_tpu.env.spherical_image import SphericalImage, save_image
 from curvis_tpu.metrics.base import Metric
 from curvis_tpu.utils.log import get_logger
 
+
+def _kerr_video_smap(metric, bg, disk, dt, max_steps, escape_radius):
+    """Once-per-clip Kerr starlight map (camera-independent) for starlit
+    BL video frames — thin-disk reflection and in-gas scattering both
+    require it precomputed."""
+    from curvis_tpu.render.starlight import compute_kerr_starlight_map
+    return compute_kerr_starlight_map(
+        metric, bg, r_inner=disk.r_inner, r_outer=disk.r_outer,
+        escape_radius=escape_radius, dt=max(0.05, dt), max_steps=max_steps,
+        n_r=disk.starlight_grid[0], n_phi=disk.starlight_grid[1],
+        n_samples=disk.starlight_samples, boost="orbit")
+
 log = get_logger("video")
 
 
@@ -94,6 +106,9 @@ def render_video_frames(metric: Metric, path: CameraPath,
         smap = compute_starlight_map(
             metric, bg_positive, disk, dt=dt, max_steps=max_steps,
             escape_radius=escape_radius, filtering=filtering)
+    elif renderer == "kerr" and disk is not None and disk.starlight:
+        smap = _kerr_video_smap(metric, bg_positive, disk, dt, max_steps,
+                                escape_radius)
     for i, t in enumerate(times):
         frame_path = tmp / f"frame_{i}.png"
         frames.append(frame_path)
@@ -132,6 +147,7 @@ def render_video_frames(metric: Metric, path: CameraPath,
                               max_steps=max_steps,
                               escape_radius=escape_radius,
                               filtering=filtering, disk=disk,
+                              starlight_map=smap,
                               stepper="rk45" if stepper == "rk45" else "rk4")
         else:
             raise ValueError(f"unknown renderer {renderer!r}")
@@ -191,11 +207,17 @@ def _render_frames_device_batched(metric, path, bg_positive, bg_negative,
                 starlight_map=smap)
     elif renderer == "kerr":
         from curvis_tpu.render.kerr import render_kerr_frames_batched
+        # Kerr starlight map: camera-independent, hoisted once per clip
+        # (same contract as the planar hoist above)
+        smap = _kerr_video_smap(metric, bg_positive, disk, dt, max_steps,
+                                escape_radius) \
+            if (disk is not None and disk.starlight) else None
 
         def jit_batch(m, cams, bp, bn):
             return render_kerr_frames_batched(
                 m, cams, bp, dt=dt, max_steps=max_steps,
                 escape_radius=escape_radius, filtering=filtering, disk=disk,
+                starlight_map=smap,
                 stepper="rk45" if stepper == "rk45" else "rk4")
     else:
         jit_batch = jax.jit(lambda m, cams, bp, bn: render_frames_batched(

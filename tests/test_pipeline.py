@@ -277,3 +277,36 @@ def test_metric_settings_kerr(tmp_path):
     f2.write_text('kind = "kerr"\nm = 1.0\na = 1.5\n')
     with pytest.raises(SettingsError):
         MetricSettings.from_toml(f2)
+
+
+def test_video_frames_kerr_starlight(tmp_path, rng):
+    """Kerr video with a STARLIT disk (round-5 late session): the
+    camera-independent BL illumination map is hoisted once per clip in
+    BOTH video paths (one-by-one and frames_per_batch>1) — previously the
+    kerr video branches passed no map and raised."""
+    import jax.numpy as jnp
+    import curvis_tpu as cv
+    from curvis_tpu.metrics.kerr import make_kerr
+    from curvis_tpu.render.disk import DiskParams
+    from curvis_tpu.render.video import render_video_frames
+    metric = make_kerr(m=1.0, a=0.7)
+    bg = cv.make_spherical_image(0.5 + 0.5 * rng.random((16, 32, 3)),
+                                 dtype=jnp.float64)
+    disk = DiskParams(r_inner=3.0, r_outer=9.0, starlight=True,
+                      starlight_grid=(6, 8), starlight_samples=8,
+                      brightness=0.3)
+    path = generate_orbit_path(l=20.0, period=0.2, n=10)
+    kw = dict(frame_rate=15.0, resolution=(20, 12), dt=0.25, max_steps=1500,
+              escape_radius=48.0, renderer="kerr", disk=disk,
+              dtype=jnp.float64, progress=False)
+    a = render_video_frames(metric, path, bg, bg, tmp_path / "a", **kw)
+    b = render_video_frames(metric, path, bg, bg, tmp_path / "b",
+                            frames_per_batch=2, **kw)
+    assert len(a) == len(b) == 3
+    from PIL import Image
+    for fa, fb in zip(a, b):
+        ia = np.asarray(Image.open(fa)).astype(int)
+        ib = np.asarray(Image.open(fb)).astype(int)
+        assert np.isfinite(ia).all()
+        mismatch = (np.abs(ia - ib).max(-1) > 0).mean()
+        assert mismatch < 0.05, mismatch
