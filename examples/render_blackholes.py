@@ -90,6 +90,38 @@ def main(argv=None):
         kerr, cam(24.0, 28.0), sky, dt=0.08, max_steps=12_000,
         escape_radius=60.0, disk=voldisk)))
 
+    # The marquee (round 5): the frame-dragged Gargantua STARLIT — the
+    # lensed sky illuminates the disk in the orbiting material's frame
+    # (compute_kerr_starlight_map, boost='orbit'), so the horizon casts
+    # its shadow ON the disk and light bent around the hole lights the
+    # far side; the volumetric variant scatters that starlight IN the gas.
+    from curvis_tpu.render.starlight import compute_kerr_starlight_map
+    _ksm = []
+
+    def kerr_smap():
+        if not _ksm:
+            _ksm.append(compute_kerr_starlight_map(
+                kerr, sky, r_inner=2.6, r_outer=12.0, escape_radius=30.0,
+                dt=0.1, max_steps=20_000, n_r=48, n_phi=128,
+                n_samples=128, boost="orbit"))
+        return _ksm[0]
+
+    kstar = DiskParams(r_inner=2.6, r_outer=12.0, doppler=True,
+                       color_mode="blackbody", t_peak=7000.0,
+                       brightness=10.0, starlight=True,
+                       albedo=(0.5, 0.5, 0.55))
+    jobs.append(("kerr_starlight.png", lambda: render_kerr(
+        kerr, cam(28.0, 24.0), sky, dt=0.1, max_steps=32_000, disk=kstar,
+        starlight_map=kerr_smap())))
+    volstar = DiskParams(r_inner=2.6, r_outer=12.0, volumetric=True,
+                         h_rel=0.07, kappa=3.0, doppler=True,
+                         color_mode="blackbody", t_peak=6500.0,
+                         brightness=8.0, starlight=True,
+                         albedo=(0.45, 0.45, 0.5), starlight_scatter=0.4)
+    jobs.append(("gargantua_scatter.png", lambda: render_kerr(
+        kerr, cam(24.0, 28.0), sky, dt=0.08, max_steps=12_000,
+        escape_radius=60.0, disk=volstar, starlight_map=kerr_smap())))
+
     # Kerr-Newman: charge shrinks the photon orbits — the shadow of an
     # a=0.7, q=0.5 hole is visibly smaller than the a=0.7 Kerr one
     # (prograde critical b: 3.15 vs 3.56).  Beyond even the Kerr upgrade.
