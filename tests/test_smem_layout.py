@@ -15,7 +15,9 @@ import numpy as np
 
 from curvis_tpu.metrics.base import EllisMetric, SchwarzschildMetric
 from curvis_tpu.ops.march_pallas import (CHEB_OFF_COMPACT, CHEB_OFF_VOL,
-                                         KERR_RK45_BOUNDS, VOL_BLOCK_KERR,
+                                         KERR_RK45_BOUNDS,
+                                         KERR_SCATTER_OFF, SCATTER_BLOCK,
+                                         SCATTER_DEG, VOL_BLOCK_KERR,
                                          VOL_BLOCK_PLANAR, VOL_SLOT,
                                          _metric_kind_and_params,
                                          _vol_param_slots)
@@ -31,6 +33,12 @@ def test_offset_arithmetic():
     assert KERR_RK45_BOUNDS[True] == VOL_BLOCK_KERR + len(VOL_SLOT) == 18
     assert KERR_RK45_BOUNDS[False] == VOL_BLOCK_KERR == 10
     assert VOL_BLOCK_PLANAR == 6 + 2          # base[0:6] + (r_in, r_out)
+    # round 5: the 27-scalar starlight-scattering block — tint RGB + a
+    # degree-7 monomial per channel; BOTH Kerr vol rows are width 20
+    # (fixed: +2 spare; rk45: +dt_max/dt_min), so one offset serves both
+    assert SCATTER_BLOCK == 3 + 3 * (SCATTER_DEG + 1) == 27
+    assert KERR_SCATTER_OFF == VOL_BLOCK_KERR + len(VOL_SLOT) + 2 == 20
+    assert KERR_SCATTER_OFF == KERR_RK45_BOUNDS[True] + 2
 
 
 def test_vol_param_slots_order_matches_name_map():
