@@ -317,7 +317,8 @@ def make_train_step(mesh: Mesh, *, dt, max_steps, escape_radius,
 def render_kerr_sharded(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
                         dt, max_steps, escape_radius=None, disk=None,
                         filtering="bilinear", far_accel=True,
-                        backend="xla", stepper="rk4", rtol=1e-4):
+                        backend="xla", stepper="rk4", rtol=1e-4,
+                        starlight_map=None):
     """Sharded Kerr/Kerr-Newman video rendering -> (F, H, W, 3).
 
     Every stage of the BL pipeline (tetrad spawn, RK4 march, asymptotic
@@ -346,7 +347,8 @@ def render_kerr_sharded(metric, cameras, bg: SphericalImage, mesh: Mesh, *,
     colors = _kerr_march_and_shade(
         metric, x0, p0, bg, jnp.asarray(dt, x0.dtype), max_steps=max_steps,
         escape_radius=escape_radius, disk=disk, filtering=filtering,
-        backend=backend, far_accel=far_accel, stepper=stepper, rtol=rtol)
+        backend=backend, far_accel=far_accel, stepper=stepper, rtol=rtol,
+        starlight_map=starlight_map)
     return colors.reshape(len(cams), W, H, 3).transpose(0, 2, 1, 3)
 
 

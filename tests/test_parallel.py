@@ -333,3 +333,41 @@ def test_frames_shardmap_kernel_launch_per_device(rng):
             metric, cam, bg_p, bg_n, mesh, interpret=True, use_pallas=True,
             **KW))
         np.testing.assert_array_equal(frames[k], single)
+
+
+def test_kerr_sharded_starlight_matches_batched(rng):
+    """Starlit Kerr frames (thin reflection AND in-gas scattering) through
+    render_kerr_sharded == the single-device batched renderer (round-5
+    late session: the sharded path now threads starlight_map)."""
+    import curvis_tpu as cv
+    from curvis_tpu.metrics.kerr import KerrMetric
+    from curvis_tpu.parallel.mesh import make_mesh
+    from curvis_tpu.parallel.sharded import render_kerr_sharded
+    from curvis_tpu.render.disk import DiskParams
+    from curvis_tpu.render.kerr import render_kerr_frames_batched
+    from curvis_tpu.render.starlight import compute_kerr_starlight_map
+    metric = KerrMetric(m=jnp.asarray(1.0), a=jnp.asarray(0.7))
+    th = np.pi / 2 - 0.25
+    cams = [cv.make_camera([0.0, 18.0, th, 0.05 * k],
+                           [-np.sin(th), 0.0, -np.cos(th)], [0.0, 0.0, 1.0],
+                           30.0, 43.0, 16, 8, dtype=jnp.float64)
+            for k in range(2)]
+    bg = cv.make_spherical_image(0.3 + 0.5 * rng.random((8, 16, 3)),
+                                 dtype=jnp.float64)
+    smap = compute_kerr_starlight_map(
+        metric, bg, r_inner=3.0, r_outer=9.0, escape_radius=25.0, dt=0.1,
+        max_steps=5000, n_r=6, n_phi=8, n_samples=8, backend="xla")
+    mesh = make_mesh(8)
+    for disk in (DiskParams(r_inner=3.0, r_outer=9.0, starlight=True,
+                            brightness=0.3),
+                 DiskParams(r_inner=3.0, r_outer=9.0, volumetric=True,
+                            h_rel=0.1, kappa=2.0, starlight=True)):
+        kw = dict(dt=0.1, max_steps=2000, escape_radius=40.0, disk=disk,
+                  starlight_map=smap)
+        sharded = jax.jit(lambda m, bp, d=disk: render_kerr_sharded(
+            m, cams, bp, mesh, **kw))(metric, bg)
+        batched = render_kerr_frames_batched(metric, cams, bg,
+                                             backend="xla", **kw)
+        assert sharded.shape == (2, 8, 16, 3)
+        np.testing.assert_allclose(np.asarray(sharded),
+                                   np.asarray(batched), rtol=0, atol=1e-9)
