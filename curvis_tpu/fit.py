@@ -100,7 +100,14 @@ def fit(loss_fn: Callable, init_params, *, iters=300, lr=1e-2,
     import optax
     if iters < 1:
         raise ValueError(f"fit() needs iters >= 1, got {iters}")
-    opt = optax.adam(lr) if optimizer is None else optimizer
+    # zero_nans: lensing losses have knife-edge configurations (rays
+    # exactly on a capture/crossing boundary) whose gradients can go
+    # non-finite for ONE iteration; without the guard a single such step
+    # poisons Adam's moments and the whole trajectory NaNs (observed on
+    # long disk-image fits).  Zeroing the offending gradient skips the
+    # update where it is broken and costs nothing elsewhere.
+    opt = (optax.chain(optax.zero_nans(), optax.adam(lr))
+           if optimizer is None else optimizer)
 
     if n_starts > 1 and init_sampler is not None:
         rng = np.random.default_rng(seed)

@@ -95,19 +95,20 @@ def main():
                 "a": jnp.clip(p["a"], 0.0, 0.95),
                 "th": jnp.clip(p["th"], 0.8, np.pi / 2 - 0.05),
                 "r_in": jnp.clip(p["r_in"], 2.2, 6.0),
-                "r_out": jnp.clip(p["r_out"], 8.0, 13.0)}
+                "r_out": jnp.clip(p["r_out"], 8.0, 14.0)}
 
     init = {"m": jnp.asarray(1.0, dtype), "a": jnp.asarray(0.4, dtype),
             "th": jnp.asarray(np.pi / 2 - 0.25, dtype),
             "r_in": jnp.asarray(4.5, dtype),
             "r_out": jnp.asarray(10.0, dtype)}
 
-    def sampler(key):
-        ks = jax.random.split(key, 5)
-        u = [jax.random.uniform(k) for k in ks]
-        return {"m": 0.8 + 0.4 * u[0], "a": 0.1 + 0.8 * u[1],
-                "th": 0.9 + 0.5 * u[2], "r_in": 2.5 + 3.0 * u[3],
-                "r_out": 9.0 + 3.5 * u[4]}
+    def sampler(rng, _i):
+        u = rng.uniform(size=5)
+        return {"m": jnp.asarray(0.8 + 0.4 * u[0], dtype),
+                "a": jnp.asarray(0.1 + 0.8 * u[1], dtype),
+                "th": jnp.asarray(0.9 + 0.5 * u[2], dtype),
+                "r_in": jnp.asarray(2.5 + 3.0 * u[3], dtype),
+                "r_out": jnp.asarray(9.0 + 3.5 * u[4], dtype)}
 
     res = fit(loss_fn, init, iters=iters, lr=0.03, n_starts=n_starts,
               init_sampler=None if n_starts == 1 else sampler,
@@ -117,6 +118,12 @@ def main():
     for k in true:
         print(f"  {k:5s}: true={float(true[k]):.4f}  "
               f"fit={float(res.params[k]):.4f}")
+    print("NB the residual (m, a) spread is the single-viewpoint shadow-"
+          "scale ridge (both knobs set the apparent size; dragging-odd "
+          "information is weak from one side) — physics, not the "
+          "optimizer: examples/inverse_problem.py part 3 breaks the same "
+          "ridge with two opposite-side viewpoints.  Inclination and the "
+          "disk geometry pin down tightly from one image.")
 
 
 if __name__ == "__main__":
